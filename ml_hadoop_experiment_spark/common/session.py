@@ -1,0 +1,59 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The engine targets multi-executor clusters reading ~100 TB; tests run on
+``local[N]``. All knobs here are plain Spark SQL configs so the same code
+works in both modes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+
+def session_defaults() -> dict[str, str]:
+    """Config defaults applied to every engine session.
+
+    - AQE on: runtime coalescing of shuffle partitions, skew-join splitting
+      (replaces the reference's hand-rolled ``ceil(n/4)`` shuffle-partition
+      reduction, vocabulary.py:40-41 of the reference).
+    - Arrow on: every Python crossing is a columnar Arrow batch
+      (the reference relies on the same mechanism via ``pandas_udf``).
+    - maxRecordsPerBatch bounds UDF peak memory (reference exposes the same
+      control as ``batch_size``, common/spark_inference.py:130-143).
+    """
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+    }
+
+
+def get_session(
+    app_name: str = "mlhe-spark",
+    master: Optional[str] = None,
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[dict[str, str]] = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master=None`` keeps whatever the deploy environment provides
+    (spark-submit / cluster manager); tests pass ``local[N]``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    for k, v in session_defaults().items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,29 @@
+from ml_hadoop_experiment_spark.operators.sampling import (
+    WEIGHT_COLUMN_NAME,
+    add_deterministic_sampling_col,
+    add_random_sampling_col,
+    get_filter_sampling_ratio,
+    sample_with_predicate,
+)
+from ml_hadoop_experiment_spark.operators.vocabulary import (
+    build_vocabulary,
+    vocabulary_dataframe,
+    write_vocab_files,
+)
+from ml_hadoop_experiment_spark.operators.inference import (
+    with_inference_column,
+    with_sklearn_inference_column,
+)
+
+__all__ = [
+    "WEIGHT_COLUMN_NAME",
+    "add_random_sampling_col",
+    "add_deterministic_sampling_col",
+    "get_filter_sampling_ratio",
+    "sample_with_predicate",
+    "build_vocabulary",
+    "vocabulary_dataframe",
+    "write_vocab_files",
+    "with_inference_column",
+    "with_sklearn_inference_column",
+]

@@ -1,0 +1,174 @@
+"""Vectorized model-inference column operators.
+
+Parity targets (SURVEY.md §2.8):
+
+- ``with_inference_column`` — the framework-agnostic core of the reference's
+  TF ``with_inference`` (tensorflow/dataframe_prediction_helper.py:189-256),
+  PyTorch ``with_inference_column`` (pytorch/spark_inference.py:108-134,
+  204-241) and sklearn variant (sklearn/spark_inference.py:10-55). One Arrow
+  ``pandas_udf`` over N input columns producing one output column of a
+  declared type; artifacts arrive via broadcast with lazy worker-side load;
+  an inner micro-batch loop bounds model peak memory.
+
+- the reference wraps its UDF as ``explode(array(udf(...)))`` to defeat
+  duplicate evaluation (SPARK-17728 workaround, dataframe_prediction_helper.
+  py:252-256). On modern Spark the engine instead marks the UDF
+  non-deterministic, which prevents Catalyst from duplicating or re-running
+  it during plan rewrites — no row-multiplying construct needed.
+
+- worker-state reuse: thread-count pinning happens once per Python worker
+  (reference dataframe_prediction_helper.py:220-226); the broadcast wrapper
+  loads the model once per worker process (common/spark_inference.py:39-41).
+
+Scale: the UDF is the only Python crossing; everything else stays in
+whole-stage codegen. Arrow batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` and the inner loop by
+``batch_size`` — together they cap per-task memory no matter how large the
+input partition is, which is what makes this safe on 100 TB inputs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Iterable, List, Optional, Sequence, Tuple, Union
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DataType
+
+from ml_hadoop_experiment_spark.common.artifacts import broadcast, from_broadcasted
+from ml_hadoop_experiment_spark.common.batching import split_in_batches
+
+#: fn(artifacts, (series, ...)) -> pd.Series | list | np.ndarray
+InferenceFn = Callable[[Any, Tuple[pd.Series, ...]], Any]
+
+
+def _pin_threads(num_threads: Optional[int]) -> None:
+    """Best-effort CPU thread pinning for math libs, once per worker.
+
+    Mirrors the reference's per-worker thread setup (TF inter/intra-op at
+    dataframe_prediction_helper.py:220-226, torch at spark_inference.py:
+    216-219) without importing any framework: the env vars are honored by
+    OpenMP/MKL/BLAS and by TF/torch when they initialize lazily.
+    """
+    if num_threads is None:
+        return
+    for var in ("OMP_NUM_THREADS", "MKL_NUM_THREADS", "OPENBLAS_NUM_THREADS"):
+        os.environ.setdefault(var, str(num_threads))
+
+
+def with_inference_column(
+    df: DataFrame,
+    artifacts: Any,
+    input_cols: Sequence[Union[str, Column]],
+    inference_fn: InferenceFn,
+    output_type: Union[DataType, str] = "double",
+    batch_size: int = 1024,
+    output_col: str = "prediction",
+    num_threads: Optional[int] = None,
+) -> DataFrame:
+    """Add one model-output column computed by an Arrow-vectorized UDF.
+
+    ``artifacts`` may be a ``SerializableObj``, a plain pickleable object, or
+    a list of either; workers receive the resolved object(s).
+    ``inference_fn(artifacts, batch)`` gets a tuple of ``pd.Series`` (one per
+    input column, at most ``batch_size`` rows) and returns a Series-like of
+    the same length.
+    """
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    spark = df.sparkSession
+    broadcasted = broadcast(spark, artifacts)
+
+    def _udf(*cols: pd.Series) -> pd.Series:
+        _pin_threads(num_threads)
+        resolved = from_broadcasted(broadcasted)
+        outs: List[pd.Series] = []
+        for batch in split_in_batches(cols, batch_size):
+            result = inference_fn(resolved, batch)
+            if not isinstance(result, pd.Series):
+                result = pd.Series(list(result))
+            if len(result) != len(batch[0]):
+                raise ValueError(
+                    f"inference_fn returned {len(result)} rows for a "
+                    f"{len(batch[0])}-row batch"
+                )
+            outs.append(result)
+        return pd.concat(outs, ignore_index=True) if outs else pd.Series([], dtype=object)
+
+    udf = F.pandas_udf(_udf, returnType=output_type)
+    # Exactly-once evaluation (reference regression tests, SURVEY.md §5.2):
+    # non-deterministic UDFs are never collapsed/duplicated by Catalyst.
+    udf = udf.asNondeterministic()
+    cols = [F.col(c) if isinstance(c, str) else c for c in input_cols]
+    return df.withColumn(output_col, udf(*cols))
+
+
+def with_sklearn_inference_column(
+    df: DataFrame,
+    model: Any,
+    output_col: str = "prediction",
+    output_type: Union[DataType, str] = "float",
+    postprocessing_fn: Optional[Callable[[Any], pd.Series]] = None,
+    batch_size: int = 8192,
+) -> DataFrame:
+    """sklearn adapter: all DataFrame columns -> ``model.predict_proba``.
+
+    Reference parity: sklearn/spark_inference.py:10-55 (including its
+    validation that the model exposes ``predict_proba`` and that the whole
+    row, as a pandas DataFrame with original column names, is the model
+    input). Without ``postprocessing_fn`` the raw ``predict_proba`` output is
+    coerced to a Series, matching the reference's contiguous-array fallback.
+    """
+    if df is None or not isinstance(df, DataFrame):
+        raise ValueError("Missing or invalid dataframe.")
+    if model is None or getattr(model, "predict_proba", None) is None:
+        raise ValueError("Missing or invalid model.")
+
+    columns = list(df.columns)
+
+    def _infer(mdl: Any, batch: Tuple[pd.Series, ...]) -> pd.Series:
+        pdf = pd.DataFrame({c: s.reset_index(drop=True) for c, s in zip(columns, batch)})
+        result = mdl.predict_proba(pdf)
+        if postprocessing_fn is not None:
+            result = postprocessing_fn(result)
+        if not isinstance(result, pd.Series):
+            result = pd.Series(list(result))
+        return result
+
+    return with_inference_column(
+        df,
+        model,
+        columns,
+        _infer,
+        output_type=output_type,
+        batch_size=batch_size,
+        output_col=output_col,
+    )
+
+
+def with_map_in_pandas_inference(
+    df: DataFrame,
+    artifacts: Any,
+    inference_fn: Callable[[Any, pd.DataFrame], pd.DataFrame],
+    output_schema: Union[str, Any],
+    batch_size: int = 1024,
+) -> DataFrame:
+    """Whole-row inference via ``mapInPandas`` — the UDTF-shaped substrate.
+
+    For models that emit several columns or a different row count (the
+    reference has no such operator; this is the engine's generalization noted
+    in SURVEY.md §2.8's closing paragraph). ``inference_fn(artifacts, pdf)``
+    maps a pandas batch to a pandas batch of ``output_schema``.
+    """
+    spark = df.sparkSession
+    broadcasted = broadcast(spark, artifacts)
+
+    def _map(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        resolved = from_broadcasted(broadcasted)
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                yield inference_fn(resolved, pdf.iloc[start : start + batch_size])
+
+    return df.mapInPandas(_map, schema=output_schema)

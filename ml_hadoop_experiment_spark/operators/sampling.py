@@ -1,0 +1,133 @@
+"""Single-pass stratified weighted sampling.
+
+Parity target: reference ``tensorflow/sampling.py`` (whole file, 98 LoC):
+
+- ``add_random_sampling_col``       <- sampling.py:10-11 (engine adds a seed)
+- ``add_deterministic_sampling_col``<- sampling.py:15-23 (Murmur3 -> [0,1);
+  engine adds an oracle-portable hash mode and does not leak the intermediate
+  ``hash`` column into the output)
+- ``get_filter_sampling_ratio``     <- sampling.py:27-34 (trivial-predicate
+  folding; Catalyst would fold these anyway, kept for plan readability)
+- ``sample_with_predicate``         <- sampling.py:37-98, semantics preserved
+  exactly: null predicate counts as negative for both the filter and the
+  re-weighting; ``weight`` column synthesized as 1.0 when absent; *relative*
+  re-weighting by ``max(gp, gn)/gp`` resp. ``/gn``.
+
+Scale notes: the whole operator is a single Catalyst expression pipeline —
+no shuffle, no Python boundary; it fuses into the scan's whole-stage-codegen
+and the sampling filter combines with pushed-down predicates. At 100 TB this
+is a pure map-side pass.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ml_hadoop_experiment_spark.functions.hashing import (
+    portable_unit_hash,
+    spark_unit_hash,
+)
+
+#: Name of the example-weight column, reference tensorflow/constant.py:1.
+WEIGHT_COLUMN_NAME = "weight"
+
+
+def add_random_sampling_col(
+    df: DataFrame, seed: Optional[int] = None
+) -> Tuple[str, DataFrame]:
+    """Uniform [0,1) sampling column. Seeded for reproducibility (the
+    reference's variant is unseeded and therefore non-deterministic)."""
+    rand = F.rand(seed) if seed is not None else F.rand()
+    return "sampling_rand", df.withColumn("sampling_rand", rand)
+
+
+def add_deterministic_sampling_col(
+    df: DataFrame,
+    columns_for_sample: List[str],
+    portable: bool = False,
+    seed: int = 42,
+) -> Tuple[str, DataFrame]:
+    """Deterministic [0,1) sampling column from a hash of key columns.
+
+    ``portable=False``: Murmur3 scaled to [0,1) exactly like the reference
+    (sampling.py:18-22) — fast JVM path, Spark-only determinism.
+    ``portable=True``: multiplicative hash of the (single, integral) key
+    column that evaluates identically in DuckDB — used by oracle checks.
+    Rows sharing key values sample together (the reference's documented
+    contract), which is what makes sampling stable across reruns/engines.
+    """
+    if portable:
+        if len(columns_for_sample) != 1:
+            raise ValueError("portable mode requires exactly one integral key column")
+        col = portable_unit_hash(F.col(columns_for_sample[0]), salt=seed)
+    else:
+        col = spark_unit_hash(*[df[c] for c in columns_for_sample], seed=seed)
+    return "sampling_hash", df.withColumn("sampling_hash", col)
+
+
+def get_filter_sampling_ratio(column: Column, sampling_ratio: float) -> Column:
+    """Fold trivial ratios to literals (reference sampling.py:27-34)."""
+    if sampling_ratio <= 0.0:
+        return F.lit(False)
+    if sampling_ratio >= 1.0:
+        return F.lit(True)
+    return column < sampling_ratio
+
+
+def sample_with_predicate(
+    df: DataFrame,
+    global_sampling: float,
+    positive_sampling: float,
+    negative_sampling: float,
+    positive_predicate: Column,
+    columns_for_sample: Optional[List[str]] = None,
+    sampling_col: Optional[str] = None,
+    seed: Optional[int] = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Stratified sample + re-weight in one declarative pass.
+
+    Keeps positives with probability ``global_sampling * positive_sampling``
+    and negatives with ``global_sampling * negative_sampling``; adjusts (or
+    creates) the ``weight`` column by the *relative* inverse ratios so the
+    reweighted sample is unbiased up to a common factor. Rows whose predicate
+    evaluates to NULL are treated as negatives (reference sampling.py:76-79).
+
+    ``sampling_col`` lets callers supply a pre-materialized [0,1) column
+    (exactly how the reference's own tests make the operator deterministic,
+    tests/tensorflow/test_sampling.py:32-38).
+    """
+    if sampling_col is None:
+        if columns_for_sample:
+            sampling_col, df = add_deterministic_sampling_col(
+                df, columns_for_sample, portable=portable, seed=seed or 42
+            )
+        else:
+            sampling_col, df = add_random_sampling_col(df, seed=seed)
+
+    global_pos = global_sampling * positive_sampling
+    global_neg = global_sampling * negative_sampling
+    max_sampling = max(global_pos, global_neg)
+
+    pos_filter = get_filter_sampling_ratio(df[sampling_col], global_pos)
+    neg_filter = get_filter_sampling_ratio(df[sampling_col], global_neg)
+
+    # NULL predicate -> False, i.e. the row is a negative for filtering.
+    pos_pred = positive_predicate & positive_predicate.isNotNull()
+    df = df.filter((pos_pred & pos_filter) | (~pos_pred & neg_filter))
+
+    weight_col = (
+        df[WEIGHT_COLUMN_NAME] if WEIGHT_COLUMN_NAME in df.columns else F.lit(1.0)
+    )
+
+    # Relative re-weighting: ratios (0.2, 0.1) re-weight as (1.0, 2.0).
+    # Guard the divisions so an all-filtered stratum (ratio 0) yields weight
+    # NULL instead of Infinity; such rows cannot exist post-filter anyway.
+    pos_w = weight_col * max_sampling / global_pos if global_pos > 0 else F.lit(None)
+    neg_w = weight_col * max_sampling / global_neg if global_neg > 0 else F.lit(None)
+    return df.withColumn(
+        WEIGHT_COLUMN_NAME, F.when(positive_predicate, pos_w).otherwise(neg_w)
+    )

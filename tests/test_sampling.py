@@ -1,0 +1,124 @@
+"""Sampling operator tests — mirrors the reference's parametrized behavioral
+tables (tests/tensorflow/test_sampling.py:11-111): counts over a hand-built
+``sampling_hash`` column, null-predicate handling, and weight goldens."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_hadoop_experiment_spark.operators.sampling import (
+    WEIGHT_COLUMN_NAME,
+    add_deterministic_sampling_col,
+    get_filter_sampling_ratio,
+    sample_with_predicate,
+)
+
+
+@pytest.fixture(scope="module")
+def sampling_df(spark):
+    # (sampling_hash, feature1, label) — hash pre-materialized exactly like
+    # the reference's own tests do to make outcomes deterministic.
+    rows = [
+        (0.05, 1, 1),
+        (0.15, 2, 1),
+        (0.55, 3, 1),
+        (0.05, 4, 0),
+        (0.45, 5, 0),
+        (0.95, 6, 0),
+    ]
+    return spark.createDataFrame(rows, "sampling_hash double, feature1 int, label int")
+
+
+@pytest.mark.parametrize(
+    "g,p,n,expected_features",
+    [
+        (1.0, 1.0, 1.0, {1, 2, 3, 4, 5, 6}),
+        (1.0, 0.2, 1.0, {1, 2, 4, 5, 6}),  # positives kept iff hash < 0.2
+        (1.0, 1.0, 0.5, {1, 2, 3, 4, 5}),  # negatives kept iff hash < 0.5
+        (0.5, 1.0, 1.0, {1, 2, 4, 5}),  # everything g*ratio = 0.5
+        (1.0, 0.0, 1.0, {4, 5, 6}),  # drop all positives
+        (1.0, 1.0, 0.0, {1, 2, 3}),  # drop all negatives
+        (0.0, 1.0, 1.0, set()),
+    ],
+)
+def test_sample_counts(sampling_df, g, p, n, expected_features):
+    out = sample_with_predicate(
+        sampling_df, g, p, n, F.col("label") == 1, sampling_col="sampling_hash"
+    )
+    assert {r["feature1"] for r in out.collect()} == expected_features
+
+
+def test_null_predicate_is_negative(spark):
+    # Rows with NULL label must be treated as negatives for filter AND weight.
+    rows = [(0.1, 1, None), (0.1, 2, 1), (0.9, 3, None)]
+    df = spark.createDataFrame(rows, "sampling_hash double, feature1 int, label int")
+    out = sample_with_predicate(
+        df, 1.0, 1.0, 0.5, F.col("label") == 1, sampling_col="sampling_hash"
+    ).collect()
+    got = {r["feature1"]: r[WEIGHT_COLUMN_NAME] for r in out}
+    # feature 3 (hash .9 > .5, negative) dropped; null-label f1 kept as negative
+    assert set(got) == {1, 2}
+    assert got[1] == pytest.approx(2.0)  # negative weight = max(1,.5)/.5
+    assert got[2] == pytest.approx(1.0)  # positive weight = max/1.0
+
+
+def test_relative_reweighting_and_weight_synthesis(spark):
+    # ratios (0.2, 0.1) reweight as (1.0, 2.0); weight column created if absent
+    rows = [(0.05, 1, 1), (0.05, 2, 0), (0.19, 3, 1), (0.15, 4, 0)]
+    df = spark.createDataFrame(rows, "sampling_hash double, feature1 int, label int")
+    out = sample_with_predicate(
+        df, 1.0, 0.2, 0.1, F.col("label") == 1, sampling_col="sampling_hash"
+    ).collect()
+    got = {r["feature1"]: r[WEIGHT_COLUMN_NAME] for r in out}
+    assert set(got) == {1, 2, 3}  # f4 negative with hash .15 >= .1 dropped
+    assert got[1] == pytest.approx(1.0)
+    assert got[3] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(2.0)
+
+
+def test_existing_weight_is_scaled(spark):
+    rows = [(0.01, 1, 1, 3.0), (0.01, 2, 0, 5.0)]
+    df = spark.createDataFrame(
+        rows, "sampling_hash double, feature1 int, label int, weight double"
+    )
+    out = sample_with_predicate(
+        df, 1.0, 1.0, 0.25, F.col("label") == 1, sampling_col="sampling_hash"
+    ).collect()
+    got = {r["feature1"]: r[WEIGHT_COLUMN_NAME] for r in out}
+    assert got[1] == pytest.approx(3.0)
+    assert got[2] == pytest.approx(20.0)  # 5.0 * (1/0.25)
+
+
+def test_trivial_filter_folding(spark):
+    c = F.col("x")
+    assert "false" in str(get_filter_sampling_ratio(c, 0.0)).lower()
+    assert "true" in str(get_filter_sampling_ratio(c, 1.0)).lower()
+
+
+def test_deterministic_sampling_col_bounds(lineitem):
+    name, df = add_deterministic_sampling_col(lineitem, ["l_orderkey", "l_linenumber"])
+    stats = df.agg(
+        F.min(name).alias("lo"), F.max(name).alias("hi"), F.countDistinct(name).alias("d")
+    ).collect()[0]
+    assert 0.0 <= stats["lo"] and stats["hi"] < 1.0
+    assert stats["d"] > 100  # actually spreads
+
+
+def test_portable_sampling_matches_duckdb(lineitem, sf_dir):
+    import duckdb
+
+    name, df = add_deterministic_sampling_col(
+        lineitem, ["l_orderkey"], portable=True, seed=7
+    )
+    spark_rows = {
+        r["l_orderkey"]: r[name] for r in df.select("l_orderkey", name).collect()
+    }
+    from ml_hadoop_experiment_spark.functions.hashing import portable_unit_hash_sql
+
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT DISTINCT l_orderkey, {portable_unit_hash_sql('l_orderkey', salt=7)} AS h "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    assert len(duck) == len(spark_rows)
+    for ok, h in duck:
+        assert spark_rows[ok] == h  # bit-identical
