@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+value = total wall-clock of one pass over all bench queries (median of
+BENCH_RUNS runs, default 1 for driver speed; set BENCH_RUNS=3 locally).
+Each query is fully materialized via a count-ish action that forces every
+operator but avoids driver-side result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+from ml_hadoop_experiment_spark.common.session import get_session
+from ml_hadoop_experiment_spark.queries import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = int(os.environ.get("BENCH_RUNS", "1"))
+
+# Headline set: one per operator family (BASELINE.md's bench plan) plus the
+# join pipeline. Cheap metadata-only queries are excluded.
+BENCH_QUERIES = [
+    "udf_linear_score",
+    "sample_stratified",
+    "vocab_build",
+    "vocab_tokens",
+    "sparse_coo",
+    "pricing_summary",
+    "segment_revenue",
+]
+
+
+def main() -> None:
+    spark = get_session(
+        app_name="mlhe-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    # Warmup pass: JIT/codegen compilation, parquet footer caching, Python
+    # worker spawn — one-time costs that are not steady-state throughput.
+    if int(os.environ.get("BENCH_WARMUP", "1")):
+        for name in BENCH_QUERIES:
+            if name in QUERIES:
+                QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    per_query: dict[str, float] = {}
+    totals: list[float] = []
+    for _ in range(RUNS):
+        total = 0.0
+        for name in BENCH_QUERIES:
+            if name not in QUERIES:
+                continue
+            t0 = time.perf_counter()
+            # noop sink: every row and column is fully computed and consumed
+            # by executors (count() would let Catalyst prune computed cols)
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            per_query[name] = min(per_query.get(name, float("inf")), dt)
+            total += dt
+        totals.append(total)
+
+    value = statistics.median(totals)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall_clock",
+                "value": round(value, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in per_query.items()},
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

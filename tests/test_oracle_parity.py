@@ -1,0 +1,70 @@
+"""Local replica of the driver's t2 correctness gate: every declared query
+runs in Spark AND in DuckDB (oracle SQL over the same parquet), results must
+match exactly after sorting columns by name and rows by value.
+
+Runs at sf0.001 for speed; the driver runs the same contract at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ml_hadoop_experiment_spark.queries import ORACLE_SQL, QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+    return pdf
+
+
+def _assert_frames_match(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    s, d = _normalize(spark_pdf), _normalize(duck_pdf)
+    for col in s.columns:
+        sv, dv = s[col].tolist(), d[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                assert a == b, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+            else:
+                assert a == b, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(ORACLE_SQL[name]).df()
+    _assert_frames_match(name, spark_pdf, duck_pdf)
+
+
+def test_every_query_has_oracle():
+    assert set(QUERIES) == set(ORACLE_SQL)
