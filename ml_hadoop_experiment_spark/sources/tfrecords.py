@@ -1,0 +1,429 @@
+"""TFRecord source/sink with a pure-Python wire codec — no TensorFlow needed.
+
+Parity targets (SURVEY.md §2.1):
+- S5 record encode: reference ``tfrecords.py:184-207`` (``to_tf_proto``) with
+  the same null/default/empty semantics: empty list counts as null
+  (tfrecords.py:141-149); null with a spec default is *omitted* (the reader
+  fills it); null without a default gets a synthesized zero/empty default
+  (tfrecords.py:122-132); FixedLen shape is enforced (tfrecords.py:202-203);
+  element types are checked per dtype family (tfrecords.py:162-181).
+- S3 sink: reference ``write_example_rdd`` (tfrecords.py:226-236) — one
+  ``part-{i:05d}`` file per partition, returns (path, count) pairs. Engine
+  uses ``mapInPandas`` instead of an RDD of protos, so rows never leave
+  the DataFrame world until the final file write inside the task.
+- S4 source: reference ``read_parsed_tfr`` (tfrecords.py:52-57) is a
+  driver-side tf.data iterator; engine reads distributed — each task parses
+  its own files.
+
+Wire format (public): a TFRecord is
+``uint64 length | uint32 masked_crc32c(length) | bytes data |
+uint32 masked_crc32c(data)``, ``data`` being a serialized
+``tensorflow.Example`` protobuf:
+``Example{ Features features=1 }; Features{ map<string,Feature> feature=1 };
+Feature{ oneof { BytesList bytes_list=1; FloatList float_list=2;
+Int64List int64_list=3 } }``, each list ``repeated value=1`` (floats fixed32,
+ints varint, both packed or unpacked). The codec below implements exactly
+this subset of protobuf encoding.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import struct
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ml_hadoop_experiment_spark.schema.feature_spec import (
+    FeatureSpecs,
+    FixedLenFeature,
+    VarLenFeature,
+)
+
+# --------------------------------------------------------------------------
+# CRC32C (Castagnoli), table-driven; TFRecord masks it.
+# --------------------------------------------------------------------------
+
+_CRC_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC_TABLE.append(_c)
+
+
+def _crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return ((crc >> 15) | (crc << 17)) + 0xA282EAD8 & 0xFFFFFFFF
+
+
+# --------------------------------------------------------------------------
+# Minimal protobuf wire codec for the Example message family.
+# --------------------------------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _encode_feature(value: List[Any], kind: str) -> bytes:
+    if kind == "int64":
+        payload = b"".join(_varint(v & 0xFFFFFFFFFFFFFFFF) for v in value)
+        inner = _len_delim(1, payload) if value else b""
+        return _len_delim(3, inner)  # Feature.int64_list
+    if kind == "float":
+        payload = struct.pack(f"<{len(value)}f", *value) if value else b""
+        inner = _len_delim(1, payload) if value else b""
+        return _len_delim(2, inner)  # Feature.float_list
+    if kind == "bytes":
+        inner = b"".join(
+            _len_delim(1, v.encode() if isinstance(v, str) else v) for v in value
+        )
+        return _len_delim(1, inner)  # Feature.bytes_list
+    raise ValueError(f"unknown feature kind {kind}")
+
+
+def _dtype_kind(dtype: str) -> str:
+    if dtype in ("int32", "int64"):
+        return "int64"
+    if dtype in ("float32", "float64"):
+        return "float"
+    return "bytes"
+
+
+def _as_list(value: Any) -> Optional[List[Any]]:
+    if value is None:
+        return None
+    if isinstance(value, (list, tuple, np.ndarray)):
+        return list(value)
+    return [value]
+
+
+def _synthesized_default(spec: FixedLenFeature) -> List[Any]:
+    """Zero/empty default when spec has none (reference tfrecords.py:122-132)."""
+    kind = _dtype_kind(spec.dtype)
+    value: Any = 0 if kind == "int64" else 0.0 if kind == "float" else b""
+    n = spec.shape[0] if spec.shape else 1
+    return [value] * n
+
+
+def _preprocess_value(value: Any, spec: Any) -> Optional[List[Any]]:
+    """Null/default/empty semantics of reference tfrecords.py:135-159."""
+    if isinstance(spec, FixedLenFeature):
+        aslist = _as_list(value)
+        if aslist is not None and not isinstance(value, (str, bytes)) and len(aslist) == 0:
+            value = None  # empty list counts as null
+            aslist = None
+        if value is None:
+            if spec.default_value is not None:
+                return None  # omit; reader fills from spec default
+            return _synthesized_default(spec)
+        return aslist
+    return _as_list(value)
+
+
+def _check_elements(value: List[Any], spec: Any) -> None:
+    kind = _dtype_kind(spec.dtype)
+    for v in value:
+        if kind == "int64" and not isinstance(v, (int, np.integer)):
+            raise ValueError(f"{v!r} in {value} is not integer as required by {spec}")
+        if kind == "float" and not isinstance(v, (int, float, np.integer, np.floating)):
+            raise ValueError(f"{v!r} in {value} is not a number as required by {spec}")
+        if kind == "bytes" and not isinstance(v, (str, bytes)):
+            raise ValueError(f"{v!r} in {value} is not str or bytes as required by {spec}")
+
+
+def to_example_bytes(x: Dict[str, Any], specs: FeatureSpecs) -> bytes:
+    """Row dict -> serialized tensorflow.Example (reference ``to_tf_proto``)."""
+    entries = []
+    for name, spec in specs.items():
+        value = _preprocess_value(x.get(name), spec)
+        if value is None:
+            continue
+        if isinstance(spec, FixedLenFeature):
+            expected = spec.shape[0] if spec.shape else 1
+            if len(value) != expected:
+                raise ValueError(
+                    f"value {value} does not correspond to expected shape in spec {spec}"
+                )
+        _check_elements(value, spec)
+        feature = _encode_feature(value, _dtype_kind(spec.dtype))
+        entry = _len_delim(1, name.encode()) + _len_delim(2, feature)
+        entries.append(_len_delim(1, entry))  # Features.feature map entry
+    features = b"".join(entries)
+    return _len_delim(1, features)  # Example.features
+
+
+def _decode_list(buf: bytes, kind: str) -> List[Any]:
+    values: List[Any] = []
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if field != 1:
+            raise ValueError(f"unexpected field {field} in list message")
+        if wire == 2:  # length-delimited: packed numerics or bytes element
+            ln, pos = _read_varint(buf, pos)
+            chunk = buf[pos : pos + ln]
+            pos += ln
+            if kind == "bytes":
+                values.append(chunk)
+            elif kind == "float":
+                values.extend(struct.unpack(f"<{ln // 4}f", chunk))
+            else:
+                p = 0
+                while p < len(chunk):
+                    v, p = _read_varint(chunk, p)
+                    values.append(v - (1 << 64) if v >= 1 << 63 else v)
+        elif wire == 0:  # unpacked varint
+            v, pos = _read_varint(buf, pos)
+            values.append(v - (1 << 64) if v >= 1 << 63 else v)
+        elif wire == 5:  # unpacked fixed32 float
+            values.append(struct.unpack("<f", buf[pos : pos + 4])[0])
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+    return values
+
+
+def _decode_feature(buf: bytes) -> Tuple[str, List[Any]]:
+    pos = 0
+    tag, pos = _read_varint(buf, pos)
+    field = tag >> 3
+    ln, pos = _read_varint(buf, pos)
+    payload = buf[pos : pos + ln]
+    if field == 1:
+        return "bytes", _decode_list(payload, "bytes")
+    if field == 2:
+        return "float", _decode_list(payload, "float")
+    if field == 3:
+        return "int64", _decode_list(payload, "int64")
+    raise ValueError(f"unknown Feature field {field}")
+
+
+def parse_example_raw(data: bytes) -> Dict[str, List[Any]]:
+    """Serialized Example -> {name: raw list} (no spec interpretation)."""
+    out: Dict[str, List[Any]] = {}
+    pos = 0
+    tag, pos = _read_varint(data, pos)
+    ln, pos = _read_varint(data, pos)
+    features = data[pos : pos + ln]
+    fpos = 0
+    while fpos < len(features):
+        tag, fpos = _read_varint(features, fpos)
+        ln, fpos = _read_varint(features, fpos)
+        entry = features[fpos : fpos + ln]
+        fpos += ln
+        # map entry: key=1 (string), value=2 (Feature)
+        epos = 0
+        name = b""
+        feat: List[Any] = []
+        while epos < len(entry):
+            etag, epos = _read_varint(entry, epos)
+            eln, epos = _read_varint(entry, epos)
+            chunk = entry[epos : epos + eln]
+            epos += eln
+            if etag >> 3 == 1:
+                name = chunk
+            else:
+                _, feat = _decode_feature(chunk) if chunk else ("", [])
+        out[name.decode()] = feat
+    return out
+
+
+def parse_example_bytes(data: bytes, specs: FeatureSpecs) -> Dict[str, Any]:
+    """Serialized Example -> row dict honoring spec defaults and shapes."""
+    raw = parse_example_raw(data)
+    row: Dict[str, Any] = {}
+    for name, spec in specs.items():
+        values = raw.get(name)
+        if values is None or len(values) == 0:
+            if isinstance(spec, FixedLenFeature):
+                if spec.default_value is None:
+                    raise ValueError(f"feature {name} missing and spec has no default")
+                values = _as_list(spec.default_value)
+            else:
+                values = []
+        if spec.dtype == "string":
+            values = [v.decode() if isinstance(v, bytes) else v for v in values]
+        elif spec.dtype in ("int32", "int64"):
+            values = [int(v) for v in values]
+        else:
+            values = [float(v) for v in values]
+        if isinstance(spec, FixedLenFeature) and not spec.shape:
+            row[name] = values[0]
+        else:
+            row[name] = values
+    return row
+
+
+# --------------------------------------------------------------------------
+# TFRecord file framing.
+# --------------------------------------------------------------------------
+
+
+def write_tfrecord_file(path: str, records: Iterable[bytes], compression: Optional[str] = "gzip") -> int:
+    opener = gzip.open if compression == "gzip" else open
+    n = 0
+    with opener(path, "wb") as f:
+        for rec in records:
+            header = struct.pack("<Q", len(rec))
+            f.write(header)
+            f.write(struct.pack("<I", _masked_crc(header)))
+            f.write(rec)
+            f.write(struct.pack("<I", _masked_crc(rec)))
+            n += 1
+    return n
+
+
+def read_tfrecord_file(path: str, compression: Optional[str] = "gzip") -> Iterator[bytes]:
+    opener = gzip.open if compression == "gzip" else open
+    with opener(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                return
+            (length,) = struct.unpack("<Q", header)
+            (hcrc,) = struct.unpack("<I", f.read(4))
+            if hcrc != _masked_crc(header):
+                raise ValueError(f"corrupt TFRecord length header in {path}")
+            data = f.read(length)
+            (dcrc,) = struct.unpack("<I", f.read(4))
+            if dcrc != _masked_crc(data):
+                raise ValueError(f"corrupt TFRecord payload in {path}")
+            yield data
+
+
+# --------------------------------------------------------------------------
+# Spark sink / source.
+# --------------------------------------------------------------------------
+
+
+def write_tfrecords(
+    df: DataFrame,
+    specs: FeatureSpecs,
+    path: str,
+    shuffle_seed: Optional[int] = 42,
+    compression: Optional[str] = "gzip",
+) -> List[Tuple[str, int]]:
+    """Spec-projected, globally shuffled TFRecord sink; one file per partition.
+
+    Engine rendition of reference ``df_to_tf_record`` (tfrecords.py:239-268):
+    spec projection (P1), seeded ``orderBy(rand(seed))`` global shuffle (R4 —
+    the reference's is unseeded), then an executor-side write per partition
+    returning (path, count) like ``write_example_rdd``. The write happens in
+    ``mapInPandas`` so rows stream through Arrow without a driver hop; only
+    the tiny (path, count) table is collected.
+    """
+    os.makedirs(path, exist_ok=True)
+    cols = [c for c in df.columns if c in specs]
+    projected = df.select(cols).orderBy(F.rand(shuffle_seed))
+    spec_items = dict(specs)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fpath = os.path.join(path, f"part-{pid:05d}")
+        n = 0
+
+        def _records() -> Iterator[bytes]:
+            nonlocal n
+            for pdf in batches:
+                for row in pdf.to_dict("records"):
+                    n += 1
+                    yield to_example_bytes(row, spec_items)
+
+        write_tfrecord_file(fpath, _records(), compression)
+        yield pd.DataFrame({"path": [fpath], "count": [n]})
+
+    result = projected.mapInPandas(_write, "path string, count bigint").collect()
+    return [(r["path"], r["count"]) for r in result]
+
+
+def read_tfrecords(
+    spark: SparkSession,
+    path: str,
+    specs: FeatureSpecs,
+    compression: Optional[str] = "gzip",
+) -> DataFrame:
+    """Distributed TFRecord source: each task parses its own files.
+
+    Files are listed driver-side (cheap), parsing is executor-side. Part
+    files beginning with ``_`` are skipped (reference tfrecords.py:265-267).
+    """
+    files = sorted(
+        f
+        for f in glob.glob(os.path.join(path, "*"))
+        if not os.path.basename(f).startswith("_")
+    )
+    schema_fields = []
+    for name, spec in specs.items():
+        base = {
+            "int32": "int",
+            "int64": "bigint",
+            "float32": "float",
+            "float64": "double",
+            "string": "string",
+        }[spec.dtype]
+        if isinstance(spec, FixedLenFeature) and not spec.shape:
+            schema_fields.append(f"`{name}` {base}")
+        else:
+            schema_fields.append(f"`{name}` array<{base}>")
+    schema = ", ".join(schema_fields)
+    spec_items = dict(specs)
+
+    files_df = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        max(1, len(files))
+    )
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath in pdf["file"]:
+                rows = [
+                    parse_example_bytes(rec, spec_items)
+                    for rec in read_tfrecord_file(fpath, compression)
+                ]
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return files_df.mapInPandas(_read, schema)

@@ -1,0 +1,164 @@
+"""TFRecord codec + source/sink tests — mirrors the reference's fixture
+matrix (tests/tensorflow/protobuf_examples.py:9-146: null/default/empty/
+scalar/list scenarios) and roundtrips through real files like
+tests/tensorflow/test_tfrecords.py:16-44."""
+
+import struct
+
+import pytest
+
+from ml_hadoop_experiment_spark.schema import FixedLenFeature, VarLenFeature
+from ml_hadoop_experiment_spark.sources.tfrecords import (
+    parse_example_bytes,
+    parse_example_raw,
+    read_tfrecord_file,
+    read_tfrecords,
+    to_example_bytes,
+    write_tfrecord_file,
+    write_tfrecords,
+)
+
+SPECS = {
+    "feature1": FixedLenFeature((1,), "float32", default_value=1.0),
+    "feature2": FixedLenFeature((1,), "int64", default_value=1),
+    "feature3": FixedLenFeature((), "string", default_value="a"),
+    "feature4": FixedLenFeature((2,), "int64"),
+    "feature5": VarLenFeature("int64"),
+}
+
+
+def test_roundtrip_values_as_lists():
+    row = {"feature1": [2.0], "feature2": [3], "feature3": "xyz",
+           "feature4": [4, 5], "feature5": [6, 7, 8]}
+    parsed = parse_example_bytes(to_example_bytes(row, SPECS), SPECS)
+    assert parsed == {"feature1": [2.0], "feature2": [3], "feature3": "xyz",
+                      "feature4": [4, 5], "feature5": [6, 7, 8]}
+
+
+def test_scalars_accepted():
+    row = {"feature1": 2.0, "feature2": 3, "feature3": "s", "feature4": [1, 1],
+           "feature5": 9}
+    parsed = parse_example_bytes(to_example_bytes(row, SPECS), SPECS)
+    assert parsed["feature1"] == [2.0]
+    assert parsed["feature5"] == [9]
+
+
+def test_null_with_default_omitted_then_filled():
+    """Null + spec default -> omitted from the proto, reader fills it
+    (reference tfrecords.py:151-153 and to_tf_proto docstring)."""
+    row = {"feature4": [1, 2], "feature5": []}
+    data = to_example_bytes(row, SPECS)
+    raw = parse_example_raw(data)
+    assert "feature1" not in raw  # omitted
+    parsed = parse_example_bytes(data, SPECS)
+    assert parsed["feature1"] == [1.0]  # filled from default
+    assert parsed["feature2"] == [1]
+    assert parsed["feature3"] == "a"
+
+
+def test_null_without_default_synthesized():
+    """Null + no default -> zeros written (reference tfrecords.py:122-132)."""
+    row = {"feature1": [1.0], "feature2": [1], "feature3": "b", "feature5": [1]}
+    raw = parse_example_raw(to_example_bytes(row, SPECS))
+    assert raw["feature4"] == [0, 0]  # synthesized [0]*shape
+
+
+def test_empty_list_is_null():
+    """Empty list counts as null (reference tfrecords.py:141-149)."""
+    row = {"feature1": [], "feature2": [2], "feature3": "c", "feature4": [1, 1],
+           "feature5": []}
+    data = to_example_bytes(row, SPECS)
+    assert "feature1" not in parse_example_raw(data)
+    assert parse_example_bytes(data, SPECS)["feature5"] == []
+
+
+def test_shape_mismatch_raises():
+    row = {"feature1": [1.0, 2.0], "feature2": [1], "feature3": "d",
+           "feature4": [1, 1], "feature5": []}
+    with pytest.raises(ValueError, match="expected shape"):
+        to_example_bytes(row, SPECS)
+
+
+def test_type_enforcement():
+    with pytest.raises(ValueError, match="not integer"):
+        to_example_bytes({"feature2": ["nope"], "feature4": [1, 1]}, SPECS)
+    with pytest.raises(ValueError, match="not str or bytes"):
+        to_example_bytes({"feature3": 5, "feature4": [1, 1]}, SPECS)
+
+
+def test_negative_int64_roundtrip():
+    specs = {"v": VarLenFeature("int64")}
+    parsed = parse_example_bytes(to_example_bytes({"v": [-5, 0, 5]}, specs), specs)
+    assert parsed["v"] == [-5, 0, 5]
+
+
+def test_file_roundtrip_and_corruption(tmp_path):
+    path = str(tmp_path / "f.tfrecord")
+    records = [b"hello", b"", b"world" * 100]
+    assert write_tfrecord_file(path, records, compression=None) == 3
+    assert list(read_tfrecord_file(path, compression=None)) == records
+    # flip a payload byte -> corruption detected
+    blob = bytearray(open(path, "rb").read())
+    blob[12] ^= 0xFF
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="corrupt"):
+        list(read_tfrecord_file(path, compression=None))
+
+
+def test_gzip_roundtrip(tmp_path):
+    path = str(tmp_path / "f.tfrecord.gz")
+    write_tfrecord_file(path, [b"abc", b"def"], compression="gzip")
+    assert list(read_tfrecord_file(path, compression="gzip")) == [b"abc", b"def"]
+
+
+def test_spark_sink_source_roundtrip(spark, tmp_path):
+    specs = {
+        "l_orderkey": FixedLenFeature((), "int64", default_value=0),
+        "l_quantity": FixedLenFeature((), "float32", default_value=0.0),
+        "l_returnflag": FixedLenFeature((), "string", default_value=""),
+    }
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(500)
+    out = str(tmp_path / "tfr")
+    results = write_tfrecords(df, specs, out, shuffle_seed=1)
+    assert sum(c for _, c in results) == 500
+    assert all(p.split("/")[-1].startswith("part-") for p, _ in results)
+
+    back = read_tfrecords(spark, out, specs)
+    assert back.count() == 500
+    src = {(r["l_orderkey"], round(r["l_quantity"], 3)) for r in
+           df.select("l_orderkey", "l_quantity").collect()}
+    dst = {(r["l_orderkey"], round(r["l_quantity"], 3)) for r in
+           back.select("l_orderkey", "l_quantity").collect()}
+    assert src == dst
+
+
+def test_events_reader(tmp_path):
+    """Build a synthetic event file with the public wire format and read it
+    back (reference golden shape: tests/tensorflow/test_events.py:26-43)."""
+    from ml_hadoop_experiment_spark.sources.events import metrics_long_frame
+    from ml_hadoop_experiment_spark.sources.tfrecords import (
+        _len_delim,
+        _tag,
+        _varint,
+        write_tfrecord_file,
+    )
+
+    def event(step, metrics, with_summary=True):
+        body = _tag(2, 0) + _varint(step)  # step
+        if with_summary:
+            values = b""
+            for name, val in metrics:
+                v = _len_delim(1, name.encode()) + _tag(2, 5) + struct.pack("<f", val)
+                values += _len_delim(1, v)
+            body += _len_delim(5, values)
+        return body
+
+    records = [
+        event(42, [("metric0", 32.4)]),
+        event(43, [], with_summary=False),  # no summary -> no rows
+        event(44, [("metric0", 33.8), ("metric1", 23.3)]),
+    ]
+    write_tfrecord_file(str(tmp_path / "events.out.123"), records, compression=None)
+    pdf = metrics_long_frame(str(tmp_path))
+    got = [(r.step, r.name, round(r.value, 1)) for r in pdf.itertuples()]
+    assert got == [(42, "metric0", 32.4), (44, "metric0", 33.8), (44, "metric1", 23.3)]
