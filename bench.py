@@ -34,6 +34,14 @@ BENCH_QUERIES = [
     "sparse_coo",
     "pricing_summary",
     "segment_revenue",
+    # extensions
+    "text_stats",
+    "doc_fingerprint",
+    "dedup_exact",
+    "near_dup_pairs",
+    "simhash",
+    "ann_topk",
+    "embedding_near_dup",
 ]
 
 

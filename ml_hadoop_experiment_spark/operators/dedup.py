@@ -1,0 +1,297 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale.
+
+Extensions beyond the reference (BASELINE.json north-star). Four families:
+
+- exact:      content-hash groupBy — one shuffle on a 128-bit digest, never
+              on the raw text (a 100 TB corpus shuffles ~32 bytes/row).
+- MinHash:    k min-hash aggregates over the token set -> LSH banding ->
+              bucket self-join for candidates -> exact Jaccard verify.
+              The classic shingle->minhash->band->bucket-join pipeline; every
+              stage is a DataFrame op with one shuffle.
+- SimHash:    b-bit fingerprint from per-token hash bits, pure expression
+              (no shuffle at all); near-dups share fingerprints or differ in
+              few bits.
+- n-gram Jaccard: exact pairwise similarity on candidate pairs via distinct
+              n-gram joins.
+
+All hashes are md5-based and portable (DuckDB-identical) so every stage is
+oracle-checkable; swap ``F.xxhash64`` in for raw speed where cross-engine
+reproducibility is not needed (see functions/hashing.py docstring).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ml_hadoop_experiment_spark.functions.hashing import portable_token_hash_hex
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def content_digest(cols: List[Column]) -> Column:
+    """128-bit md5 digest of the concatenated content columns.
+
+    Null-safe: columns are null-coalesced with a sentinel and joined with an
+    unlikely separator so ("a", None) != ("a", "") != ("a",).
+    """
+    safe = [F.coalesce(c.cast("string"), F.lit("\x00null")) for c in cols]
+    return F.md5(F.concat_ws("", *safe))
+
+
+def dedup_exact(
+    df: DataFrame,
+    content_cols: List[str],
+    id_col: str,
+) -> DataFrame:
+    """Keep one representative row (lowest ``id_col``) per distinct content.
+
+    Single shuffle, keyed on the digest (not the payload): at scale the
+    exchange carries 16-byte keys + row ids. Window row_number (not
+    groupBy+join) so the surviving row keeps all its columns in one pass.
+    """
+    w = Window.partitionBy("__digest").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__digest", content_digest([F.col(c) for c in content_cols]))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__digest", "__rn")
+    )
+
+
+def duplicate_stats(df: DataFrame, content_cols: List[str]) -> DataFrame:
+    """(digest, n_copies) for groups with more than one row — the audit view."""
+    return (
+        df.select(content_digest([F.col(c) for c in content_cols]).alias("digest"))
+        .groupBy("digest")
+        .count()
+        .where(F.col("count") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def tokens_frame(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 1
+) -> DataFrame:
+    """(id, token) distinct pairs; token = word or word-``shingle_size``-gram.
+
+    Shingles are built relationally: posexplode + self-join on consecutive
+    positions is avoided — instead ``transform`` over index range assembles
+    n-grams inside codegen, then one explode.
+    """
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    if shingle_size > 1:
+        n = F.size(tokens)
+        idx = F.sequence(F.lit(0), F.greatest(n - shingle_size, F.lit(0)))
+        shingles = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, shingle_size)),
+        )
+        tokens = F.when(n >= shingle_size, shingles).otherwise(F.array())
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("token"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    tokens: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """k MinHash values per document as columns ``mh_0..mh_{k-1}``.
+
+    Each hash function is min(md5("salt:token")) — an 8-hex-char string whose
+    lexicographic order equals numeric order, so MIN() is a plain string
+    aggregate (portable verbatim to DuckDB). One shuffle on id; all k mins
+    compute in the same aggregation (map-side partial min applies).
+    """
+    aggs = [
+        F.min(portable_token_hash_hex(F.col("token"), salt=i)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return tokens.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band.
+
+    Band key = md5 of the band's signature slice. The per-band frames are
+    unioned (band_id, band_key, id) then self-joined per bucket — the
+    textbook banding join; skewed buckets are split by AQE skew-join
+    handling at scale.
+    """
+    num_hashes = len([c for c in signatures.columns if c.startswith("mh_")])
+    assert bands * rows_per_band <= num_hashes, "bands*rows exceeds signature size"
+    frames: Optional[DataFrame] = None
+    for b in range(bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        frame = signatures.select(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            F.col("id"),
+        )
+        frames = frame if frames is None else frames.unionByName(frame)
+    left = frames.alias("a")
+    right = frames.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    candidates: DataFrame, tokens: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from the distinct token sets.
+
+    |A∩B| via a two-sided token join restricted to candidate pairs; |A∪B| =
+    |A|+|B|-|A∩B|. Output: (id_a, id_b, jaccard) with jaccard >= threshold.
+    Cost scales with candidate count (LSH already pruned), never all-pairs.
+    """
+    sizes = tokens.groupBy("id").agg(F.count("*").alias("n_tokens"))
+    ta = tokens.select(F.col("id").alias("id_a"), "token")
+    tb = tokens.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        candidates.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_tokens", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_tokens", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0.0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: shingle -> minhash -> band -> verify."""
+    toks = tokens_frame(df, id_col, text_col, shingle_size)
+    sigs = minhash_signatures(toks, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    return jaccard_pairs(cands, toks, threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash(col: Column, bits: int = 16) -> Column:
+    """``bits``-bit SimHash fingerprint of the whitespace token multiset.
+
+    Bit b of a token's hash = (hex digit b of md5(token)) >= '8' — i.e. the
+    top bit of each md5 nibble, giving up to 32 independent bits. The
+    fingerprint sets bit b when the signed token-vote sum is positive:
+    sum_b = 2*|{t: bit_b(t)}| - n. Pure column expression — zero shuffle.
+    """
+    assert 1 <= bits <= 32, "md5 hex prefix provides up to 32 nibble bits"
+    tokens = F.split(F.trim(F.lower(col)), r"\s+")
+    # hash each token ONCE; per-bit votes then read nibbles of the digest
+    # (md5 is ~16x the cost of a substring check)
+    hashes = F.transform(tokens, lambda t: F.md5(t))
+    n = F.size(tokens)
+    fp = F.lit(0).cast("bigint")
+
+    # NB: the loop variable must be captured via a factory, not a lambda
+    # default — PySpark reads lambda arity, and a 2-arg lambda is treated as
+    # an (element, index) function.
+    def _bit_predicate(b: int):
+        return lambda h: F.substring(h, b + 1, 1).isin(
+            "8", "9", "a", "b", "c", "d", "e", "f"
+        )
+
+    for b in range(bits):
+        set_count = F.size(F.filter(hashes, _bit_predicate(b)))
+        bit_on = (set_count * 2) > n  # strict: vote sum > 0
+        fp = fp + F.when(bit_on, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
+    return fp
+
+
+def simhash_sql(expr: str, bits: int = 16) -> str:
+    """DuckDB twin of ``simhash`` (list_filter over the same md5 nibbles;
+    digests computed once via list_transform, matching the Spark plan)."""
+    toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    hashes = f"list_transform({toks}, t -> md5(t))"
+    terms = []
+    for b in range(bits):
+        set_count = (
+            f"len(list_filter({hashes}, h -> substring(h, {b + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f')))"
+        )
+        terms.append(
+            f"CASE WHEN {set_count} * 2 > len({toks}) THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bit flips, using half-fingerprint
+    blocking: two fingerprints within hamming distance d <= bits/2 share at
+    least one exact half (pigeonhole for d<=1 per half); candidates join on
+    either half, then exact popcount verifies."""
+    fp = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("fp"))
+    half = bits // 2
+    lo = (F.col("fp") % (1 << half)).alias("block")
+    hi = (F.col("fp") / (1 << half)).cast("bigint").alias("block")
+    blocks = fp.select("id", "fp", F.lit(0).alias("part"), lo).unionByName(
+        fp.select("id", "fp", F.lit(1).alias("part"), hi)
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,141 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Extension beyond the reference (BASELINE.json north-star). Media content is
+carried as opaque ``binary`` columns plus typed metadata columns; decode /
+feature-extraction runs as Arrow-batched ``mapInPandas`` so bytes never
+round-trip through the driver and each task holds at most one batch of
+payloads in memory.
+
+The actual codecs (PIL / torchaudio / ffmpeg) are NOT in this environment,
+so the decode step is gated: if the library imports, the real decoder runs;
+otherwise a clearly-marked deterministic fake derives features from the raw
+bytes (length, byte statistics). The Spark-side plumbing — schema contract,
+partitioning, UDF signature, batch shape — is real and tested either way.
+
+Scale notes: binary payloads dominate row size; ``maxRecordsPerBatch`` and
+``batch_size`` bound task memory, and feature extraction is map-side only
+(no shuffle). For 100 TB of media, store content in parquet binary columns
+(or pointers to object storage) and keep features/metadata in slim columns
+so downstream analytics never rescans payload bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_FEATURE_SCHEMA = (
+    "id bigint, byte_length bigint, width int, height int, mean_luma double, decoder string"
+)
+
+AUDIO_FEATURE_SCHEMA = (
+    "id bigint, byte_length bigint, sample_rate int, n_samples bigint, rms double, decoder string"
+)
+
+
+def with_binary_metadata(
+    df: DataFrame, content_col: str = "content", prefix: str = "meta_"
+) -> DataFrame:
+    """Cheap, codec-free metadata as pure expressions: byte length + md5.
+
+    Runs in codegen; use it to partition/filter media tables without ever
+    decoding payloads.
+    """
+    c = F.col(content_col)
+    return df.withColumn(f"{prefix}bytes", F.length(c)).withColumn(
+        f"{prefix}digest", F.md5(c)
+    )
+
+
+def _try_pil():
+    try:  # gated optional dependency
+        from PIL import Image  # type: ignore
+
+        return Image
+    except Exception:
+        return None
+
+
+def _fake_image_features(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic fake decode (no image libs in this environment):
+    pseudo-dimensions from byte length, 'luminance' = mean byte value."""
+    n = len(payload)
+    width = max(1, int(n**0.5))
+    height = max(1, n // width)
+    mean = float(sum(payload) / n) if n else 0.0
+    return width, height, round(mean, 6)
+
+
+def extract_image_features(
+    df: DataFrame,
+    id_col: str = "id",
+    content_col: str = "content",
+    batch_size: int = 256,
+) -> DataFrame:
+    """Decode images -> (id, byte_length, width, height, mean_luma, decoder).
+
+    Real decode through PIL when available; otherwise the deterministic fake
+    (decoder column records which ran). mapInPandas streams Arrow batches;
+    the inner loop re-batches so at most ``batch_size`` payloads are
+    resident per iteration.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil = _try_pil()
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                rows = []
+                for rid, payload in zip(chunk[id_col], chunk[content_col]):
+                    payload = bytes(payload) if payload is not None else b""
+                    if pil is not None:
+                        import io
+
+                        try:
+                            with pil.open(io.BytesIO(payload)) as img:
+                                gray = img.convert("L")
+                                w, h = img.size
+                                hist = gray.histogram()
+                                total = sum(hist) or 1
+                                luma = sum(i * c for i, c in enumerate(hist)) / total
+                                rows.append((rid, len(payload), w, h, round(luma, 6), "pil"))
+                                continue
+                        except Exception:
+                            pass  # fall through to fake for undecodable bytes
+                    w, h, luma = _fake_image_features(payload)
+                    rows.append((rid, len(payload), w, h, luma, "fake"))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["id", "byte_length", "width", "height", "mean_luma", "decoder"],
+                )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
+    ).mapInPandas(_extract, IMAGE_FEATURE_SCHEMA)
+
+
+def sample_media_frames(
+    df: DataFrame,
+    id_col: str = "id",
+    duration_col: str = "duration_s",
+    every_s: float = 1.0,
+) -> DataFrame:
+    """Frame-sampling plan: one row per (media id, timestamp offset).
+
+    Pure relational expansion (sequence + explode) — the decode of each
+    frame happens downstream in ``extract_image_features``-style tasks. For
+    a 2h video at 1 fps that's 7200 rows per asset, generated in codegen.
+    """
+    n_frames = F.greatest(
+        (F.col(duration_col) / F.lit(every_s)).cast("int"), F.lit(1)
+    )
+    offsets = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.round(i * F.lit(every_s), 3),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(offsets).alias("frame_offset_s")
+    )

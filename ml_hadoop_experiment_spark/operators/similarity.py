@@ -1,0 +1,158 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Extensions beyond the reference (BASELINE.json north-star):
+
+- brute-force cosine top-k — the exactness baseline. The dot product is a
+  codegen'd fold (functions/vectors.py); ranking uses orderBy+limit which
+  Spark executes as TakeOrderedAndProject (per-partition heaps + driver
+  merge of k rows — no global sort shuffle).
+- random-hyperplane LSH bucketing — the scale path: b sign bits place each
+  vector in one of 2^b buckets; near-dup search self-joins within buckets
+  only. Hyperplane coefficients derive from the portable hash so bucketing
+  is deterministic and oracle-checkable.
+- cosine near-dup pairs — LSH candidates verified by exact cosine.
+
+At 100 TB the brute-force scan stays fully parallel (score is map-side;
+top-k needs no shuffle); the LSH join shuffles once on (bucket).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ml_hadoop_experiment_spark.functions.vectors import cosine_similarity_expr
+
+_KNUTH = 2_654_435_761
+_MOD = 1_000_003
+_TWO32 = 4_294_967_296
+
+
+def _plane_coeff(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random coefficient in [-0.5, 0.5) for
+    (plane, dim), identical in the SQL twin."""
+    h = (((plane * 8191 + dim) % _MOD) * _KNUTH + 961_748_927) % _TWO32
+    return h / _TWO32 - 0.5
+
+
+def plane_vectors(num_planes: int, dim: int) -> List[List[float]]:
+    return [[_plane_coeff(p, d) for d in range(dim)] for p in range(num_planes)]
+
+
+def _dot_with_literal(vec: Column, coeffs: Sequence[float]) -> Column:
+    """Fold-based dot product with a literal plane; left-to-right double
+    accumulation (same order the DuckDB twin folds in)."""
+    plane = F.array(*[F.lit(float(c)) for c in coeffs])
+    return F.aggregate(
+        F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_bucket(vec: Column, num_planes: int, dim: int) -> Column:
+    """Bucket id in [0, 2^num_planes): bit p = sign of <vec, plane_p>."""
+    bucket = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        bit = _dot_with_literal(vec, plane_vectors(p + 1, dim)[p]) > 0
+        bucket = bucket + F.when(bit, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucket_sql(vec_expr: str, num_planes: int, dim: int) -> str:
+    """DuckDB twin of ``lsh_bucket``: same planes, same fold order."""
+    terms = []
+    for p in range(num_planes):
+        coeffs = plane_vectors(p + 1, dim)[p]
+        plane = "[" + ", ".join(repr(c) for c in coeffs) + "]"
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({plane})[i])), "
+            f"(acc, v) -> acc + v)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    Output (id, score) with score rounded to 6 decimals; ordering ties break
+    on id so results are total-ordered and reproducible.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    score = F.round(cosine_similarity_expr(F.col(vec_col), q), 6)
+    return (
+        df.select(F.col(id_col).alias("id"), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def lsh_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, bucket) assignment — the IVF-style partitioning for ANN search."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dups: bucket on LSH sign bits, verify exact cosine.
+
+    One shuffle on bucket; the all-pairs blowup is confined to buckets
+    (expected n/2^b vectors each). Output (id_a, id_b, score >= threshold).
+    """
+    from ml_hadoop_experiment_spark.functions.vectors import dot_expr, norm_expr
+
+    # Normalize once per row (n rows), so each of the O(n^2/buckets) pair
+    # evaluations is a single dot-product fold instead of dot + two norms.
+    with_bucket = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+        )
+        .withColumn("norm", norm_expr(F.col("vec")))
+        .withColumn(
+            "vnorm",
+            F.transform(F.col("vec"), lambda x: x.cast("double") / F.col("norm")),
+        )
+        .drop("vec", "norm")
+    )
+    a, b = with_bucket.alias("a"), with_bucket.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    )
+    score = F.round(dot_expr(F.col("a.vnorm"), F.col("b.vnorm")), 6)
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            score.alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )

@@ -314,6 +314,289 @@ GROUP BY o_orderkey
 """
 
 
+# ==========================================================================
+# Extension queries (BASELINE.json north-star): text analysis, dedup,
+# similarity search, multimodal plumbing.
+# ==========================================================================
+
+from ml_hadoop_experiment_spark.functions import text as TX
+from ml_hadoop_experiment_spark.operators.dedup import (
+    dedup_exact,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_sql,
+    tokens_frame,
+)
+from ml_hadoop_experiment_spark.operators.multimodal import extract_image_features
+from ml_hadoop_experiment_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    lsh_bucket_sql,
+    lsh_bucketed,
+)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language id, quality score, token count per document — all codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       {TX.token_count_sql('text')} AS n_tokens,
+       {TX.quality_score_sql('text')} AS quality,
+       {TX.lang_id_sql('text')} AS lang_pred
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling token hash (exact-sequence dedup key)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, {TX.doc_fingerprint_sql('text')} AS fingerprint
+FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of lineitem on the orderkey digest: one surviving row
+    (lowest linenumber) per key — the content-hash window pattern."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = dedup_exact(li, ["l_orderkey"], "l_linenumber")
+    return out.select("l_orderkey", "l_linenumber")
+
+
+SQL_DEDUP_EXACT = """
+SELECT l_orderkey, l_linenumber FROM (
+  SELECT l_orderkey, l_linenumber,
+         row_number() OVER (
+           PARTITION BY md5(CAST(l_orderkey AS VARCHAR))
+           ORDER BY l_linenumber
+         ) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_frame(docs, "doc_id", "text", shingle_size=1)
+    return minhash_signatures(toks, num_hashes=4).withColumnRenamed("id", "doc_id")
+
+
+SQL_MINHASH_SIGNATURES = """
+SELECT doc_id,
+       min(substring(md5('0:' || token), 1, 8)) AS mh_0,
+       min(substring(md5('1:' || token), 1, 8)) AS mh_1,
+       min(substring(md5('2:' || token), 1, 8)) AS mh_2,
+       min(substring(md5('3:' || token), 1, 8)) AS mh_3
+FROM (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+)
+GROUP BY doc_id
+"""
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: 3-shingles, 8 hashes, 4x2 bands,
+    Jaccard >= 0.3 verification."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", shingle_size=3, num_hashes=8, bands=4,
+        rows_per_band=2, threshold=0.3,
+    )
+
+
+def _minhash_sql_cols(k: int) -> str:
+    return ",\n       ".join(
+        f"min(substring(md5('{i}:' || token), 1, 8)) AS mh_{i}" for i in range(k)
+    )
+
+
+SQL_NEAR_DUP_PAIRS = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, sh AS token FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents)
+    WHERE len(t) >= 3
+  )
+),
+sigs AS (
+  SELECT id, {_minhash_sql_cols(8)}
+  FROM toks GROUP BY id
+),
+bandframe AS (
+  SELECT 0 AS band, md5(mh_0 || '|' || mh_1) AS band_key, id FROM sigs
+  UNION ALL SELECT 1, md5(mh_2 || '|' || mh_3), id FROM sigs
+  UNION ALL SELECT 2, md5(mh_4 || '|' || mh_5), id FROM sigs
+  UNION ALL SELECT 3, md5(mh_6 || '|' || mh_7), id FROM sigs
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bandframe a JOIN bandframe b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n_tokens FROM toks GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cands c
+  JOIN toks ta ON ta.id = c.id_a
+  JOIN toks tb ON tb.id = c.id_b AND tb.token = ta.token
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - i.n_inter), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - i.n_inter), 6)
+      >= 0.3
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash16"))
+
+
+SQL_SIMHASH = f"""
+SELECT doc_id, {simhash_sql('text', 16)} AS simhash16
+FROM documents
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 vs the vec_id=0 embedding (exactness
+    baseline for ANN; TakeOrderedAndProject — no global sort)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query_vec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    out = cosine_topk(emb, query_vec, id_col="vec_id", vec_col="embedding", k=20)
+    return out.withColumnRenamed("id", "vec_id")
+
+
+_DOT_Q = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 65), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), "
+    "(acc, v) -> acc + v)"
+)
+_NORM_E = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 65), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), "
+    "(acc, v) -> acc + v))"
+)
+_NORM_Q = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 65), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), "
+    "(acc, v) -> acc + v))"
+)
+
+SQL_ANN_TOPK = f"""
+SELECT e.vec_id, round({_DOT_Q} / ({_NORM_E} * {_NORM_Q}), 6) AS score
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 20
+"""
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (IVF-style ANN partitioning)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed(emb, num_planes=6, dim=64).withColumnRenamed("id", "vec_id")
+
+
+SQL_LSH_BUCKETS = f"""
+SELECT vec_id, {lsh_bucket_sql('embedding', 6, 64)} AS bucket
+FROM embeddings
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text bytes as opaque media payloads flow
+    through the real mapInPandas decode path (deterministic fake decoder);
+    the oracle checks the length-derived features."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    feats = extract_image_features(docs, "id", "content", batch_size=256)
+    return feats.select(
+        F.col("id").alias("doc_id"), "byte_length", "width", "height"
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_length,
+       CAST(floor(sqrt(octet_length(encode(text)))) AS INT) AS width,
+       CAST(floor(octet_length(encode(text)) / floor(sqrt(octet_length(encode(text))))) AS INT)
+         AS height
+FROM documents
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: LSH sign-bit buckets (4 planes) + exact
+    cosine >= 0.3 verification inside buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", num_planes=4, dim=64,
+        threshold=0.3,
+    )
+    return out
+
+
+# mirrors the Spark plan: norm + normalized vector once per row, then a
+# single dot-product fold per candidate pair
+_ROW_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(acc, v) -> acc + v))"
+)
+_PAIR_DOT_NORMED = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 65), "
+    "i -> a.vnorm[i] * b.vnorm[i])), "
+    "(acc, v) -> acc + v)"
+)
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH buckets AS (
+  SELECT vec_id,
+         {lsh_bucket_sql('embedding', 4, 64)} AS bucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / {_ROW_NORM}) AS vnorm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_PAIR_DOT_NORMED}, 6) AS score
+FROM buckets a JOIN buckets b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_PAIR_DOT_NORMED}, 6) >= 0.3
+"""
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -325,6 +608,17 @@ QUERIES = {
     "events_long": q_events_long,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
+    # extensions
+    "text_stats": q_text_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "near_dup_pairs": q_near_dup_pairs,
+    "simhash": q_simhash,
+    "ann_topk": q_ann_topk,
+    "lsh_buckets": q_lsh_buckets,
+    "multimodal_meta": q_multimodal_meta,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLE_SQL = {
@@ -338,4 +632,15 @@ ORACLE_SQL = {
     "events_long": SQL_EVENTS_LONG,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_revenue": SQL_SEGMENT_REVENUE,
+    # extensions
+    "text_stats": SQL_TEXT_STATS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "ann_topk": SQL_ANN_TOPK,
+    "lsh_buckets": SQL_LSH_BUCKETS,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
 }

@@ -1,0 +1,136 @@
+"""Dedup operator tests: exact, MinHash/LSH, SimHash, Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_hadoop_experiment_spark.operators.dedup import (
+    dedup_exact,
+    duplicate_stats,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_near_dup_pairs,
+    tokens_frame,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different text about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dedup_exact(docs):
+    out = dedup_exact(docs, ["text"], "doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4]  # keeps lowest id per distinct text
+
+
+def test_dedup_exact_null_safety(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", ""), (3, "a", None), (4, None, "a")],
+        "id bigint, x string, y string",
+    )
+    out = dedup_exact(df, ["x", "y"], "id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 4]
+
+
+def test_duplicate_stats(docs):
+    stats = duplicate_stats(docs, ["text"]).collect()
+    assert len(stats) == 1
+    assert stats[0]["count"] == 3
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id bigint, text string")
+    toks = {r["token"] for r in tokens_frame(df, "id", "text", 1).collect()}
+    assert toks == {"a", "b", "c", "d"}
+    sh = {r["token"] for r in tokens_frame(df, "id", "text", 2).collect()}
+    assert sh == {"a b", "b c", "c d"}
+    # document shorter than the shingle -> no tokens
+    short = spark.createDataFrame([(1, "a")], "id bigint, text string")
+    assert tokens_frame(short, "id", "text", 3).count() == 0
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    toks = tokens_frame(docs, "doc_id", "text", 1)
+    sigs = {r["id"]: (r["mh_0"], r["mh_1"], r["mh_2"], r["mh_3"])
+            for r in minhash_signatures(toks, 4).collect()}
+    assert sigs[1] == sigs[2] == sigs[5]
+    assert sigs[1] != sigs[4]
+
+
+def test_lsh_finds_near_dups(docs):
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", shingle_size=1, num_hashes=8, bands=4,
+        rows_per_band=2, threshold=0.5,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # all exact dups found with jaccard 1.0
+    assert {(1, 2), (1, 5), (2, 5)} <= found
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jac[(1, 2)] == 1.0
+    # doc 4 pairs with nothing
+    assert not any(4 in p for p in found)
+
+
+def test_jaccard_values(spark):
+    # A={a,b,c}, B={b,c,d} -> J = 2/4 = 0.5
+    df = spark.createDataFrame([(1, "a b c"), (2, "b c d")], "id bigint, text string")
+    toks = tokens_frame(df, "id", "text", 1)
+    cands = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    out = jaccard_pairs(cands, toks).collect()
+    assert out[0]["jaccard"] == 0.5
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),
+         (3, "entirely unrelated words here")],
+        "id bigint, text string",
+    )
+    fp = {r["id"]: r["f"] for r in
+          df.select("id", simhash(F.col("text"), 16).alias("f")).collect()}
+    assert fp[1] == fp[2]  # identical text -> identical fingerprint
+    assert 0 <= fp[1] < (1 << 16)
+    assert fp[1] != fp[3]
+
+
+def test_simhash_near_dup_pairs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    pairs = simhash_near_dup_pairs(df, "id", "text", bits=16, max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs} == {(1, 2, 0)}
+
+
+def test_simhash_sql_twin(spark):
+    """simhash() and simhash_sql() agree (Spark evaluates both)."""
+    import duckdb
+
+    from ml_hadoop_experiment_spark.operators.dedup import simhash_sql
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    got = {r["doc_id"]: r["f"] for r in
+           df.select("doc_id", simhash(F.col("text"), 8).alias("f")).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    duck = dict(con.execute(
+        f"SELECT doc_id, {simhash_sql('text', 8)} FROM documents LIMIT 20"
+    ).fetchall())
+    for k, v in got.items():
+        assert duck[k] == v

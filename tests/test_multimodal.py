@@ -1,0 +1,52 @@
+"""Multimodal plumbing tests: binary columns, metadata, gated decode."""
+
+from pyspark.sql import functions as F
+
+from ml_hadoop_experiment_spark.operators.multimodal import (
+    extract_image_features,
+    sample_media_frames,
+    with_binary_metadata,
+)
+
+
+def _media_df(spark):
+    # synthesize binary payloads from document text (no image libs here;
+    # the decoder records 'fake' and derives deterministic features)
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(50)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.encode(F.col("text"), "utf-8").alias("content"),
+        )
+    )
+
+
+def test_binary_metadata(spark):
+    df = with_binary_metadata(_media_df(spark), "content")
+    rows = df.collect()
+    assert all(r["meta_bytes"] == len(bytes(r["content"])) for r in rows)
+    assert all(len(r["meta_digest"]) == 32 for r in rows)
+
+
+def test_extract_image_features_fake_path(spark):
+    feats = extract_image_features(_media_df(spark), "id", "content", batch_size=16)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert {r["decoder"] for r in rows} == {"fake"}  # no PIL in this env
+    for r in rows:
+        assert r["byte_length"] > 0
+        assert r["width"] * r["height"] <= r["byte_length"]
+        assert 0.0 <= r["mean_luma"] <= 255.0
+    # deterministic across runs
+    again = extract_image_features(_media_df(spark), "id", "content", batch_size=16)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_frame_sampling_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 3.5), (2, 0.4)], "id bigint, duration_s double"
+    )
+    out = sample_media_frames(df, "id", "duration_s", every_s=1.0).collect()
+    got = sorted((r["id"], r["frame_offset_s"]) for r in out)
+    assert got == [(1, 0.0), (1, 1.0), (1, 2.0), (2, 0.0)]

@@ -1,0 +1,68 @@
+"""Similarity-search tests: brute-force top-k, LSH buckets, near-dup pairs."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_hadoop_experiment_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    lsh_bucketed,
+    plane_vectors,
+)
+
+
+def test_cosine_topk_golden(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 1.0]),
+        (4, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = cosine_topk(df, [1.0, 0.0], k=3).collect()
+    got = [(r["id"], r["score"]) for r in out]
+    assert got[0] == (1, 1.0)
+    assert got[1][0] == 3 and got[1][1] == pytest.approx(1 / math.sqrt(2), abs=1e-6)
+    assert got[2] == (2, 0.0)
+
+
+def test_topk_is_take_ordered(spark, embeddings):
+    """orderBy+limit must plan as TakeOrderedAndProject, not a global sort."""
+    q = embeddings.first()["embedding"]
+    df = cosine_topk(embeddings, q, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_bucket_range_and_determinism(spark, embeddings):
+    b1 = {r["id"]: r["bucket"] for r in lsh_bucketed(embeddings, num_planes=4).collect()}
+    b2 = {r["id"]: r["bucket"] for r in lsh_bucketed(embeddings, num_planes=4).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 16 for v in b1.values())
+    assert len(set(b1.values())) > 1  # actually spreads
+
+
+def test_near_dup_pairs_finds_identical(spark):
+    rows = [
+        (1, [0.5, 0.5, 0.5]),
+        (2, [0.5, 0.5, 0.5]),       # identical -> cosine 1
+        (3, [0.51, 0.5, 0.5]),      # near
+        (4, [-1.0, 0.2, 0.1]),      # far
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pairs = cosine_near_dup_pairs(df, num_planes=2, dim=3, threshold=0.99)
+    got = {(r["id_a"], r["id_b"]): r["score"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and (2, 3) in got
+    assert not any(4 in k for k in got)
+
+
+def test_plane_vectors_deterministic():
+    a = plane_vectors(3, 8)
+    b = plane_vectors(3, 8)
+    assert a == b
+    flat = [v for plane in a for v in plane]
+    assert all(-0.5 <= v < 0.5 for v in flat)
+    assert len(set(flat)) > 20  # not degenerate

@@ -1,0 +1,100 @@
+"""Structured Streaming tests: streaming inference column, foreachBatch,
+watermarked windows — driven through real micro-batch execution with the
+rate/memory sinks."""
+
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ml_hadoop_experiment_spark.streaming import (
+    foreach_batch_inference,
+    streaming_inference,
+    windowed_event_aggregates,
+)
+from ml_hadoop_experiment_spark.operators.inference import with_inference_column
+
+
+@pytest.fixture()
+def stream_source(spark, tmp_path):
+    # stage a small parquet dir as a file-stream source with a known schema
+    src = spark.createDataFrame(
+        [(float(i), float(i * 2)) for i in range(20)], "f1 double, f2 double"
+    )
+    path = str(tmp_path / "stream_src")
+    src.write.parquet(path)
+    return spark.readStream.schema("f1 double, f2 double").parquet(path)
+
+
+def test_streaming_inference(spark, stream_source):
+    out = streaming_inference(
+        stream_source, None, ["f1", "f2"], lambda m, b: b[0] + b[1],
+        output_type="double", output_col="p",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pred_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM pred_sink").collect()
+    assert len(rows) == 20
+    assert all(r["p"] == r["f1"] + r["f2"] for r in rows)
+
+
+def test_streaming_inference_rejects_batch_df(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], "f1 double, f2 double")
+    with pytest.raises(ValueError, match="not a streaming"):
+        streaming_inference(df, None, ["f1", "f2"], lambda m, b: b[0])
+
+
+def test_foreach_batch_inference(spark, stream_source):
+    collected = []
+
+    def sink(batch_df, epoch_id):
+        collected.extend(batch_df.collect())
+
+    fn = foreach_batch_inference(
+        lambda df: with_inference_column(
+            df, None, ["f1", "f2"], lambda m, b: b[0] * b[1], output_type="double",
+            output_col="prod",
+        ),
+        sink,
+    )
+    q = stream_source.writeStream.foreachBatch(fn).trigger(availableNow=True).start()
+    q.awaitTermination(60)
+    assert len(collected) == 20
+    assert all(r["prod"] == r["f1"] * r["f2"] for r in collected)
+
+
+def test_windowed_aggregates(spark, tmp_path):
+    rows = [
+        ("2026-01-01 00:00:10", "click", 1.0),
+        ("2026-01-01 00:00:40", "click", 2.0),
+        ("2026-01-01 00:01:10", "view", 5.0),
+    ]
+    src = spark.createDataFrame(rows, "ts_s string, event_type string, value double")
+    src = src.select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    path = str(tmp_path / "ev_src")
+    src.write.parquet(path)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(path)
+    agg = windowed_event_aggregates(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_sink").collect()
+    }
+    assert got[("2026-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2026-01-01 00:01:00", "view")] == (1, 5.0)
