@@ -63,6 +63,45 @@ def portable_token_hash_hex_sql(expr: str, salt: int = 0) -> str:
     return f"substring(md5('{salt}:' || {expr}), 1, 8)"
 
 
+#: largest prime below 2^32 — modulus of the MinHash permutation family
+MINHASH_PRIME = 4_294_967_291
+
+
+def portable_token_hash_int(col: Column) -> Column:
+    """32-bit non-negative integer hash of a string (md5-prefix based),
+    bit-identical in DuckDB via ``portable_token_hash_int_sql``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def portable_token_hash_int_sql(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def minhash_permutation_params(num_hashes: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) for the affine MinHash family ``(a_i*h + b_i) mod p``.
+
+    One md5 per token yields ``h``; the k permutations are integer
+    arithmetic (codegen'd, no further hashing). a_i < 2^31 keeps a*h below
+    2^63, so the same SQL is overflow-safe in DuckDB (errors on overflow)
+    and exact in Spark non-ANSI (would silently wrap).
+    """
+    return [
+        (
+            ((_KNUTH * (i + 1)) % 2_147_483_647) | 1,
+            (_OFFSET * (i + 1)) % MINHASH_PRIME,
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_permute(h: Column, a: int, b: int) -> Column:
+    return (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+
+def minhash_permute_sql(h_expr: str, a: int, b: int) -> str:
+    return f"(({h_expr}) * {a} + {b}) % {MINHASH_PRIME}"
+
+
 def portable_string_unit_hash(col: Column, salt: int = 0) -> Column:
     """Deterministic value in [0,1) from a string, portable to DuckDB.
 

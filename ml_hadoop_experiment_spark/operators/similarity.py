@@ -119,40 +119,58 @@ def cosine_near_dup_pairs(
     num_planes: int = 8,
     dim: int = 64,
     threshold: float = 0.9,
+    block_rows: int = 4096,
 ) -> DataFrame:
     """Embedding near-dups: bucket on LSH sign bits, verify exact cosine.
 
-    One shuffle on bucket; the all-pairs blowup is confined to buckets
-    (expected n/2^b vectors each). Output (id_a, id_b, score >= threshold).
+    The bucket key is a Spark column expression (identical to the DuckDB
+    twin); the O(n_bucket^2) verification runs as numpy matmul inside
+    ``applyInPandas`` per bucket — BLAS throughput instead of per-pair
+    interpreted array folds, which is what survives a 100 TB corpus. One
+    shuffle on bucket; the all-pairs blowup is confined to buckets
+    (expected n/2^b vectors each); ``block_rows`` caps the score-matrix
+    slab at block_rows x n_bucket so worker memory stays bounded even for
+    skewed buckets. Output (id_a, id_b, score >= threshold).
     """
-    from ml_hadoop_experiment_spark.functions.vectors import dot_expr, norm_expr
+    import numpy as np
+    import pandas as pd
 
-    # Normalize once per row (n rows), so each of the O(n^2/buckets) pair
-    # evaluations is a single dot-product fold instead of dot + two norms.
-    with_bucket = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vec"),
-            lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
-        )
-        .withColumn("norm", norm_expr(F.col("vec")))
-        .withColumn(
-            "vnorm",
-            F.transform(F.col("vec"), lambda x: x.cast("double") / F.col("norm")),
-        )
-        .drop("vec", "norm")
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, score double"
+
+    with_bucket = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
     )
-    a, b = with_bucket.alias("a"), with_bucket.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-    )
-    score = F.round(dot_expr(F.col("a.vnorm"), F.col("b.vnorm")), 6)
-    return (
-        pairs.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            score.alias("score"),
-        )
-        .where(F.col("score") >= threshold)
-    )
+
+    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        if n < 2:
+            return empty
+        order = pdf["id"].to_numpy().argsort(kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])[order]
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = np.nan  # zero vectors never match (NULL in SQL)
+        mat /= norms[:, None]
+        parts = []
+        for lo in range(0, n - 1, block_rows):
+            hi = min(lo + block_rows, n)
+            scores = np.round(mat[lo:hi] @ mat.T, 6)
+            rows, cols = np.nonzero(scores >= threshold)
+            keep = cols > rows + lo  # id_a < id_b (ids sorted ascending)
+            if keep.any():
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[rows[keep] + lo],
+                            "id_b": ids[cols[keep]],
+                            "score": scores[rows[keep], cols[keep]],
+                        }
+                    )
+                )
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return with_bucket.groupBy("bucket").applyInPandas(_score_bucket, out_schema)

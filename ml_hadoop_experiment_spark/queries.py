@@ -397,16 +397,28 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(toks, num_hashes=4).withColumnRenamed("id", "doc_id")
 
 
-SQL_MINHASH_SIGNATURES = """
+def _minhash_sql_aggs(k: int, h_expr: str = "h") -> str:
+    from ml_hadoop_experiment_spark.functions.hashing import (
+        minhash_permutation_params,
+        minhash_permute_sql,
+    )
+
+    return ",\n       ".join(
+        f"min({minhash_permute_sql(h_expr, a, b)}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_permutation_params(k))
+    )
+
+
+SQL_MINHASH_SIGNATURES = f"""
 SELECT doc_id,
-       min(substring(md5('0:' || token), 1, 8)) AS mh_0,
-       min(substring(md5('1:' || token), 1, 8)) AS mh_1,
-       min(substring(md5('2:' || token), 1, 8)) AS mh_2,
-       min(substring(md5('3:' || token), 1, 8)) AS mh_3
+       {_minhash_sql_aggs(4)}
 FROM (
-  SELECT DISTINCT doc_id,
-         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
-  FROM documents
+  SELECT doc_id, CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+  )
 )
 GROUP BY doc_id
 """
@@ -419,12 +431,6 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(
         docs, "doc_id", "text", shingle_size=3, num_hashes=8, bands=4,
         rows_per_band=2, threshold=0.3,
-    )
-
-
-def _minhash_sql_cols(k: int) -> str:
-    return ",\n       ".join(
-        f"min(substring(md5('{i}:' || token), 1, 8)) AS mh_{i}" for i in range(k)
     )
 
 
@@ -441,14 +447,16 @@ WITH toks AS (
   )
 ),
 sigs AS (
-  SELECT id, {_minhash_sql_cols(8)}
-  FROM toks GROUP BY id
+  SELECT id, {_minhash_sql_aggs(8)}
+  FROM (SELECT id, CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) AS h
+        FROM toks)
+  GROUP BY id
 ),
 bandframe AS (
-  SELECT 0 AS band, md5(mh_0 || '|' || mh_1) AS band_key, id FROM sigs
-  UNION ALL SELECT 1, md5(mh_2 || '|' || mh_3), id FROM sigs
-  UNION ALL SELECT 2, md5(mh_4 || '|' || mh_5), id FROM sigs
-  UNION ALL SELECT 3, md5(mh_6 || '|' || mh_7), id FROM sigs
+  SELECT 0 AS band, mh_0 || '|' || mh_1 AS band_key, id FROM sigs
+  UNION ALL SELECT 1, mh_2 || '|' || mh_3, id FROM sigs
+  UNION ALL SELECT 2, mh_4 || '|' || mh_5, id FROM sigs
+  UNION ALL SELECT 3, mh_6 || '|' || mh_7, id FROM sigs
 ),
 cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
