@@ -12,10 +12,18 @@ from ml_hadoop_experiment_spark.operators.vocabulary import (
 )
 from ml_hadoop_experiment_spark.operators.inference import (
     with_inference_column,
+    with_inference_column_and_preprocessing,
     with_sklearn_inference_column,
+)
+from ml_hadoop_experiment_spark.operators.bootstrap import (
+    evaluate_bootstrap,
+    poisson_bootstrap_metrics,
 )
 
 __all__ = [
+    "evaluate_bootstrap",
+    "poisson_bootstrap_metrics",
+    "with_inference_column_and_preprocessing",
     "WEIGHT_COLUMN_NAME",
     "add_random_sampling_col",
     "add_deterministic_sampling_col",

@@ -148,6 +148,73 @@ def with_sklearn_inference_column(
     )
 
 
+def with_inference_column_and_preprocessing(
+    df: DataFrame,
+    artifacts: Any,
+    input_cols: Sequence[Union[str, Column]],
+    preprocessing: Callable[..., Any],
+    inference_fn: Callable[[Any, List[Any]], Any],
+    output_type: Union[DataType, str] = "double",
+    batch_size: int = 1024,
+    output_col: str = "prediction",
+    num_threads: Optional[int] = None,
+    num_workers_preprocessing: int = 8,
+    max_retry: int = 3,
+) -> DataFrame:
+    """Inference with row-wise preprocessing parallelized inside the worker.
+
+    Parity: the reference's torch ``with_inference_column_and_preprocessing``
+    (pytorch/spark_inference.py:57-105, 137-173) runs per-row preprocessing
+    through a ``DataLoader(num_workers=...)`` and retries the batch on
+    RuntimeError. Engine equivalent: a thread pool maps
+    ``preprocessing(*row_values)`` over the Arrow batch (order-preserving),
+    then ``inference_fn(artifacts, preprocessed_list)`` scores it. The
+    retry honors ``max_retry`` — the reference hardcodes ``n_try > 3`` and
+    ignores its ``dataloader_max_retry`` argument (spark_inference.py:
+    176-185); that is a bug, not a behavior to keep.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    if max_retry < 1:
+        raise ValueError(f"max_retry must be >= 1, got {max_retry}")
+    spark = df.sparkSession
+    broadcasted = broadcast(spark, artifacts)
+
+    def _udf(*cols: pd.Series) -> pd.Series:
+        _pin_threads(num_threads)
+        resolved = from_broadcasted(broadcasted)
+        outs: List[pd.Series] = []
+        with ThreadPoolExecutor(max_workers=num_workers_preprocessing) as pool:
+            for batch in split_in_batches(cols, batch_size):
+                rows = list(zip(*[s.tolist() for s in batch]))
+                preprocessed = list(pool.map(lambda r: preprocessing(*r), rows))
+                last_err: Optional[Exception] = None
+                for _ in range(max_retry):
+                    try:
+                        result = inference_fn(resolved, preprocessed)
+                        last_err = None
+                        break
+                    except RuntimeError as e:  # transient (OOM, CUDA) — retry
+                        last_err = e
+                if last_err is not None:
+                    raise last_err
+                if not isinstance(result, pd.Series):
+                    result = pd.Series(list(result))
+                if len(result) != len(rows):
+                    raise ValueError(
+                        f"inference_fn returned {len(result)} rows for a "
+                        f"{len(rows)}-row batch"
+                    )
+                outs.append(result)
+        return pd.concat(outs, ignore_index=True) if outs else pd.Series([], dtype=object)
+
+    udf = F.pandas_udf(_udf, returnType=output_type).asNondeterministic()
+    cols = [F.col(c) if isinstance(c, str) else c for c in input_cols]
+    return df.withColumn(output_col, udf(*cols))
+
+
 def with_map_in_pandas_inference(
     df: DataFrame,
     artifacts: Any,

@@ -314,6 +314,41 @@ GROUP BY o_orderkey
 """
 
 
+# --------------------------------------------------------------------------
+# A4/A5: bootstrap metric evaluation (scalable Poisson form; the exact
+# multinomial port is operators/bootstrap.evaluate_bootstrap, unit-tested).
+# --------------------------------------------------------------------------
+
+from ml_hadoop_experiment_spark.operators.bootstrap import (
+    poisson_bootstrap_metrics,
+    poisson_bootstrap_metrics_sql,
+)
+
+
+def q_bootstrap_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-replicate Poisson bootstrap of MSE/MAE for the deterministic
+    "model" pred = quantity*1500 against label = extendedprice."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rk"),
+        (F.col("l_quantity") * 1500.0).alias("pred"),
+        F.col("l_extendedprice").alias("label"),
+    )
+    return poisson_bootstrap_metrics(
+        li, key_col="rk", prediction_col="pred", label_col="label",
+        nb_bootstrap=10,
+    )
+
+
+SQL_BOOTSTRAP_METRICS = poisson_bootstrap_metrics_sql(
+    "(SELECT l_orderkey * 8 + l_linenumber AS rk, "
+    "l_quantity * 1500.0 AS pred, l_extendedprice AS label FROM lineitem)",
+    key_expr="rk",
+    prediction_expr="pred",
+    label_expr="label",
+    nb_bootstrap=10,
+)
+
+
 # ==========================================================================
 # Extension queries (BASELINE.json north-star): text analysis, dedup,
 # similarity search, multimodal plumbing.
@@ -616,6 +651,7 @@ QUERIES = {
     "events_long": q_events_long,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
+    "bootstrap_metrics": q_bootstrap_metrics,
     # extensions
     "text_stats": q_text_stats,
     "doc_fingerprint": q_doc_fingerprint,
@@ -640,6 +676,7 @@ ORACLE_SQL = {
     "events_long": SQL_EVENTS_LONG,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_revenue": SQL_SEGMENT_REVENUE,
+    "bootstrap_metrics": SQL_BOOTSTRAP_METRICS,
     # extensions
     "text_stats": SQL_TEXT_STATS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

@@ -149,3 +149,80 @@ def test_map_in_pandas_multi_output(spark):
     out = with_map_in_pandas_inference(df, None, infer, "s double, d double")
     got = sorted((r["s"], r["d"]) for r in out.collect())
     assert got == [(3.0, -1.0), (8.0, -2.0)]
+
+
+# --- U7: preprocessing + inference (pytorch/spark_inference.py:57-105) ----
+
+
+def _double_up(x, y):
+    return (x * 2.0, y)
+
+
+def _sum_pre(model, items):
+    return pd.Series([a + b for a, b in items])
+
+
+def test_preprocessing_inference_golden(spark):
+    from ml_hadoop_experiment_spark.operators.inference import (
+        with_inference_column_and_preprocessing,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, 30.0)], "f1 double, f2 double"
+    )
+    out = with_inference_column_and_preprocessing(
+        df, None, ["f1", "f2"], _double_up, _sum_pre,
+        output_type="double", batch_size=2, num_workers_preprocessing=2,
+        output_col="score",
+    )
+    got = sorted(r["score"] for r in out.collect())
+    assert got == [12.0, 24.0, 36.0]
+
+
+def _flaky_infer(model, items, _state={"n": 0}):
+    _state["n"] += 1
+    if _state["n"] < 3:
+        raise RuntimeError("transient")
+    return pd.Series([a + b for a, b in items])
+
+
+def test_preprocessing_inference_retries_honor_max_retry(spark):
+    from ml_hadoop_experiment_spark.operators.inference import (
+        with_inference_column_and_preprocessing,
+    )
+
+    df = spark.createDataFrame([(1.0, 2.0)], "f1 double, f2 double").coalesce(1)
+    out = with_inference_column_and_preprocessing(
+        df, None, ["f1", "f2"], _double_up, _flaky_infer,
+        output_type="double", max_retry=3,
+    )
+    assert [r["prediction"] for r in out.collect()] == [4.0]
+
+
+def test_preprocessing_inference_raises_after_retries(spark):
+    from ml_hadoop_experiment_spark.operators.inference import (
+        with_inference_column_and_preprocessing,
+    )
+
+    def always_fail(model, items):
+        raise RuntimeError("permanent")
+
+    df = spark.createDataFrame([(1.0, 2.0)], "f1 double, f2 double").coalesce(1)
+    out = with_inference_column_and_preprocessing(
+        df, None, ["f1", "f2"], _double_up, always_fail,
+        output_type="double", max_retry=2,
+    )
+    with pytest.raises(Exception, match="permanent"):
+        out.collect()
+
+
+def test_preprocessing_inference_validates_args(spark):
+    from ml_hadoop_experiment_spark.operators.inference import (
+        with_inference_column_and_preprocessing,
+    )
+
+    df = spark.createDataFrame([(1.0, 2.0)], "f1 double, f2 double")
+    with pytest.raises(ValueError, match="max_retry"):
+        with_inference_column_and_preprocessing(
+            df, None, ["f1"], _double_up, _sum_pre, max_retry=0
+        )
