@@ -37,7 +37,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DataType
 
-from ml_hadoop_experiment_spark.common.artifacts import broadcast, from_broadcasted
+from ml_hadoop_experiment_spark.common.artifacts import (
+    SerializableObj,
+    broadcast,
+    from_broadcasted,
+)
 from ml_hadoop_experiment_spark.common.batching import split_in_batches
 
 #: fn(artifacts, (series, ...)) -> pd.Series | list | np.ndarray
@@ -123,7 +127,12 @@ def with_sklearn_inference_column(
     """
     if df is None or not isinstance(df, DataFrame):
         raise ValueError("Missing or invalid dataframe.")
-    if model is None or getattr(model, "predict_proba", None) is None:
+    probe = model
+    if isinstance(model, SerializableObj):
+        # artifact wrapper: the driver-side eagerly-loaded object backs the
+        # validation; workers still resolve lazily via the broadcast
+        probe = from_broadcasted(model.broadcasted)
+    if probe is None or getattr(probe, "predict_proba", None) is None:
         raise ValueError("Missing or invalid model.")
 
     columns = list(df.columns)
@@ -213,6 +222,47 @@ def with_inference_column_and_preprocessing(
     udf = F.pandas_udf(_udf, returnType=output_type).asNondeterministic()
     cols = [F.col(c) if isinstance(c, str) else c for c in input_cols]
     return df.withColumn(output_col, udf(*cols))
+
+
+def with_serialized_example_inference(
+    df: DataFrame,
+    example_col: str,
+    artifacts: Any,
+    specs: Any,
+    inference_fn: InferenceFn,
+    output_type: Union[DataType, str] = "float",
+    output_col: str = "prediction",
+    batch_size: int = 1024,
+) -> DataFrame:
+    """Inference over a column of serialized ``tf.train.Example`` bytes.
+
+    Parity: the reference's ``with_inference_column`` for serialized
+    TFRecords (tensorflow/dataframe_prediction_helper.py:153-186) feeds the
+    raw strings to a TF serving signature. The engine decodes them with its
+    TF-free protobuf codec (sources/tfrecords.py) against ``specs`` and
+    hands the inference fn a pandas DataFrame batch — same dataflow, no TF
+    import; a real saved-model signature plugs in as ``inference_fn``.
+    """
+    from ml_hadoop_experiment_spark.sources.tfrecords import parse_example_bytes
+
+    spark = df.sparkSession
+    broadcasted = broadcast(spark, artifacts)
+
+    def _udf(raw: pd.Series) -> pd.Series:
+        resolved = from_broadcasted(broadcasted)
+        outs: List[pd.Series] = []
+        for (batch,) in split_in_batches((raw,), batch_size):
+            rows = [parse_example_bytes(bytes(b), specs) for b in batch]
+            pdf = pd.DataFrame(rows)
+            features = tuple(pdf[name] for name in specs)
+            result = inference_fn(resolved, features)
+            if not isinstance(result, pd.Series):
+                result = pd.Series(list(result))
+            outs.append(result)
+        return pd.concat(outs, ignore_index=True) if outs else pd.Series([], dtype=object)
+
+    udf = F.pandas_udf(_udf, returnType=output_type).asNondeterministic()
+    return df.withColumn(output_col, udf(F.col(example_col)))
 
 
 def with_map_in_pandas_inference(
