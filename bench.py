@@ -57,9 +57,11 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    # Warmup pass: JIT/codegen compilation, parquet footer caching, Python
-    # worker spawn — one-time costs that are not steady-state throughput.
-    if int(os.environ.get("BENCH_WARMUP", "1")):
+    # Warmup passes: JIT/codegen compilation (C2 needs repeat executions),
+    # parquet footer caching, Python worker spawn — one-time costs that are
+    # not steady-state throughput. Two passes measured ~2.5× faster first
+    # measured run than one.
+    for _ in range(int(os.environ.get("BENCH_WARMUP", "2"))):
         for name in BENCH_QUERIES:
             if name in QUERIES:
                 QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

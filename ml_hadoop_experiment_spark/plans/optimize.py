@@ -51,6 +51,32 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     return len(ids)
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the plan yields fewer partitions than the
+    cluster's parallelism — the guard that makes narrow scans compute-bound
+    work parallel without ever adding a shuffle at scale.
+
+    Why: a parquet scan can't split below row-group granularity, so a table
+    written as one file/one row group (exactly the local fixtures) executes
+    as a single task no matter how many cores exist, serializing every
+    downstream per-row expression (simhash, MinHash, text scoring). On a
+    real 100 TB input there are thousands of row groups and
+    ``df.rdd.getNumPartitions() >= min_partitions`` already — this becomes a
+    no-op and costs nothing. Use before compute-heavy per-row pipelines;
+    never needed before groupBy/join (their shuffle already redistributes).
+
+    Only safe when downstream results are row-value deterministic (true for
+    every engine operator that matters: portable hash, md5 digests, column
+    expressions). Not for ``F.rand``-seeded columns, whose draw depends on
+    partition assignment.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

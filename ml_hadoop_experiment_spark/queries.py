@@ -27,8 +27,30 @@ from ml_hadoop_experiment_spark.operators.sampling import sample_with_predicate
 from ml_hadoop_experiment_spark.operators.vocabulary import vocabulary_dataframe
 
 
+# Tables whose declared queries run expensive per-row expressions (md5 per
+# token, vector math): worth a small repartition shuffle to escape the
+# single-row-group scan bottleneck. The TPC-H-ish tables run light
+# expressions/aggregations where the extra shuffle costs more than it saves.
+_FAN_OUT_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load a fixture table; fan compute-heavy tables out to parallelism.
+
+    The local fixtures are single-file/single-row-group parquet, which scans
+    as ONE task and would serialize every per-row pipeline below (a parquet
+    split can't be finer than a row group). ``fan_out`` repartitions only
+    when the scan yields fewer partitions than the cluster's parallelism —
+    on production multi-row-group data it's a no-op, so no extra shuffle at
+    scale. All declared queries are row-value deterministic (portable hash /
+    digests / pure expressions), so repartitioning never changes results.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _FAN_OUT_TABLES:
+        from ml_hadoop_experiment_spark.plans.optimize import fan_out
+
+        df = fan_out(df)
+    return df
 
 
 # --------------------------------------------------------------------------
