@@ -18,6 +18,8 @@ Both are pure column expressions: whole-stage codegen, no Python boundary.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -119,12 +121,15 @@ def portable_string_unit_hash_sql(expr: str, salt: int = 0) -> str:
     )
 
 
-def spark_unit_hash(*cols: Column, seed: int = 42) -> Column:
+def spark_unit_hash(*cols: Column, seed: Optional[int] = None) -> Column:
     """Native fast path: Murmur3 of the key columns scaled to [0,1).
 
     Reference parity: sampling.py:15-23 — ``hash()`` is int32 uniform in
-    [-2^31, 2^31-1]; ``0.5 + h/2^32`` maps it onto [0,1). Not portable to
-    other engines; use on production clusters where only Spark-internal
-    determinism is needed.
+    [-2^31, 2^31-1]; ``0.5 + h/2^32`` maps it onto [0,1). With ``seed=None``
+    the value is bit-identical to the reference's ``0.5 + hash(cols)/2^32``;
+    a seed mixes one extra literal into the hash to decorrelate reruns. Not
+    portable to other engines; use on production clusters where only
+    Spark-internal determinism is needed.
     """
-    return F.lit(0.5) + F.hash(*cols, F.lit(seed)).cast("double") / F.lit(float(_TWO32))
+    hashed = F.hash(*cols) if seed is None else F.hash(*cols, F.lit(seed))
+    return F.lit(0.5) + hashed.cast("double") / F.lit(float(_TWO32))

@@ -48,12 +48,13 @@ def add_deterministic_sampling_col(
     df: DataFrame,
     columns_for_sample: List[str],
     portable: bool = False,
-    seed: int = 42,
+    seed: Optional[int] = None,
 ) -> Tuple[str, DataFrame]:
     """Deterministic [0,1) sampling column from a hash of key columns.
 
     ``portable=False``: Murmur3 scaled to [0,1) exactly like the reference
-    (sampling.py:18-22) — fast JVM path, Spark-only determinism.
+    (sampling.py:18-22) — fast JVM path, Spark-only determinism; with
+    ``seed=None`` the values are bit-identical to the reference's.
     ``portable=True``: multiplicative hash of the (single, integral) key
     column that evaluates identically in DuckDB — used by oracle checks.
     Rows sharing key values sample together (the reference's documented
@@ -62,7 +63,7 @@ def add_deterministic_sampling_col(
     if portable:
         if len(columns_for_sample) != 1:
             raise ValueError("portable mode requires exactly one integral key column")
-        col = portable_unit_hash(F.col(columns_for_sample[0]), salt=seed)
+        col = portable_unit_hash(F.col(columns_for_sample[0]), salt=seed or 0)
     else:
         col = spark_unit_hash(*[df[c] for c in columns_for_sample], seed=seed)
     return "sampling_hash", df.withColumn("sampling_hash", col)
@@ -103,7 +104,7 @@ def sample_with_predicate(
     if sampling_col is None:
         if columns_for_sample:
             sampling_col, df = add_deterministic_sampling_col(
-                df, columns_for_sample, portable=portable, seed=seed or 42
+                df, columns_for_sample, portable=portable, seed=seed
             )
         else:
             sampling_col, df = add_random_sampling_col(df, seed=seed)

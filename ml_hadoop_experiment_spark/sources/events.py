@@ -71,15 +71,26 @@ def _parse_event(data: bytes) -> Tuple[Optional[int], List[Tuple[str, float]]]:
     return step, metrics
 
 
-def metrics_long_frame(model_path: str) -> pd.DataFrame:
-    """First ``events.out*`` file under ``model_path`` -> long (step, name,
-    value) frame; events without simple values contribute no rows."""
+def first_event_file(model_path: str) -> str:
+    """First ``events.out*`` file under ``model_path`` (reference
+    events.py:15-21 takes the first match)."""
     candidates = sorted(glob.glob(os.path.join(model_path, "events.out*")))
     if not candidates:
         raise FileNotFoundError(f"no events.out* file under {model_path}")
+    return candidates[0]
+
+
+def iter_events(path: str) -> Iterator[Tuple[Optional[int], List[Tuple[str, float]]]]:
+    """(step, [(name, simple_value)]) per event record in one event file."""
+    for record in read_tfrecord_file(path, compression=None):
+        yield _parse_event(record)
+
+
+def metrics_long_frame(model_path: str) -> pd.DataFrame:
+    """First ``events.out*`` file under ``model_path`` -> long (step, name,
+    value) frame; events without simple values contribute no rows."""
     rows = []
-    for record in read_tfrecord_file(candidates[0], compression=None):
-        step, metrics = _parse_event(record)
+    for step, metrics in iter_events(first_event_file(model_path)):
         for name, value in metrics:
             rows.append({"step": step, "name": name, "value": value})
     return pd.DataFrame(rows, columns=["step", "name", "value"])
