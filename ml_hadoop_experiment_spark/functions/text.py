@@ -28,6 +28,23 @@ def token_count_sql(expr: str) -> str:
     return f"len(regexp_split_to_array(trim({expr}), '\\s+'))"
 
 
+#: GPT-2-style pre-tokenizer approximation: letter runs are one token,
+#: digits tokenize individually (BPE splits numbers), every other
+#: non-space character stands alone. Counting these matches estimates the
+#: subword token count without a merges table — a deterministic, portable
+#: upper bound used for sequence-length budgeting.
+_BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count estimate (regex pre-tokenization, no merges)."""
+    return F.size(F.regexp_extract_all(col, F.lit(_BPE_ISH_PATTERN), F.lit(0)))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{_BPE_ISH_PATTERN}'))"
+
+
 def word_chars(col: Column) -> Column:
     """Count of alphabetic characters."""
     return F.length(F.regexp_replace(col, "[^A-Za-z]", ""))

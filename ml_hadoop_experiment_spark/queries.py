@@ -400,6 +400,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         TX.quality_score(F.col("text")).alias("quality"),
         TX.lang_id(F.col("text")).alias("lang_pred"),
     )
@@ -408,6 +409,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_STATS = f"""
 SELECT doc_id,
        {TX.token_count_sql('text')} AS n_tokens,
+       {TX.bpe_token_count_sql('text')} AS n_bpe_tokens,
        {TX.quality_score_sql('text')} AS quality,
        {TX.lang_id_sql('text')} AS lang_pred
 FROM documents
@@ -662,6 +664,42 @@ WHERE round({_PAIR_DOT_NORMED}, 6) >= 0.3
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (applyInPandasWithState) driven to
+    completion: the documents table streamed as micro-batches through
+    ``streaming.stateful.stateful_dedup`` on ``doc_id``, emitting each key
+    exactly once. With unique fixture doc_ids the result set equals
+    SELECT doc_id FROM documents — which makes a real streaming operator
+    fully oracle-checkable."""
+    import uuid
+
+    from ml_hadoop_experiment_spark.streaming.stateful import stateful_dedup
+
+    stream = (
+        spark.readStream.schema("doc_id bigint")
+        # the file source needs a directory; glob-filter to the one table
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id")
+    )
+    out = stateful_dedup(stream, ["doc_id"])
+    sink = f"streaming_dedup_{uuid.uuid4().hex}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+SQL_STREAMING_DEDUP = """
+SELECT doc_id FROM documents
+"""
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -685,6 +723,7 @@ QUERIES = {
     "lsh_buckets": q_lsh_buckets,
     "multimodal_meta": q_multimodal_meta,
     "embedding_near_dup": q_embedding_near_dup,
+    "streaming_dedup": q_streaming_dedup,
 }
 
 ORACLE_SQL = {
@@ -710,4 +749,5 @@ ORACLE_SQL = {
     "lsh_buckets": SQL_LSH_BUCKETS,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "streaming_dedup": SQL_STREAMING_DEDUP,
 }
