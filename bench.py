@@ -45,6 +45,31 @@ BENCH_QUERIES = [
 ]
 
 
+def _bench_shuffle_sink(spark) -> None:
+    """BASELINE.md bench item 4 — seeded global shuffle + spec-projected
+    TFRecord sink of orders (R4/S2), written to a throwaway dir."""
+    import shutil
+    import tempfile
+
+    from ml_hadoop_experiment_spark.schema.feature_spec import FixedLenFeature
+    from ml_hadoop_experiment_spark.sources.tfrecords import write_tfrecords
+
+    specs = {
+        "o_orderkey": FixedLenFeature([], "int64", default_value=0),
+        "o_custkey": FixedLenFeature([], "int64", default_value=0),
+        "o_totalprice": FixedLenFeature([], "float32", default_value=0.0),
+    }
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = tempfile.mkdtemp(prefix="bench_tfr_")
+    try:
+        write_tfrecords(orders, specs, out, shuffle_seed=42)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+EXTRA_BENCHES = {"tfrecord_sink": _bench_shuffle_sink}
+
+
 def main() -> None:
     spark = get_session(
         app_name="mlhe-bench",
@@ -65,6 +90,8 @@ def main() -> None:
         for name in BENCH_QUERIES:
             if name in QUERIES:
                 QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        for fn in EXTRA_BENCHES.values():
+            fn(spark)
 
     per_query: dict[str, float] = {}
     totals: list[float] = []
@@ -77,6 +104,12 @@ def main() -> None:
             # noop sink: every row and column is fully computed and consumed
             # by executors (count() would let Catalyst prune computed cols)
             QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            per_query[name] = min(per_query.get(name, float("inf")), dt)
+            total += dt
+        for name, fn in EXTRA_BENCHES.items():
+            t0 = time.perf_counter()
+            fn(spark)
             dt = time.perf_counter() - t0
             per_query[name] = min(per_query.get(name, float("inf")), dt)
             total += dt
