@@ -34,6 +34,25 @@ from ml_hadoop_experiment_spark.operators.vocabulary import vocabulary_dataframe
 _FAN_OUT_TABLES = {"documents", "embeddings"}
 
 
+# Runtime-settable engine defaults a driver-provided session may lack.
+# Without nanosAsLong the events table (TIMESTAMP(NANOS) parquet) fails to
+# read at all; UTC + Arrow keep results/latency identical to get_session().
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # static/unknown conf in this build — best effort
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a fixture table; fan compute-heavy tables out to parallelism.
 
@@ -45,6 +64,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scale. All declared queries are row-value deterministic (portable hash /
     digests / pure expressions), so repartitioning never changes results.
     """
+    _ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in _FAN_OUT_TABLES:
         from ml_hadoop_experiment_spark.plans.optimize import fan_out
