@@ -174,3 +174,72 @@ def cosine_near_dup_pairs(
         return pd.concat(parts, ignore_index=True) if parts else empty
 
     return with_bucket.groupBy("bucket").applyInPandas(_score_bucket, out_schema)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the data-adaptive scale path.
+# --------------------------------------------------------------------------
+
+
+def ivf_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple[DataFrame, List[List[float]]]:
+    """KMeans inverted-file index: (assigned lists, centroid vectors).
+
+    Data-adaptive complement to the random-hyperplane LSH path: centroids
+    follow the embedding distribution, so list sizes stay balanced where
+    hyperplane buckets skew. Training runs MLlib KMeans (driver coordinates
+    Lloyd iterations; assignment and sufficient statistics are computed on
+    executors — nothing but k centroids ever sits on the driver). The
+    returned ``assigned`` frame (id, vec, list_id) is the index; persist or
+    write it partitioned by ``list_id`` so probes prune at the source.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=num_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    assigned = model.transform(feats).select(
+        "id", "vec", F.col("prediction").alias("list_id")
+    )
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centers: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` centroid lists nearest to
+    the query, exact cosine within them.
+
+    Centroid ranking is trivial driver math over k vectors; the scan then
+    touches only ~nprobe/num_centroids of the corpus (partition pruning
+    when the index is written partitioned by list_id). Recall rises with
+    ``nprobe``; ``nprobe=len(centers)`` degrades to exact brute force.
+    """
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=float)
+    dists = [float(np.linalg.norm(np.asarray(c, dtype=float) - q)) for c in centers]
+    probes = [int(i) for i in np.argsort(dists, kind="stable")[:nprobe]]
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    score = F.round(cosine_similarity_expr(F.col("vec"), qcol), 6)
+    return (
+        assigned.where(F.col("list_id").isin(probes))
+        .select("id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )

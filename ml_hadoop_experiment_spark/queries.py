@@ -684,6 +684,23 @@ WHERE round({_PAIR_DOT_NORMED}, 6) >= 0.3
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans inverted-file index, probe the 4 nearest of 8
+    centroid lists for the vec_id=0 query. Iterative KMeans is not
+    SQL-expressible, so this query has no DuckDB oracle (driver records the
+    rows-only check); tests/test_similarity.py asserts recall against the
+    exact brute-force top-k instead."""
+    from ml_hadoop_experiment_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query_vec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    assigned, centers = ivf_index(
+        emb, id_col="vec_id", vec_col="embedding", num_centroids=8, seed=42
+    )
+    out = ivf_topk(assigned, centers, query_vec, k=20, nprobe=4)
+    return out.withColumnRenamed("id", "vec_id")
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (applyInPandasWithState) driven to
     completion: the documents table streamed as micro-batches through
@@ -743,8 +760,14 @@ QUERIES = {
     "lsh_buckets": q_lsh_buckets,
     "multimodal_meta": q_multimodal_meta,
     "embedding_near_dup": q_embedding_near_dup,
+    "ivf_topk": q_ivf_topk,
     "streaming_dedup": q_streaming_dedup,
 }
+
+#: queries with no DuckDB oracle (genuinely non-SQL-expressible: iterative
+#: KMeans). The driver records a rows-only check for these; everything else
+#: is hash-checked.
+NO_ORACLE = {"ivf_topk"}
 
 ORACLE_SQL = {
     "udf_linear_score": SQL_UDF_LINEAR_SCORE,

@@ -66,3 +66,39 @@ def test_plane_vectors_deterministic():
     flat = [v for plane in a for v in plane]
     assert all(-0.5 <= v < 0.5 for v in flat)
     assert len(set(flat)) > 20  # not degenerate
+
+
+def test_ivf_topk_recall_against_brute_force(spark):
+    """IVF with full probe = exact; with partial probe, recall@10 vs the
+    brute-force top-10 on real embeddings must stay high."""
+    from ml_hadoop_experiment_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = emb.where(F.col("vec_id") == 0).head()["embedding"]
+
+    exact = [r["id"] for r in cosine_topk(
+        emb, query, id_col="vec_id", vec_col="embedding", k=10).collect()]
+
+    assigned, centers = ivf_index(emb, num_centroids=4, seed=42)
+    # full probe degenerates to exact brute force
+    full = [r["id"] for r in ivf_topk(assigned, centers, query, k=10,
+                                      nprobe=len(centers)).collect()]
+    assert full == exact
+
+    # partial probe: the query's own list is probed first, so the query
+    # vector itself and most true neighbors are found
+    approx = [r["id"] for r in ivf_topk(assigned, centers, query, k=10,
+                                        nprobe=2).collect()]
+    recall = len(set(approx) & set(exact)) / 10
+    assert approx[0] == exact[0] == 0  # vec_id 0 most similar to itself
+    assert recall >= 0.5, f"recall@10 {recall}"
+
+
+def test_ivf_lists_partition_all_rows(spark):
+    from ml_hadoop_experiment_spark.operators.similarity import ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, centers = ivf_index(emb, num_centroids=4, seed=42)
+    assert assigned.count() == emb.count()
+    lists = {r["list_id"] for r in assigned.select("list_id").distinct().collect()}
+    assert lists <= set(range(4)) and len(lists) > 1
