@@ -139,3 +139,114 @@ def sample_media_frames(
     return df.select(
         F.col(id_col).alias("id"), F.explode(offsets).alias("frame_offset_s")
     )
+
+
+RESIZED_SCHEMA = "id bigint, content binary, width int, height int, decoder string"
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "id",
+    content_col: str = "content",
+    batch_size: int = 256,
+) -> DataFrame:
+    """Resize image payloads -> (id, content, width, height, decoder).
+
+    Real resize through PIL when available (PNG-re-encoded output). Without
+    an image library the payload CANNOT be meaningfully transformed, so the
+    STUB path emits ``content=NULL, decoder='unavailable'`` instead of
+    fabricating pixels — downstream filters on ``decoder`` keep pipelines
+    honest. Plumbing (schema, Arrow batching, memory bounds) is identical
+    in both paths and covered by tests.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil = _try_pil()
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                rows = []
+                for rid, payload in zip(chunk[id_col], chunk[content_col]):
+                    payload = bytes(payload) if payload is not None else b""
+                    if pil is not None:
+                        import io
+
+                        try:
+                            with pil.open(io.BytesIO(payload)) as img:
+                                resized = img.resize((width, height))
+                                buf = io.BytesIO()
+                                resized.save(buf, format="PNG")
+                                rows.append((rid, buf.getvalue(), width, height, "pil"))
+                                continue
+                        except Exception:
+                            pass
+                    # STUB: no codec — no fabricated pixels
+                    rows.append((rid, None, width, height, "unavailable"))
+                yield pd.DataFrame(
+                    rows, columns=["id", "content", "width", "height", "decoder"]
+                )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
+    ).mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def _fake_audio_features(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic fake decode: pseudo sample-rate/length from byte
+    length, 'rms' from byte values centered at 128."""
+    n = len(payload)
+    sample_rate = 16000
+    n_samples = n // 2  # as if 16-bit PCM
+    if n:
+        acc = sum((b - 128.0) ** 2 for b in payload) / n
+        rms = round((acc**0.5) / 128.0, 6)
+    else:
+        rms = 0.0
+    return sample_rate, n_samples, rms
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "id",
+    content_col: str = "content",
+    batch_size: int = 256,
+) -> DataFrame:
+    """Decode audio -> (id, byte_length, sample_rate, n_samples, rms,
+    decoder). Real decode through soundfile when available; deterministic
+    fake otherwise (decoder column records which ran)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # gated optional dependency
+            import soundfile  # type: ignore
+        except Exception:
+            soundfile = None
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                rows = []
+                for rid, payload in zip(chunk[id_col], chunk[content_col]):
+                    payload = bytes(payload) if payload is not None else b""
+                    if soundfile is not None:
+                        import io
+
+                        try:
+                            data, rate = soundfile.read(io.BytesIO(payload))
+                            rms = float((data**2).mean() ** 0.5) if len(data) else 0.0
+                            rows.append(
+                                (rid, len(payload), int(rate), len(data), round(rms, 6), "soundfile")
+                            )
+                            continue
+                        except Exception:
+                            pass
+                    rate, n_samples, rms = _fake_audio_features(payload)
+                    rows.append((rid, len(payload), rate, n_samples, rms, "fake"))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["id", "byte_length", "sample_rate", "n_samples", "rms", "decoder"],
+                )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
+    ).mapInPandas(_extract, AUDIO_FEATURE_SCHEMA)

@@ -50,3 +50,32 @@ def test_frame_sampling_plan(spark):
     out = sample_media_frames(df, "id", "duration_s", every_s=1.0).collect()
     got = sorted((r["id"], r["frame_offset_s"]) for r in out)
     assert got == [(1, 0.0), (1, 1.0), (1, 2.0), (2, 0.0)]
+
+
+def test_resize_stub_path(spark):
+    from ml_hadoop_experiment_spark.operators.multimodal import resize_images
+
+    out = resize_images(_media_df(spark), 32, 32).collect()
+    assert len(out) == 50
+    # no image codec in this environment: the stub emits NULL content and
+    # records 'unavailable' — never fabricated pixels
+    assert all(r["decoder"] == "unavailable" for r in out)
+    assert all(r["content"] is None for r in out)
+    assert all((r["width"], r["height"]) == (32, 32) for r in out)
+
+
+def test_extract_audio_features_fake_path(spark):
+    from ml_hadoop_experiment_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    out = extract_audio_features(_media_df(spark)).collect()
+    assert len(out) == 50
+    assert all(r["decoder"] == "fake" for r in out)
+    assert all(r["n_samples"] == r["byte_length"] // 2 for r in out)
+    assert all(0.0 <= r["rms"] <= 1.0 for r in out)
+    # deterministic: same payload -> same features
+    again = extract_audio_features(_media_df(spark)).collect()
+    assert sorted((r["id"], r["rms"]) for r in out) == sorted(
+        (r["id"], r["rms"]) for r in again
+    )
