@@ -684,6 +684,86 @@ WHERE round({_PAIR_DOT_NORMED}, 6) >= 0.3
 """
 
 
+# --------------------------------------------------------------------------
+# Temporal extensions: hypertable rollup, as-of join, JSON props.
+# The events fixture stores TIMESTAMP(NANOS); Spark reads it as epoch-nanos
+# bigint (nanosAsLong), DuckDB as TIMESTAMP — bucket/compare via integer
+# nanos on both sides for exactness.
+# --------------------------------------------------------------------------
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly hypertable rollup: count + value sum per (bucket, type)."""
+    from ml_hadoop_experiment_spark.operators.temporal import time_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            time_bucket(F.col("ts"), 3600).alias("hour_bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT CAST(floor(epoch_ns(ts) / 3600000000000.0) AS BIGINT) AS hour_bucket,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks the user's most recent prior (or
+    simultaneous) view event's value. Engine: union+window single-shuffle
+    as-of; oracle: DuckDB's native ASOF LEFT JOIN."""
+    from ml_hadoop_experiment_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        clicks, views, on=["user_id"], left_time="ts", right_time="ts",
+        value_cols=["view_value"], suffix="",
+    )
+    return out.select("event_id", "user_id", "view_value")
+
+
+SQL_EVENTS_ASOF = """
+SELECT l.event_id, l.user_id, r.value AS view_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column (codegen'd
+    get_json_object; DuckDB twin json_extract_string)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+FROM events
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans inverted-file index, probe the 4 nearest of 8
     centroid lists for the vec_id=0 query. Iterative KMeans is not
@@ -762,6 +842,9 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_topk": q_ivf_topk,
     "streaming_dedup": q_streaming_dedup,
+    "events_rollup": q_events_rollup,
+    "events_asof": q_events_asof,
+    "json_props": q_json_props,
 }
 
 #: queries with no DuckDB oracle (genuinely non-SQL-expressible: iterative
@@ -793,4 +876,7 @@ ORACLE_SQL = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "streaming_dedup": SQL_STREAMING_DEDUP,
+    "events_rollup": SQL_EVENTS_ROLLUP,
+    "events_asof": SQL_EVENTS_ASOF,
+    "json_props": SQL_JSON_PROPS,
 }

@@ -1,0 +1,96 @@
+"""Temporal operators: as-of join goldens/semantics, bucketized range join
+vs naive inequality join, time buckets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_hadoop_experiment_spark.operators.temporal import (
+    NANOS_PER_SECOND,
+    asof_join,
+    range_join,
+    time_bucket,
+)
+
+S = NANOS_PER_SECOND
+
+
+def test_asof_join_golden(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 10 * S), (2, 1, 20 * S), (3, 1, 5 * S), (4, 2, 10 * S)],
+        "event_id bigint, k bigint, t long",
+    )
+    right = spark.createDataFrame(
+        [(1, 8 * S, 100.0), (1, 15 * S, 200.0), (2, 30 * S, 300.0)],
+        "k bigint, t long, v double",
+    )
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="t")
+    got = {r["event_id"]: r["v_asof"] for r in out.collect()}
+    assert got == {
+        1: 100.0,  # t=10: most recent right at t=8
+        2: 200.0,  # t=20: right at t=15
+        3: None,   # t=5: nothing prior
+        4: None,   # k=2: right only at t=30 (future)
+    }
+
+
+def test_asof_join_tie_includes_equal_timestamp(spark):
+    left = spark.createDataFrame([(1, 1, 10 * S)], "event_id bigint, k bigint, t long")
+    right = spark.createDataFrame([(1, 10 * S, 7.0)], "k bigint, t long, v double")
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="t").collect()
+    assert out[0]["v_asof"] == 7.0  # DuckDB ASOF semantics: >= includes ties
+
+
+def test_asof_join_picks_latest_of_several(spark):
+    left = spark.createDataFrame([(1, 1, 100 * S)], "event_id bigint, k bigint, t long")
+    right = spark.createDataFrame(
+        [(1, t * S, float(t)) for t in (1, 50, 99, 150)], "k bigint, t long, v double"
+    )
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="t").collect()
+    assert out[0]["v_asof"] == 99.0
+
+
+def test_range_join_matches_naive_inequality_join(spark):
+    """Bucketized range join must return exactly the rows of the naive
+    (BroadcastNestedLoop) inequality join, for intervals longer and shorter
+    than the bucket width and spanning bucket boundaries."""
+    events = spark.createDataFrame(
+        [(i, 1, i * 600 * S) for i in range(50)], "event_id bigint, k bigint, t long"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, 1, 0 * S, 1800 * S),          # 3 buckets at width 600
+            (11, 1, 2950 * S, 3050 * S),        # spans a boundary, short
+            (12, 1, 12000 * S, 12000 * S),      # degenerate point interval
+            (13, 2, 0 * S, 30000 * S),          # wrong key: no matches
+        ],
+        "iv_id bigint, k bigint, lo long, hi long",
+    )
+    got = range_join(
+        events, intervals, "t", "lo", "hi", on=["k"], bucket_seconds=600
+    ).select("event_id", "iv_id")
+    naive = events.join(
+        intervals,
+        (events.k == intervals.k) & (events.t >= intervals.lo) & (events.t <= intervals.hi),
+    ).select("event_id", "iv_id")
+    g = {(r["event_id"], r["iv_id"]) for r in got.collect()}
+    n = {(r["event_id"], r["iv_id"]) for r in naive.collect()}
+    assert g == n
+    assert g  # non-trivial
+
+
+def test_range_join_plans_shuffle_not_bnlj(spark):
+    events = spark.createDataFrame([(1, 1, 0)], "event_id bigint, k bigint, t long")
+    intervals = spark.createDataFrame([(1, 1, 0, 10)], "iv_id bigint, k bigint, lo long, hi long")
+    plan = range_join(
+        events, intervals, "t", "lo", "hi", on=["k"], bucket_seconds=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_time_bucket(spark):
+    df = spark.createDataFrame(
+        [(0,), (3599 * S,), (3600 * S,), (7201 * S,)], "t long"
+    )
+    got = [r["b"] for r in df.select(time_bucket(F.col("t"), 3600).alias("b")).collect()]
+    assert got == [0, 0, 1, 2]
