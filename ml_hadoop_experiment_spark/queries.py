@@ -685,6 +685,86 @@ WHERE round({_PAIR_DOT_NORMED}, 6) >= 0.3
 
 
 # --------------------------------------------------------------------------
+# Relational breadth (free from Spark per SURVEY §2.4/§2.6 — declared so the
+# engine's window/rollup/anti-join planning is exercised and oracle-gated).
+# --------------------------------------------------------------------------
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price (window rank; ties broken by
+    partkey so results are total-ordered)."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (
+           PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC
+         ) AS rk
+  FROM part
+) WHERE rk <= 3
+"""
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets family): order counts by
+    (orderstatus, orderpriority) with subtotals and grand total."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no urgent orders (left-anti join over a filtered
+    right side — non-empty on the fixtures, so the hash check is
+    non-trivial; oracle NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # Temporal extensions: hypertable rollup, as-of join, JSON props.
 # The events fixture stores TIMESTAMP(NANOS); Spark reads it as epoch-nanos
 # bigint (nanosAsLong), DuckDB as TIMESTAMP — bucket/compare via integer
@@ -845,6 +925,9 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "events_asof": q_events_asof,
     "json_props": q_json_props,
+    "window_topk": q_window_topk,
+    "rollup_counts": q_rollup_counts,
+    "anti_join": q_anti_join,
 }
 
 #: queries with no DuckDB oracle (genuinely non-SQL-expressible: iterative
@@ -879,4 +962,7 @@ ORACLE_SQL = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_asof": SQL_EVENTS_ASOF,
     "json_props": SQL_JSON_PROPS,
+    "window_topk": SQL_WINDOW_TOPK,
+    "rollup_counts": SQL_ROLLUP_COUNTS,
+    "anti_join": SQL_ANTI_JOIN,
 }
