@@ -897,6 +897,63 @@ SELECT doc_id FROM documents
 """
 
 
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation (Structured Streaming) run
+    to completion over the events stream: hourly count + value sum per
+    event_type. Because the stream is drained with availableNow and the
+    watermark admits all fixture rows, the result equals the batch hourly
+    rollup — a real streaming window operator, fully oracle-checked.
+
+    The nanos-bigint ts becomes a real timestamp for event time; outputs
+    report the window start as an epoch-seconds bigint (portable)."""
+    import uuid
+
+    from ml_hadoop_experiment_spark.streaming.inference import (
+        windowed_event_aggregates,
+    )
+
+    _ensure_confs(spark)
+    stream = (
+        spark.readStream.schema("event_id bigint, ts bigint, user_id bigint, "
+                                "event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", (F.col("ts") / F.lit(1_000_000_000)).cast("timestamp"))
+    )
+    out = windowed_event_aggregates(
+        stream, ts_col="ts", key_col="event_type", value_col="value",
+        window="1 hour", watermark="1 hour",
+    )
+    sink = f"streaming_rollup_{uuid.uuid4().hex}"
+    # complete mode: a drained finite stream emits every window, including
+    # the final ones append mode would hold back waiting for a watermark
+    # advance that never comes after the last micro-batch
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
+SQL_STREAMING_ROLLUP = """
+SELECT CAST(floor(epoch_ns(ts) / 3600000000000.0) AS BIGINT) * 3600 AS window_start_s,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -922,6 +979,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_topk": q_ivf_topk,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_rollup": q_streaming_rollup,
     "events_rollup": q_events_rollup,
     "events_asof": q_events_asof,
     "json_props": q_json_props,
@@ -959,6 +1017,7 @@ ORACLE_SQL = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "streaming_dedup": SQL_STREAMING_DEDUP,
+    "streaming_rollup": SQL_STREAMING_ROLLUP,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_asof": SQL_EVENTS_ASOF,
     "json_props": SQL_JSON_PROPS,
