@@ -19,8 +19,44 @@ from ml_hadoop_experiment_spark.operators.bootstrap import (
     evaluate_bootstrap,
     poisson_bootstrap_metrics,
 )
+from ml_hadoop_experiment_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_near_dup_pairs,
+    tokens_frame,
+)
+from ml_hadoop_experiment_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    ivf_index,
+    ivf_topk,
+    lsh_bucketed,
+)
+from ml_hadoop_experiment_spark.operators.temporal import (
+    asof_join,
+    range_join,
+    time_bucket,
+)
 
 __all__ = [
+    "asof_join",
+    "cosine_near_dup_pairs",
+    "cosine_topk",
+    "dedup_exact",
+    "ivf_index",
+    "ivf_topk",
+    "jaccard_pairs",
+    "lsh_bucketed",
+    "minhash_dedup_pairs",
+    "minhash_signatures",
+    "range_join",
+    "simhash",
+    "simhash_near_dup_pairs",
+    "time_bucket",
+    "tokens_frame",
     "evaluate_bootstrap",
     "poisson_bootstrap_metrics",
     "with_inference_column_and_preprocessing",
