@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "window_topk",
     "rollup_counts",
     "anti_join",
+    "user_similarity",
 ]
 
 

@@ -897,6 +897,64 @@ SELECT doc_id FROM documents
 """
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral similarity: each user's event-type count vector vs user
+    0's, cosine-ranked top-10 (distributed time-series/behavior similarity
+    shape: pivot → broadcast the single query vector → codegen cosine).
+    Counts are integers so the cosine arithmetic is exact cross-engine up
+    to the final rounding."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ]
+    )
+    target = counts.where(F.col("user_id") == 0).select(
+        *[F.col(f"n_{t}").alias(f"q_{t}") for t in _EVENT_TYPES]
+    )
+    joined = counts.where(F.col("user_id") != 0).crossJoin(F.broadcast(target))
+    dot = sum(F.col(f"n_{t}") * F.col(f"q_{t}") for t in _EVENT_TYPES)
+    norm_a = F.sqrt(sum(F.col(f"n_{t}") * F.col(f"n_{t}") for t in _EVENT_TYPES))
+    norm_b = F.sqrt(sum(F.col(f"q_{t}") * F.col(f"q_{t}") for t in _EVENT_TYPES))
+    sim = F.round(dot / (norm_a * norm_b), 6)
+    return (
+        joined.select("user_id", sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+def _sim_sql() -> str:
+    n = lambda t, p: f"{p}.n_{t}"
+    counts = ",\n         ".join(
+        f"count(*) FILTER (event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
+    )
+    dot = " + ".join(f"{n(t,'a')} * {n(t,'q')}" for t in _EVENT_TYPES)
+    na = " + ".join(f"{n(t,'a')} * {n(t,'a')}" for t in _EVENT_TYPES)
+    nb = " + ".join(f"{n(t,'q')} * {n(t,'q')}" for t in _EVENT_TYPES)
+    return f"""
+WITH counts AS (
+  SELECT user_id,
+         {counts}
+  FROM events GROUP BY user_id
+),
+q AS (SELECT * FROM counts WHERE user_id = 0)
+SELECT a.user_id,
+       round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS cosine
+FROM counts a, q
+WHERE a.user_id <> 0
+ORDER BY cosine DESC, a.user_id ASC
+LIMIT 10
+"""
+
+
+SQL_USER_SIMILARITY = _sim_sql()
+
+
 def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation (Structured Streaming) run
     to completion over the events stream: hourly count + value sum per
@@ -980,6 +1038,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "streaming_dedup": q_streaming_dedup,
     "streaming_rollup": q_streaming_rollup,
+    "user_similarity": q_user_similarity,
     "events_rollup": q_events_rollup,
     "events_asof": q_events_asof,
     "json_props": q_json_props,
@@ -1018,6 +1077,7 @@ ORACLE_SQL = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "streaming_rollup": SQL_STREAMING_ROLLUP,
+    "user_similarity": SQL_USER_SIMILARITY,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_asof": SQL_EVENTS_ASOF,
     "json_props": SQL_JSON_PROPS,
