@@ -99,6 +99,29 @@ def salted_join(
     return out.drop("__salt")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) table keyed for joins.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT any Exchange — the shuffle was paid once at write time, which
+    is the right trade for fact tables joined repeatedly at 100 TB
+    (verified by ``tests/test_optimize.py``: the join plan has zero
+    exchanges). Bucket count should target HDFS-block-sized files per
+    bucket at the expected table size.
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
 def partition_sizes(df: DataFrame) -> List[Tuple[int, int]]:
     """(partition_id, row_count) — cheap skew diagnostic."""
     return [

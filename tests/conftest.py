@@ -20,12 +20,18 @@ SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
     spark = get_session(
         app_name="mlhe-spark-tests",
         master="local[4]",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "4g",
+            # bucketed-table tests saveAsTable here, not into the repo
+            "spark.sql.warehouse.dir": warehouse,
+        },
     )
     yield spark
     spark.stop()

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ml_hadoop_experiment_spark.plans.optimize import (
+    executed_plan_str,
     fan_out,
     partition_sizes,
     salted_join,
@@ -52,6 +53,36 @@ def test_partition_sizes(spark):
     sizes = partition_sizes(df)
     assert sum(n for _, n in sizes) == 100
     assert len(sizes) <= 4
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Co-bucketed tables must join with ZERO shuffles — the write-time
+    bucketing replaces the per-query exchange."""
+    from ml_hadoop_experiment_spark.plans.optimize import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(orders.select("o_orderkey", "o_totalprice"),
+                   "b_orders", "o_orderkey", buckets=8)
+    write_bucketed(lineitem.select("l_orderkey", "l_quantity"),
+                   "b_lineitem", "l_orderkey", buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at 100 TB neither side broadcasts — force the non-broadcast plan
+        # the bucketing is designed for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("b_orders")
+        b = spark.table("b_lineitem")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = executed_plan_str(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and it still returns the right rows
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
 def test_codegen_span_counter(spark):
