@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Generate the plan-shape table in SCALE.md from the ACTUAL physical plans
+of every declared query: shuffle count, Python crossings, codegen spans,
+broadcasts, scan column width. Run: python tools/plan_report.py"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+from ml_hadoop_experiment_spark.common import get_session
+from ml_hadoop_experiment_spark.plans.optimize import (
+    executed_plan_str,
+    wholestage_codegen_spans,
+)
+from ml_hadoop_experiment_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+# streaming queries execute eagerly inside the callable; their batch plan
+# against the memory sink is not the streaming plan — report them separately
+STREAMING = {"streaming_dedup", "streaming_rollup"}
+
+
+def describe(plan: str) -> dict:
+    return {
+        "shuffles": len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan)),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "python": plan.count("ArrowEvalPython")
+        + plan.count("BatchEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+    }
+
+
+def main() -> None:
+    spark = get_session(
+        app_name="plan-report",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    rows = []
+    for name in sorted(QUERIES):
+        if name in STREAMING:
+            rows.append((name, "streaming (stateful; plan owned by the micro-batch engine)"))
+            continue
+        df = QUERIES[name](spark, SF_DIR)
+        plan = executed_plan_str(df)
+        d = describe(plan)
+        spans = wholestage_codegen_spans(df)
+        cell = (
+            f"{d['shuffles']} shuffle(s), {d['broadcasts']} broadcast(s), "
+            f"{d['python']} Python crossing(s), {spans} codegen span(s)"
+        )
+        if d["bnlj"]:
+            cell += f", {d['bnlj']} BNLJ (!)"
+        rows.append((name, cell))
+    print("| query | plan shape (measured at sf0.001) |")
+    print("|---|---|")
+    for name, cell in rows:
+        print(f"| {name} | {cell} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
