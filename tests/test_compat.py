@@ -326,3 +326,17 @@ def test_gated_tf_functions_raise_importerror(spark):
 
     with pytest.raises(ImportError):
         featurespec_to_input_placeholders({"x": FixedLenFeature([], "float32")})
+
+
+def test_constant_and_predictor_modules():
+    from ml_hadoop_experiment_spark.compat.tensorflow.constant import (
+        WEIGHT_COLUMN_NAME,
+    )
+    from ml_hadoop_experiment_spark.compat.tensorflow import predictor
+
+    assert WEIGHT_COLUMN_NAME == "weight"
+    # module imports without TF; using it raises the gated ImportError
+    with pytest.raises(ImportError, match="tensorflow"):
+        predictor.import_graph_def("/nonexistent.pb")
+    with pytest.raises(ImportError, match="tensorflow"):
+        predictor.Predictor.from_graph("/nonexistent.pb", ["x:0"], ["y:0"])
