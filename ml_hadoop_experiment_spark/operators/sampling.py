@@ -132,3 +132,77 @@ def sample_with_predicate(
     return df.withColumn(
         WEIGHT_COLUMN_NAME, F.when(positive_predicate, pos_w).otherwise(neg_w)
     )
+
+
+def sample_stratified_by(
+    df: DataFrame,
+    strata_col: str,
+    ratios: dict,
+    key_cols: Optional[List[str]] = None,
+    default_ratio: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """N-stratum generalization of ``sample_with_predicate``: a per-value
+    sampling ratio for ``strata_col`` (e.g. per-class rates for training
+    sets), with relative inverse re-weighting against the largest kept
+    ratio. Strata absent from ``ratios`` use ``default_ratio``.
+
+    The sampling draw is the portable deterministic hash of ``key_cols``
+    (default: the strata column plus nothing — pass row-unique keys for
+    per-row sampling) so the same rows are kept across reruns and engines.
+    Like the binary operator this is a pure expression pipeline: no
+    shuffle, no Python, fuses with the scan at any scale.
+    """
+    if not ratios:
+        raise ValueError("ratios must be a non-empty {stratum: ratio} dict")
+    key_cols = list(key_cols or [strata_col])
+    if len(key_cols) != 1:
+        raise ValueError("portable hashing requires exactly one integral key column")
+    u = portable_unit_hash(F.col(key_cols[0]), salt=seed)
+
+    ratio_expr: Column = F.lit(float(default_ratio))
+    for value, ratio in ratios.items():
+        ratio_expr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(float(ratio))
+        ).otherwise(ratio_expr)
+
+    kept = df.where(u < ratio_expr)
+    max_ratio = max([*map(float, ratios.values()), float(default_ratio)])
+    weight_col = (
+        kept[WEIGHT_COLUMN_NAME] if WEIGHT_COLUMN_NAME in kept.columns else F.lit(1.0)
+    )
+    # ratio > 0 for every surviving row (u in [0,1) < ratio implies ratio > 0)
+    return kept.withColumn(WEIGHT_COLUMN_NAME, weight_col * max_ratio / ratio_expr)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: List[str],
+    k: int,
+    order_col: str,
+) -> DataFrame:
+    """Keep the ``k`` smallest-``order_col`` rows per key — the
+    per-domain/document-cap pattern for crawl curation. For a random-but-
+    deterministic cap, pass a hash column (e.g. ``portable_unit_hash`` of a
+    row-unique id) as ``order_col``; ties beyond it break on the remaining
+    columns so the survivors are total-order deterministic.
+
+    One shuffle on the key (the window's hash partitioning); survivors
+    keep all their columns. For skewed keys the exchange carries the full
+    key group through one task — at 100 TB pre-aggregate pathological keys
+    or raise ``spark.sql.windowExec.buffer.spill.threshold``; AQE cannot
+    split a window partition.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    order = [F.col(order_col).asc()] + [
+        F.col(c).asc() for c in df.columns if c not in key_cols and c != order_col
+    ][:2]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .drop("__rank")
+    )

@@ -684,6 +684,58 @@ WHERE round({_PAIR_DOT_NORMED}, 6) >= 0.3
 """
 
 
+def q_sample_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-stratum keyed sampling: per-returnflag rates (A=0.5, N=0.1,
+    R=1.0) with relative inverse re-weighting — the per-class training-set
+    sampler generalizing the reference's binary operator."""
+    from ml_hadoop_experiment_spark.operators.sampling import sample_stratified_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = sample_stratified_by(
+        li,
+        "l_returnflag",
+        {"A": 0.5, "N": 0.1, "R": 1.0},
+        key_cols=["l_orderkey"],
+        seed=11,
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag", "weight")
+
+
+SQL_SAMPLE_BY_CLASS = f"""
+WITH h AS (
+  SELECT *, {portable_unit_hash_sql('l_orderkey', salt=11)} AS u FROM lineitem
+),
+r AS (
+  SELECT *, CASE l_returnflag WHEN 'A' THEN 0.5 WHEN 'N' THEN 0.1
+                              WHEN 'R' THEN 1.0 ELSE 1.0 END AS ratio
+  FROM h
+)
+SELECT l_orderkey, l_linenumber, l_returnflag, 1.0 * 1.0 / ratio AS weight
+FROM r WHERE u < ratio
+"""
+
+
+def q_cap_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key cap: at most 2 lineitems per order, smallest linenumber
+    first (the crawl-curation per-domain cap pattern)."""
+    from ml_hadoop_experiment_spark.operators.sampling import cap_per_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = cap_per_key(li, ["l_orderkey"], k=2, order_col="l_linenumber")
+    return out.select("l_orderkey", "l_linenumber")
+
+
+SQL_CAP_PER_KEY = """
+SELECT l_orderkey, l_linenumber FROM (
+  SELECT l_orderkey, l_linenumber,
+         row_number() OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber ASC
+         ) AS rk
+  FROM lineitem
+) WHERE rk <= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Relational breadth (free from Spark per SURVEY §2.4/§2.6 — declared so the
 # engine's window/rollup/anti-join planning is exercised and oracle-gated).
@@ -1042,6 +1094,8 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "events_asof": q_events_asof,
     "json_props": q_json_props,
+    "sample_by_class": q_sample_by_class,
+    "cap_per_key": q_cap_per_key,
     "window_topk": q_window_topk,
     "rollup_counts": q_rollup_counts,
     "anti_join": q_anti_join,
@@ -1081,6 +1135,8 @@ ORACLE_SQL = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_asof": SQL_EVENTS_ASOF,
     "json_props": SQL_JSON_PROPS,
+    "sample_by_class": SQL_SAMPLE_BY_CLASS,
+    "cap_per_key": SQL_CAP_PER_KEY,
     "window_topk": SQL_WINDOW_TOPK,
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "anti_join": SQL_ANTI_JOIN,

@@ -122,3 +122,63 @@ def test_portable_sampling_matches_duckdb(lineitem, sf_dir):
     assert len(duck) == len(spark_rows)
     for ok, h in duck:
         assert spark_rows[ok] == h  # bit-identical
+
+
+def test_sample_stratified_by_ratios_and_weights(spark):
+    from ml_hadoop_experiment_spark.operators.sampling import sample_stratified_by
+
+    df = spark.createDataFrame(
+        [(i, "A" if i % 3 == 0 else ("B" if i % 3 == 1 else "C"))
+         for i in range(3000)],
+        "id long, cls string",
+    )
+    out = sample_stratified_by(
+        df, "cls", {"A": 1.0, "B": 0.5, "C": 0.1}, key_cols=["id"], seed=3
+    )
+    rows = out.collect()
+    by_cls = {}
+    for r in rows:
+        by_cls.setdefault(r["cls"], []).append(r["weight"])
+    # class A fully kept with weight 1.0 (max ratio)
+    assert len(by_cls["A"]) == 1000 and set(by_cls["A"]) == {1.0}
+    # class B roughly halved, weight = 1.0/0.5 = 2
+    assert 350 < len(by_cls["B"]) < 650 and set(by_cls["B"]) == {2.0}
+    # class C roughly decimated, weight = 1.0/0.1 = 10
+    assert 40 < len(by_cls["C"]) < 180 and set(by_cls["C"]) == {10.0}
+    # deterministic across reruns
+    again = sample_stratified_by(
+        df, "cls", {"A": 1.0, "B": 0.5, "C": 0.1}, key_cols=["id"], seed=3
+    ).collect()
+    assert {r["id"] for r in rows} == {r["id"] for r in again}
+
+
+def test_sample_stratified_by_scales_existing_weight(spark):
+    from ml_hadoop_experiment_spark.operators.sampling import sample_stratified_by
+
+    df = spark.createDataFrame(
+        [(i, "A", 3.0) for i in range(10)], "id long, cls string, weight double"
+    )
+    out = sample_stratified_by(df, "cls", {"A": 1.0}, key_cols=["id"])
+    assert {r["weight"] for r in out.collect()} == {3.0}
+
+
+def test_cap_per_key(spark):
+    from ml_hadoop_experiment_spark.operators.sampling import cap_per_key
+
+    df = spark.createDataFrame(
+        [(k, i, f"v{k}{i}") for k in range(5) for i in range(7)],
+        "k long, seq int, payload string",
+    )
+    out = cap_per_key(df, ["k"], k=3, order_col="seq")
+    rows = out.collect()
+    assert len(rows) == 15
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["k"], []).append(r["seq"])
+    for k, seqs in per_key.items():
+        assert sorted(seqs) == [0, 1, 2]  # the 3 smallest survive
+    assert "payload" in out.columns  # all columns preserved
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cap_per_key(df, ["k"], k=0, order_col="seq")
