@@ -38,6 +38,34 @@ def time_bucket_sql(ts_expr: str, width_seconds: int) -> str:
     return f"CAST(floor(epoch_ns({ts_expr}) / {width_seconds * NANOS_PER_SECOND}.0) AS BIGINT)"
 
 
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    gap_seconds: float,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when the
+    time since the previous event exceeds ``gap_seconds``.
+
+    The classic two-window composition — ``lag`` to detect gaps, running
+    ``sum`` of the new-session flags to number them — both over the same
+    (key, time) window, so Catalyst plans ONE shuffle and one sort for the
+    whole operator. Session ids start at 0 per key. Epoch-nanos input.
+    """
+    keys = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*keys).orderBy(F.col(time_col).asc())
+    prev_t = F.lag(F.col(time_col)).over(w)
+    gap_ns = int(gap_seconds * NANOS_PER_SECOND)
+    new_session = F.when(
+        prev_t.isNull() | ((F.col(time_col) - prev_t) > gap_ns), 1
+    ).otherwise(0)
+    running = Window.partitionBy(*keys).orderBy(F.col(time_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(session_col, F.sum(new_session).over(running) - 1)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -896,6 +896,33 @@ FROM events
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream per user (30-minute
+    inactivity gap): lag + running-sum windows, one shuffle."""
+    from ml_hadoop_experiment_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, ["user_id"], "ts", gap_seconds=1800)
+    return out.select("event_id", "user_id", "session_id")
+
+
+SQL_SESSIONIZE = """
+SELECT event_id, user_id,
+       sum(new_session) OVER (
+         PARTITION BY user_id ORDER BY ts ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) - 1 AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+                OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts ASC)) > 1800000000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans inverted-file index, probe the 4 nearest of 8
     centroid lists for the vec_id=0 query. Iterative KMeans is not
@@ -1091,6 +1118,7 @@ QUERIES = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_rollup": q_streaming_rollup,
     "user_similarity": q_user_similarity,
+    "sessionize": q_sessionize,
     "events_rollup": q_events_rollup,
     "events_asof": q_events_asof,
     "json_props": q_json_props,
@@ -1132,6 +1160,7 @@ ORACLE_SQL = {
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "streaming_rollup": SQL_STREAMING_ROLLUP,
     "user_similarity": SQL_USER_SIMILARITY,
+    "sessionize": SQL_SESSIONIZE,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_asof": SQL_EVENTS_ASOF,
     "json_props": SQL_JSON_PROPS,

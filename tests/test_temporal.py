@@ -94,3 +94,27 @@ def test_time_bucket(spark):
     )
     got = [r["b"] for r in df.select(time_bucket(F.col("t"), 3600).alias("b")).collect()]
     assert got == [0, 0, 1, 2]
+
+
+def test_sessionize_golden(spark):
+    from ml_hadoop_experiment_spark.operators.temporal import sessionize
+
+    rows = [
+        # user 1: events at 0s, 10s, 2000s (gap), 2010s, 5000s (gap)
+        (1, 1, 0 * S), (2, 1, 10 * S), (3, 1, 2000 * S),
+        (4, 1, 2010 * S), (5, 1, 5000 * S),
+        # user 2: single event
+        (6, 2, 100 * S),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, t long")
+    out = sessionize(df, ["user_id"], "t", gap_seconds=600)
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 0}
+
+
+def test_sessionize_single_shuffle(spark):
+    from ml_hadoop_experiment_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame([(1, 1, 0)], "event_id bigint, user_id bigint, t long")
+    plan = sessionize(df, ["user_id"], "t", 600)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
