@@ -28,6 +28,10 @@ from ml_hadoop_experiment_spark.operators.dedup import (
     simhash_near_dup_pairs,
     tokens_frame,
 )
+from ml_hadoop_experiment_spark.operators.sketches import (
+    kmv_distinct,
+    kmv_distinct_sql,
+)
 from ml_hadoop_experiment_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
@@ -57,6 +61,8 @@ __all__ = [
     "simhash_near_dup_pairs",
     "time_bucket",
     "tokens_frame",
+    "kmv_distinct",
+    "kmv_distinct_sql",
     "evaluate_bootstrap",
     "poisson_bootstrap_metrics",
     "with_inference_column_and_preprocessing",

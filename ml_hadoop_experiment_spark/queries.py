@@ -1091,6 +1091,46 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Extension: KMV distinct-count sketch (operators/sketches.py) — an
+# oracle-checkable cardinality estimator (portable hash ⇒ the *sketch
+# estimate itself* hash-matches DuckDB), joined against the exact count so
+# the result exposes estimate vs truth side by side.
+# --------------------------------------------------------------------------
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ml_hadoop_experiment_spark.operators.sketches import kmv_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = kmv_distinct(li, ["l_returnflag"], "l_orderkey", k=256)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("distinct_exact")
+    )
+    return sk.join(exact, "l_returnflag").select(
+        "l_returnflag", "n_kept", "kth_hash", "distinct_est", "distinct_exact"
+    )
+
+
+def _sql_kmv_distinct() -> str:
+    from ml_hadoop_experiment_spark.operators.sketches import kmv_distinct_sql
+
+    kmv = kmv_distinct_sql("lineitem", ["l_returnflag"], "l_orderkey", k=256)
+    return f"""
+WITH sk AS ({kmv}),
+exact AS (
+  SELECT l_returnflag, count(DISTINCT l_orderkey) AS distinct_exact
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT sk.l_returnflag, sk.n_kept, sk.kth_hash, sk.distinct_est,
+       exact.distinct_exact
+FROM sk JOIN exact USING (l_returnflag)
+"""
+
+
+SQL_KMV_DISTINCT = _sql_kmv_distinct()
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -1127,6 +1167,7 @@ QUERIES = {
     "window_topk": q_window_topk,
     "rollup_counts": q_rollup_counts,
     "anti_join": q_anti_join,
+    "kmv_distinct": q_kmv_distinct,
 }
 
 #: queries with no DuckDB oracle (genuinely non-SQL-expressible: iterative
@@ -1169,4 +1210,5 @@ ORACLE_SQL = {
     "window_topk": SQL_WINDOW_TOPK,
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "anti_join": SQL_ANTI_JOIN,
+    "kmv_distinct": SQL_KMV_DISTINCT,
 }
