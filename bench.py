@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "rollup_counts",
     "anti_join",
     "user_similarity",
+    "kmv_distinct",
+    "quantiles",
 ]
 
 

@@ -1131,6 +1131,34 @@ FROM sk JOIN exact USING (l_returnflag)
 SQL_KMV_DISTINCT = _sql_kmv_distinct()
 
 
+# --------------------------------------------------------------------------
+# Extension: exact interpolated percentiles (sort-based aggregation — absent
+# from the reference; Spark `percentile` and DuckDB `quantile_cont` share the
+# linear-interpolation-at-(n-1)p definition, so results are bit-comparable).
+# At 100 TB the production path is approx_percentile (t-digest, one pass,
+# mergeable); this exact form is the oracle gate for it.
+# --------------------------------------------------------------------------
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.95) AS p95,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -1168,6 +1196,7 @@ QUERIES = {
     "rollup_counts": q_rollup_counts,
     "anti_join": q_anti_join,
     "kmv_distinct": q_kmv_distinct,
+    "quantiles": q_quantiles,
 }
 
 #: queries with no DuckDB oracle (genuinely non-SQL-expressible: iterative
@@ -1211,4 +1240,5 @@ ORACLE_SQL = {
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "anti_join": SQL_ANTI_JOIN,
     "kmv_distinct": SQL_KMV_DISTINCT,
+    "quantiles": SQL_QUANTILES,
 }
