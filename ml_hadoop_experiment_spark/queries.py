@@ -908,10 +908,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSIONIZE = """
 SELECT event_id, user_id,
-       sum(new_session) OVER (
+       CAST(sum(new_session) OVER (
          PARTITION BY user_id ORDER BY ts ASC
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) - 1 AS session_id
+       ) - 1 AS BIGINT) AS session_id
 FROM (
   SELECT event_id, user_id, ts,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL

@@ -48,6 +48,14 @@ def _assert_frames_match(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFr
         f"{name}: columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
     )
     s, d = _normalize(spark_pdf), _normalize(duck_pdf)
+    # The driver's value-hash serializes the numpy dtype along with the
+    # values, so a HUGEINT-vs-BIGINT (object-vs-int64) divergence fails the
+    # gate even when every value is equal (round-1 sessionize lesson).
+    for col in s.columns:
+        sk, dk = s[col].dtype.kind, d[col].dtype.kind
+        assert sk == dk or {sk, dk} <= {"i", "u"} or {sk, dk} <= {"f"}, (
+            f"{name}.{col}: dtype kind {s[col].dtype} (spark) != {d[col].dtype} (duckdb)"
+        )
     for col in s.columns:
         sv, dv = s[col].tolist(), d[col].tolist()
         for i, (a, b) in enumerate(zip(sv, dv)):
