@@ -1159,6 +1159,57 @@ GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# TFRecord sink → source roundtrip (S2-S5) as a declared oracle query: the
+# engine rendition of reference df_to_tf_record (tfrecords.py:239-268) write
+# path plus the Example-parsing source (tfrecords.py:52-97), closed into a
+# loop the driver can hash-check. Floats cross the TFRecord wire as proto
+# float (32-bit), so the oracle casts through REAL the same way.
+# --------------------------------------------------------------------------
+
+
+def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write spec-projected orders as shuffled gzip TFRecords, read them
+    back, and return the row set. Exercises the spec projection (P1), the
+    seeded global shuffle (R4), the Example proto encoder/decoder (S5), the
+    per-partition (path, count) sink contract (S2/S3), and the
+    underscore-skipping file source (S4/S6) in one oracle-checkable query.
+
+    The write is an eager side effect into a throwaway temp dir; the
+    returned DataFrame lazily re-parses those files executor-side. Row order
+    is scrambled by the shuffle, which the driver's sorted compare absorbs.
+    """
+    import tempfile
+
+    from ml_hadoop_experiment_spark.schema.feature_spec import FixedLenFeature
+    from ml_hadoop_experiment_spark.sources.tfrecords import (
+        read_tfrecords,
+        write_tfrecords,
+    )
+
+    specs = {
+        "o_orderkey": FixedLenFeature((), "int64", default_value=0),
+        "o_custkey": FixedLenFeature((), "int64", default_value=0),
+        "o_totalprice": FixedLenFeature((), "float32", default_value=0.0),
+        "o_orderpriority": FixedLenFeature((), "string", default_value=""),
+    }
+    orders = _t(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="tfr_roundtrip_")
+    write_tfrecords(orders, specs, out, shuffle_seed=7)
+    back = read_tfrecords(spark, out, specs)
+    return back.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+SQL_TFRECORD_ROUNDTRIP = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS REAL) AS o_totalprice,
+       o_orderpriority
+FROM orders
+"""
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -1197,6 +1248,7 @@ QUERIES = {
     "anti_join": q_anti_join,
     "kmv_distinct": q_kmv_distinct,
     "quantiles": q_quantiles,
+    "tfrecord_roundtrip": q_tfrecord_roundtrip,
 }
 
 #: queries with no DuckDB oracle (genuinely non-SQL-expressible: iterative
@@ -1241,4 +1293,5 @@ ORACLE_SQL = {
     "anti_join": SQL_ANTI_JOIN,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "quantiles": SQL_QUANTILES,
+    "tfrecord_roundtrip": SQL_TFRECORD_ROUNDTRIP,
 }
