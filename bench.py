@@ -77,7 +77,39 @@ def _bench_shuffle_sink(spark) -> None:
         shutil.rmtree(out, ignore_errors=True)
 
 
-EXTRA_BENCHES = {"tfrecord_sink": _bench_shuffle_sink}
+def _bench_quantiles_approx(spark) -> None:
+    """The approx-percentile production plan, timed WITHOUT its exact
+    yardstick (the declared quantiles_approx query carries the exact
+    percentile only to hash-gate the sketch's tolerance): GK summaries,
+    bounded memory per group, mergeable partials — the plan that replaces
+    exact percentile's per-group value buffering at 100 TB."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+            ).alias("ap"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("ap")[0].alias("p50"),
+            F.col("ap")[1].alias("p95"),
+            "n_rows",
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
+EXTRA_BENCHES = {
+    "tfrecord_sink": _bench_shuffle_sink,
+    "quantiles_approx": _bench_quantiles_approx,
+}
 
 
 def main() -> None:

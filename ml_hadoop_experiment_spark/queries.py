@@ -1159,6 +1159,48 @@ GROUP BY l_returnflag
 """
 
 
+def q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production percentile path, hash-gated: ``approx_percentile``
+    (Greenwald-Khanna summaries — bounded memory, mergeable partials, one
+    pass; the plan that survives 100 TB where exact ``percentile``'s
+    per-group value buffering does not) checked to be within 1% relative
+    error of the exact interpolated percentile.
+
+    The output is the exact p50/p95 (rounded, bit-comparable to DuckDB's
+    ``quantile_cont``) plus within-tolerance booleans: the oracle emits the
+    same exact values and TRUE constants, so the driver's hash gate fails
+    iff the sketch drifts out of tolerance. The exact aggregate exists here
+    only as the yardstick — ``bench.py`` times the approx-only plan
+    separately as ``quantiles_approx``."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+        ).alias("ap"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("ep"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("ep")[0], 2).alias("p50_exact"),
+        F.round(F.col("ep")[1], 2).alias("p95_exact"),
+        (F.abs(F.col("ap")[0] - F.col("ep")[0]) <= 0.01 * F.abs(F.col("ep")[0]))
+        .alias("p50_within_tol"),
+        (F.abs(F.col("ap")[1] - F.col("ep")[1]) <= 0.01 * F.abs(F.col("ep")[1]))
+        .alias("p95_within_tol"),
+    )
+
+
+SQL_QUANTILES_APPROX = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_exact,
+       TRUE AS p50_within_tol,
+       TRUE AS p95_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # TFRecord sink → source roundtrip (S2-S5) as a declared oracle query: the
 # engine rendition of reference df_to_tf_record (tfrecords.py:239-268) write
@@ -1248,6 +1290,7 @@ QUERIES = {
     "anti_join": q_anti_join,
     "kmv_distinct": q_kmv_distinct,
     "quantiles": q_quantiles,
+    "quantiles_approx": q_quantiles_approx,
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
 }
 
@@ -1293,5 +1336,6 @@ ORACLE_SQL = {
     "anti_join": SQL_ANTI_JOIN,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "quantiles": SQL_QUANTILES,
+    "quantiles_approx": SQL_QUANTILES_APPROX,
     "tfrecord_roundtrip": SQL_TFRECORD_ROUNDTRIP,
 }
