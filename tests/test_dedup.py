@@ -82,6 +82,38 @@ def test_lsh_finds_near_dups(docs):
     assert not any(4 in p for p in found)
 
 
+def test_minhash_persist_flip(docs, spark):
+    """cache_intermediates=True must not change results, must actually
+    register cached plans, and the auto-heuristic must stay off for tiny
+    inputs (measured slower at small scale) while engaging for big ones."""
+    from ml_hadoop_experiment_spark.operators import dedup as D
+
+    kw = dict(shingle_size=1, num_hashes=8, bands=4, rows_per_band=2,
+              threshold=0.5)
+    base = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+            D.minhash_dedup_pairs(docs, "doc_id", "text",
+                                  cache_intermediates=False, **kw).collect()}
+
+    spark.catalog.clearCache()
+    cached = D.minhash_dedup_pairs(
+        docs, "doc_id", "text", cache_intermediates=True, **kw)
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in cached.collect()}
+    assert got == base
+    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    spark.catalog.clearCache()
+
+    # driver-local relations have no Catalyst stats -> the unknown-size
+    # fallback must choose the safe-at-scale branch (persist)
+    assert D._estimated_input_bytes(docs) > D.AUTO_PERSIST_BYTES
+
+    # parquet scans DO have stats: the tiny fixture stays below the
+    # threshold, so the auto default skips the persist
+    pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert D._estimated_input_bytes(pq) < D.AUTO_PERSIST_BYTES
+    D.minhash_dedup_pairs(pq, "doc_id", "text", **kw).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_jaccard_values(spark):
     # A={a,b,c}, B={b,c,d} -> J = 2/4 = 0.5
     df = spark.createDataFrame([(1, "a b c"), (2, "b c d")], "id bigint, text string")
