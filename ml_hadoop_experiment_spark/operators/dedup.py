@@ -276,11 +276,22 @@ def simhash(col: Column, bits: int = 16) -> Column:
     top bit of each md5 nibble, giving up to 32 independent bits. The
     fingerprint sets bit b when the signed token-vote sum is positive:
     sum_b = 2*|{t: bit_b(t)}| - n. Pure column expression — zero shuffle.
+
+    Per-bit votes are ``ascii(char) >= 56`` filter scans over the digest
+    array: md5 hex is ``0-9a-f``, so the top-nibble-bit test is one byte
+    compare instead of an 8-way string ``isin`` (round-1 form). Measured
+    A/B at sf0.1 local[32], steady-state minimums: ascii-filter 0.70 s,
+    8-way isin 0.78-0.87 s, hex→int ``conv`` + integer aggregates 1.95 s,
+    packed-lane struct accumulators (true single pass) 0.95 s — the
+    "single pass" rewrites LOSE because aggregate/struct per-element
+    allocation outweighs a cheap byte compare, and the scan+split+md5
+    floor is ~0.26 s of that total. ``simhash_sql`` keeps the value-
+    identical nibble-compare form (the oracle only runs at toy scale).
     """
     assert 1 <= bits <= 32, "md5 hex prefix provides up to 32 nibble bits"
     tokens = F.split(F.trim(F.lower(col)), r"\s+")
     # hash each token ONCE; per-bit votes then read nibbles of the digest
-    # (md5 is ~16x the cost of a substring check)
+    # (md5 is ~16x the cost of a byte compare)
     hashes = F.transform(tokens, lambda t: F.md5(t))
     n = F.size(tokens)
     fp = F.lit(0).cast("bigint")
@@ -289,9 +300,8 @@ def simhash(col: Column, bits: int = 16) -> Column:
     # default — PySpark reads lambda arity, and a 2-arg lambda is treated as
     # an (element, index) function.
     def _bit_predicate(b: int):
-        return lambda h: F.substring(h, b + 1, 1).isin(
-            "8", "9", "a", "b", "c", "d", "e", "f"
-        )
+        # '8'=56 < '9' < 'a'-'f' — the only chars above are the set-bit ones
+        return lambda h: F.ascii(F.substring(h, b + 1, 1)) >= 56
 
     for b in range(bits):
         set_count = F.size(F.filter(hashes, _bit_predicate(b)))

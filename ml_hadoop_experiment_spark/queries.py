@@ -1179,10 +1179,13 @@ def q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ap"),
         F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("ep"),
     )
+    # the exact values pass through unrounded: Spark `percentile` and DuckDB
+    # `quantile_cont` are bit-identical, while round-to-2dp diverges on
+    # half-way doubles (observed at sf0.001)
     return agg.select(
         "l_returnflag",
-        F.round(F.col("ep")[0], 2).alias("p50_exact"),
-        F.round(F.col("ep")[1], 2).alias("p95_exact"),
+        F.col("ep")[0].alias("p50_exact"),
+        F.col("ep")[1].alias("p95_exact"),
         (F.abs(F.col("ap")[0] - F.col("ep")[0]) <= 0.01 * F.abs(F.col("ep")[0]))
         .alias("p50_within_tol"),
         (F.abs(F.col("ap")[1] - F.col("ep")[1]) <= 0.01 * F.abs(F.col("ep")[1]))
@@ -1192,8 +1195,8 @@ def q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_QUANTILES_APPROX = """
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
-       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_exact,
+       quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+       quantile_cont(l_extendedprice, 0.95) AS p95_exact,
        TRUE AS p50_within_tol,
        TRUE AS p95_within_tol
 FROM lineitem
