@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "near_dup_pairs",
     "simhash",
     "ann_topk",
+    "ivf_topk",
     "embedding_near_dup",
     # temporal + relational breadth
     "events_rollup",

@@ -215,6 +215,166 @@ def ivf_index(
     return assigned, centers
 
 
+def squared_distance_expr(vec: Column, coeffs: Sequence[float]) -> Column:
+    """Squared L2 distance to a literal centroid; left-to-right double fold
+    (same order as the DuckDB twin in ``ivf_fixed_sql``)."""
+    cent = F.array(*[F.lit(float(c)) for c in coeffs])
+    return F.aggregate(
+        F.zip_with(vec, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign_fixed(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF list assignment against FROZEN centroid literals: argmin over
+    the per-centroid squared distances, ties broken by centroid index.
+
+    Pure codegen expression (array_min over (distance, index) structs) —
+    map-only, zero shuffle, and identical semantics to the SQL twin's
+    cross-join + row_number formulation. At 100 TB the assignment runs
+    embedded in the scan; write the result partitioned by ``list_id`` so
+    probes prune at the source.
+    """
+    ranked = F.array(
+        *[
+            F.struct(
+                squared_distance_expr(F.col(vec_col), cent).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.array_min(ranked)["c"].alias("list_id"),
+    )
+
+
+def ivf_probes_fixed(
+    centroids: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    nprobe: int,
+) -> List[int]:
+    """The ``nprobe`` centroid indices nearest the query — driver math over
+    k vectors, but with the SAME left-to-right double fold as the SQL twin
+    so probe selection is bit-identical to the oracle."""
+    dists = []
+    for i, cent in enumerate(centroids):
+        acc = 0.0
+        for x, c in zip(query_vec, cent):
+            acc = acc + (float(x) - float(c)) * (float(x) - float(c))
+        dists.append((acc, i))
+    dists.sort()
+    return [i for _, i in dists[:nprobe]]
+
+
+def ivf_topk_fixed(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Frozen-centroid IVF top-k: assign lists by expression argmin, probe
+    the ``nprobe`` nearest lists, exact cosine within them. Fully
+    oracle-checkable (``ivf_fixed_sql`` is the DuckDB twin); the adaptive
+    KMeans path (``ivf_index``/``ivf_topk``) is its production complement."""
+    probes = ivf_probes_fixed(centroids, query_vec, nprobe)
+    assigned = ivf_assign_fixed(df, centroids, id_col=id_col, vec_col=vec_col)
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    score = F.round(cosine_similarity_expr(F.col("vec"), qcol), 6)
+    return (
+        assigned.where(F.col("list_id").isin(probes))
+        .select("id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def ivf_fixed_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    dim: int,
+    query_id: int,
+    k: int,
+    nprobe: int,
+) -> str:
+    """DuckDB twin of ``ivf_topk_fixed``: same centroid literals, same fold
+    order, same (distance, index) tie-breaking, same cosine rounding."""
+    values = ",\n    ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in cent))
+        for i, cent in enumerate(centroids)
+    )
+
+    def sqdist(vec_expr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim} + 1), "
+            f"i -> (CAST({vec_expr}[i] AS DOUBLE) - v[i]) * "
+            f"(CAST({vec_expr}[i] AS DOUBLE) - v[i]))), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    dot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim} + 1), "
+        f"i -> CAST(p.vec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+    norm_p = (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim} + 1), "
+        f"i -> CAST(p.vec[i] AS DOUBLE) * CAST(p.vec[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x))"
+    )
+    norm_q = (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim} + 1), "
+        f"i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x))"
+    )
+
+    return f"""
+WITH cent AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) AS t(c, v)
+),
+qv AS (
+  SELECT {vec_col} AS qvec FROM {table} WHERE {id_col} = {query_id}
+),
+probes AS (
+  SELECT c FROM cent, qv q
+  ORDER BY {sqdist('q.qvec')} ASC, c ASC
+  LIMIT {nprobe}
+),
+assigned AS (
+  SELECT e.{id_col} AS id, e.{vec_col} AS vec, cent.c,
+         row_number() OVER (
+           PARTITION BY e.{id_col}
+           ORDER BY {sqdist('e.' + vec_col)} ASC, cent.c ASC
+         ) AS rn
+  FROM {table} e, cent
+)
+SELECT p.id AS {id_col}, round({dot} / ({norm_p} * {norm_q}), 6) AS score
+FROM assigned p, qv q
+WHERE p.rn = 1 AND p.c IN (SELECT c FROM probes)
+ORDER BY score DESC, p.id ASC
+LIMIT {k}
+"""
+
+
 def ivf_topk(
     assigned: DataFrame,
     centers: Sequence[Sequence[float]],

@@ -924,20 +924,46 @@ FROM (
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: KMeans inverted-file index, probe the 4 nearest of 8
-    centroid lists for the vec_id=0 query. Iterative KMeans is not
-    SQL-expressible, so this query has no DuckDB oracle (driver records the
-    rows-only check); tests/test_similarity.py asserts recall against the
-    exact brute-force top-k instead."""
-    from ml_hadoop_experiment_spark.operators.similarity import ivf_index, ivf_topk
+    """IVF ANN with FROZEN centroids (KMeans k=8 seed=42 computed once on
+    sf0.01, embedded as literals — operators/ivf_fixture.py): list
+    assignment is an expression argmin (map-only, zero shuffle), the 4
+    nearest of 8 lists are probed for the vec_id=0 query, exact cosine
+    within them. Fully oracle-checked; the data-adaptive KMeans path
+    (ivf_index/ivf_topk) is recall-tested in tests/test_similarity.py."""
+    from ml_hadoop_experiment_spark.operators.ivf_fixture import FROZEN_CENTROIDS_8X64
+    from ml_hadoop_experiment_spark.operators.similarity import ivf_topk_fixed
 
     emb = _t(spark, sf_dir, "embeddings")
     query_vec = emb.where(F.col("vec_id") == 0).head()["embedding"]
-    assigned, centers = ivf_index(
-        emb, id_col="vec_id", vec_col="embedding", num_centroids=8, seed=42
+    out = ivf_topk_fixed(
+        emb,
+        FROZEN_CENTROIDS_8X64,
+        query_vec,
+        k=20,
+        nprobe=4,
+        id_col="vec_id",
+        vec_col="embedding",
     )
-    out = ivf_topk(assigned, centers, query_vec, k=20, nprobe=4)
     return out.withColumnRenamed("id", "vec_id")
+
+
+def _sql_ivf_topk() -> str:
+    from ml_hadoop_experiment_spark.operators.ivf_fixture import FROZEN_CENTROIDS_8X64
+    from ml_hadoop_experiment_spark.operators.similarity import ivf_fixed_sql
+
+    return ivf_fixed_sql(
+        "embeddings",
+        "vec_id",
+        "embedding",
+        FROZEN_CENTROIDS_8X64,
+        dim=64,
+        query_id=0,
+        k=20,
+        nprobe=4,
+    )
+
+
+SQL_IVF_TOPK = _sql_ivf_topk()
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,10 +1323,10 @@ QUERIES = {
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
 }
 
-#: queries with no DuckDB oracle (genuinely non-SQL-expressible: iterative
-#: KMeans). The driver records a rows-only check for these; everything else
-#: is hash-checked.
-NO_ORACLE = {"ivf_topk"}
+#: queries with no DuckDB oracle. Empty since round 2: ivf_topk gained a
+#: frozen-centroid oracle (the iterative-KMeans adaptive path stays
+#: recall-tested in tests/test_similarity.py).
+NO_ORACLE: set = set()
 
 ORACLE_SQL = {
     "udf_linear_score": SQL_UDF_LINEAR_SCORE,
@@ -1322,6 +1348,7 @@ ORACLE_SQL = {
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
     "simhash": SQL_SIMHASH,
     "ann_topk": SQL_ANN_TOPK,
+    "ivf_topk": SQL_IVF_TOPK,
     "lsh_buckets": SQL_LSH_BUCKETS,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

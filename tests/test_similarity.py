@@ -102,3 +102,44 @@ def test_ivf_lists_partition_all_rows(spark):
     assert assigned.count() == emb.count()
     lists = {r["list_id"] for r in assigned.select("list_id").distinct().collect()}
     assert lists <= set(range(4)) and len(lists) > 1
+
+
+def test_ivf_fixed_assignment_is_argmin_and_maponly(spark):
+    """Frozen-centroid assignment: every row lands on its true nearest
+    centroid (numpy cross-check), the plan has no exchange, and probe
+    selection matches the same argsort."""
+    import numpy as np
+
+    from ml_hadoop_experiment_spark.operators.ivf_fixture import FROZEN_CENTROIDS_8X64
+    from ml_hadoop_experiment_spark.operators.similarity import (
+        ivf_assign_fixed,
+        ivf_probes_fixed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned = ivf_assign_fixed(emb, FROZEN_CENTROIDS_8X64)
+    assert "Exchange" not in assigned._jdf.queryExecution().executedPlan().toString()
+
+    cents = np.asarray(FROZEN_CENTROIDS_8X64)
+    for r in assigned.collect():
+        v = np.asarray(r["vec"], dtype=np.float64)
+        want = int(((cents - v) ** 2).sum(axis=1).argmin())
+        assert r["list_id"] == want, r["id"]
+
+    q = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    probes = ivf_probes_fixed(FROZEN_CENTROIDS_8X64, q, nprobe=3)
+    dists = ((cents - np.asarray(q, dtype=np.float64)) ** 2).sum(axis=1)
+    assert probes == [int(i) for i in dists.argsort(kind="stable")[:3]]
+
+
+def test_ivf_fixed_full_probe_equals_brute_force(spark):
+    from ml_hadoop_experiment_spark.operators.ivf_fixture import FROZEN_CENTROIDS_8X64
+    from ml_hadoop_experiment_spark.operators.similarity import ivf_topk_fixed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    exact = [r["id"] for r in cosine_topk(
+        emb, q, id_col="vec_id", vec_col="embedding", k=10).collect()]
+    full = [r["id"] for r in ivf_topk_fixed(
+        emb, FROZEN_CENTROIDS_8X64, q, k=10, nprobe=8).collect()]
+    assert full == exact
