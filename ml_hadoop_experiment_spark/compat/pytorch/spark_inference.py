@@ -99,8 +99,10 @@ def with_inference_column_and_preprocessing(
     dataloader_max_retry: int = 3,
 ) -> DataFrame:
     """Reference :57-105 — row-wise preprocessing parallelized in the
-    worker (engine: thread pool instead of torch DataLoader; same ordering
-    guarantees), then batched inference with retry on RuntimeError."""
+    worker (engine: worker-process pool matching the reference's
+    ``DataLoader(num_workers=...)`` process semantics, so pure-Python
+    CPU-bound transforms actually parallelize; same ordering guarantees),
+    then batched inference with retry on RuntimeError."""
     file_id = str(uuid.uuid4())
     lock = f"/tmp/lockfile_{file_id}"
     alloc = f"/tmp/allocation_cuda_{file_id}"
@@ -130,4 +132,5 @@ def with_inference_column_and_preprocessing(
         num_threads=num_threads,
         num_workers_preprocessing=num_workers_preprocessing,
         max_retry=dataloader_max_retry,
+        preprocessing_pool="process",
     )

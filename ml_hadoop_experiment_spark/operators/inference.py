@@ -157,6 +157,28 @@ def with_sklearn_inference_column(
     )
 
 
+# --- process-pool plumbing for CPU-bound preprocessing (U7) ---------------
+# The mapped callable must be importable by pool workers, so it lives at
+# module level; the user's preprocessing fn (often a closure, which stdlib
+# pickle — used by multiprocessing — cannot serialize) is shipped as
+# cloudpickle bytes and materialized once per pool worker by the
+# initializer.
+
+_PROCESS_PREPROC_FN: Optional[Callable[..., Any]] = None
+
+
+def _init_process_preproc(pickled_fn: bytes) -> None:
+    global _PROCESS_PREPROC_FN
+    import pickle
+
+    _PROCESS_PREPROC_FN = pickle.loads(pickled_fn)
+
+
+def _call_process_preproc(row: Tuple[Any, ...]) -> Any:
+    assert _PROCESS_PREPROC_FN is not None, "pool initializer did not run"
+    return _PROCESS_PREPROC_FN(*row)
+
+
 def with_inference_column_and_preprocessing(
     df: DataFrame,
     artifacts: Any,
@@ -169,36 +191,77 @@ def with_inference_column_and_preprocessing(
     num_threads: Optional[int] = None,
     num_workers_preprocessing: int = 8,
     max_retry: int = 3,
+    preprocessing_pool: str = "thread",
 ) -> DataFrame:
     """Inference with row-wise preprocessing parallelized inside the worker.
 
     Parity: the reference's torch ``with_inference_column_and_preprocessing``
     (pytorch/spark_inference.py:57-105, 137-173) runs per-row preprocessing
-    through a ``DataLoader(num_workers=...)`` and retries the batch on
-    RuntimeError. Engine equivalent: a thread pool maps
+    through a ``DataLoader(num_workers=...)`` — separate *processes* — and
+    retries the batch on RuntimeError. Engine equivalent: a pool maps
     ``preprocessing(*row_values)`` over the Arrow batch (order-preserving),
-    then ``inference_fn(artifacts, preprocessed_list)`` scores it. The
-    retry honors ``max_retry`` — the reference hardcodes ``n_try > 3`` and
-    ignores its ``dataloader_max_retry`` argument (spark_inference.py:
+    then ``inference_fn(artifacts, preprocessed_list)`` scores it.
+
+    ``preprocessing_pool`` picks the pool kind:
+
+    - ``"thread"``: right when preprocessing releases the GIL (numpy, PIL,
+      tokenizers, I/O) — zero IPC cost.
+    - ``"process"``: matches the reference's DataLoader worker-process
+      semantics for pure-Python CPU-bound transforms, which a thread pool
+      cannot actually parallelize. The preprocessing fn crosses to pool
+      workers via cloudpickle (closures work); inputs/outputs must be
+      picklable. One pool serves every micro-batch of the task.
+
+    The retry honors ``max_retry`` — the reference hardcodes ``n_try > 3``
+    and ignores its ``dataloader_max_retry`` argument (spark_inference.py:
     176-185); that is a bug, not a behavior to keep.
     """
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
     if batch_size <= 0:
         raise ValueError(f"batch_size must be positive, got {batch_size}")
     if max_retry < 1:
         raise ValueError(f"max_retry must be >= 1, got {max_retry}")
+    if num_workers_preprocessing < 1:
+        raise ValueError(
+            f"num_workers_preprocessing must be >= 1, got {num_workers_preprocessing}"
+        )
+    if preprocessing_pool not in ("thread", "process"):
+        raise ValueError(
+            f"preprocessing_pool must be 'thread' or 'process', got {preprocessing_pool!r}"
+        )
     spark = df.sparkSession
     broadcasted = broadcast(spark, artifacts)
+    preproc_blob: Optional[bytes] = None
+    if preprocessing_pool == "process":
+        import pyspark.cloudpickle as cloudpickle
+
+        preproc_blob = cloudpickle.dumps(preprocessing)
+
+    def _make_pool():
+        if preprocessing_pool == "process":
+            return ProcessPoolExecutor(
+                max_workers=num_workers_preprocessing,
+                initializer=_init_process_preproc,
+                initargs=(preproc_blob,),
+            )
+        return ThreadPoolExecutor(max_workers=num_workers_preprocessing)
+
+    def _preprocess(pool, rows: List[Tuple[Any, ...]]) -> List[Any]:
+        if preprocessing_pool == "process":
+            # chunk to amortize IPC while keeping enough chunks to balance
+            chunksize = max(1, len(rows) // (num_workers_preprocessing * 4))
+            return list(pool.map(_call_process_preproc, rows, chunksize=chunksize))
+        return list(pool.map(lambda r: preprocessing(*r), rows))
 
     def _udf(*cols: pd.Series) -> pd.Series:
         _pin_threads(num_threads)
         resolved = from_broadcasted(broadcasted)
         outs: List[pd.Series] = []
-        with ThreadPoolExecutor(max_workers=num_workers_preprocessing) as pool:
+        with _make_pool() as pool:
             for batch in split_in_batches(cols, batch_size):
                 rows = list(zip(*[s.tolist() for s in batch]))
-                preprocessed = list(pool.map(lambda r: preprocessing(*r), rows))
+                preprocessed = _preprocess(pool, rows)
                 last_err: Optional[Exception] = None
                 for _ in range(max_retry):
                     try:

@@ -226,3 +226,75 @@ def test_preprocessing_inference_validates_args(spark):
         with_inference_column_and_preprocessing(
             df, None, ["f1"], _double_up, _sum_pre, max_retry=0
         )
+    with pytest.raises(ValueError, match="preprocessing_pool"):
+        with_inference_column_and_preprocessing(
+            df, None, ["f1"], _double_up, _sum_pre, preprocessing_pool="fiber"
+        )
+    with pytest.raises(ValueError, match="num_workers_preprocessing"):
+        with_inference_column_and_preprocessing(
+            df, None, ["f1"], _double_up, _sum_pre, num_workers_preprocessing=0
+        )
+
+
+def _pid_preproc(x, y):
+    # tiny sleep so a single fast pool worker cannot drain the whole queue
+    # before its siblings spawn — makes the >=2-distinct-pids check robust
+    import os
+    import time
+
+    time.sleep(0.005)
+    return (float(os.getpid()), x + y)
+
+
+def _pid_infer(model, items):
+    return pd.Series([pid for pid, _ in items])
+
+
+def test_preprocessing_process_pool_distributes_across_processes(spark):
+    """U7 parity with the reference's DataLoader worker *processes*
+    (pytorch/spark_inference.py:156-164): pure-Python CPU-bound
+    preprocessing must actually fan out across OS processes, not stay
+    GIL-bound in one interpreter."""
+    import os
+
+    from ml_hadoop_experiment_spark.operators.inference import (
+        with_inference_column_and_preprocessing,
+    )
+
+    rows = [(float(i), float(i)) for i in range(64)]
+    df = spark.createDataFrame(rows, "f1 double, f2 double").coalesce(1)
+    out = with_inference_column_and_preprocessing(
+        df, None, ["f1", "f2"], _pid_preproc, _pid_infer,
+        output_type="double", batch_size=64, num_workers_preprocessing=4,
+        preprocessing_pool="process", output_col="pid",
+    )
+    pids = {int(r["pid"]) for r in out.collect()}
+    assert os.getpid() not in pids  # ran outside the driver
+    assert len(pids) >= 2, f"expected >=2 pool processes, saw {pids}"
+
+
+def test_preprocessing_process_pool_closure_and_order(spark):
+    """Closures must survive the cloudpickle hop to pool workers, and the
+    output order must match row order exactly."""
+    from ml_hadoop_experiment_spark.operators.inference import (
+        with_inference_column_and_preprocessing,
+    )
+
+    offset = 100.0  # captured by the closure below
+
+    def scale(x, y):
+        return x * 2.0 + y + offset
+
+    def infer(model, items):
+        return pd.Series(items)
+
+    df = spark.createDataFrame(
+        [(float(i), float(i * 10)) for i in range(10)], "f1 double, f2 double"
+    )
+    out = with_inference_column_and_preprocessing(
+        df, None, ["f1", "f2"], scale, infer,
+        output_type="double", batch_size=4, num_workers_preprocessing=2,
+        preprocessing_pool="process", output_col="score",
+    )
+    got = {(r["f1"], r["score"]) for r in out.collect()}
+    assert got == {(float(i), i * 2.0 + i * 10 + 100.0) for i in range(10)}
