@@ -107,9 +107,23 @@ def _bench_quantiles_approx(spark) -> None:
     )
 
 
+def _bench_kmv_sketch(spark) -> None:
+    """The KMV sketch alone — the declared kmv_distinct query joins an
+    exact countDistinct next to the estimate for est-vs-truth display,
+    which doubles its cost without being part of the sketch. This entry
+    times what a 100 TB cardinality estimate actually runs."""
+    from ml_hadoop_experiment_spark.operators.sketches import kmv_distinct
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    kmv_distinct(li, ["l_returnflag"], "l_orderkey", k=256).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
 EXTRA_BENCHES = {
     "tfrecord_sink": _bench_shuffle_sink,
     "quantiles_approx": _bench_quantiles_approx,
+    "kmv_sketch": _bench_kmv_sketch,
 }
 
 

@@ -3,6 +3,8 @@ from ml_hadoop_experiment_spark.operators.sampling import (
     add_deterministic_sampling_col,
     add_random_sampling_col,
     get_filter_sampling_ratio,
+    cap_per_key,
+    sample_stratified_by,
     sample_with_predicate,
 )
 from ml_hadoop_experiment_spark.operators.vocabulary import (
@@ -35,13 +37,16 @@ from ml_hadoop_experiment_spark.operators.sketches import (
 from ml_hadoop_experiment_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
+    ivf_assign_fixed,
     ivf_index,
     ivf_topk,
+    ivf_topk_fixed,
     lsh_bucketed,
 )
 from ml_hadoop_experiment_spark.operators.temporal import (
     asof_join,
     range_join,
+    sessionize,
     time_bucket,
 )
 
@@ -50,13 +55,16 @@ __all__ = [
     "cosine_near_dup_pairs",
     "cosine_topk",
     "dedup_exact",
+    "ivf_assign_fixed",
     "ivf_index",
     "ivf_topk",
+    "ivf_topk_fixed",
     "jaccard_pairs",
     "lsh_bucketed",
     "minhash_dedup_pairs",
     "minhash_signatures",
     "range_join",
+    "sessionize",
     "simhash",
     "simhash_near_dup_pairs",
     "time_bucket",
@@ -70,6 +78,8 @@ __all__ = [
     "add_random_sampling_col",
     "add_deterministic_sampling_col",
     "get_filter_sampling_ratio",
+    "cap_per_key",
+    "sample_stratified_by",
     "sample_with_predicate",
     "build_vocabulary",
     "vocabulary_dataframe",

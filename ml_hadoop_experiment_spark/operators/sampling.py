@@ -147,17 +147,30 @@ def sample_stratified_by(
     sets), with relative inverse re-weighting against the largest kept
     ratio. Strata absent from ``ratios`` use ``default_ratio``.
 
-    The sampling draw is the portable deterministic hash of ``key_cols``
-    (default: the strata column plus nothing — pass row-unique keys for
-    per-row sampling) so the same rows are kept across reruns and engines.
-    Like the binary operator this is a pure expression pipeline: no
-    shuffle, no Python, fuses with the scan at any scale.
+    The sampling draw is the portable deterministic hash of ``key_cols``,
+    which is REQUIRED and must identify rows more finely than the strata:
+    hashing the strata column itself would give every row of a stratum the
+    same draw, keeping each class 100% or 0% instead of sampling at its
+    ratio (the round-1 advisor's all-or-nothing footgun). The hash makes
+    the kept set deterministic across reruns and engines. Like the binary
+    operator this is a pure expression pipeline: no shuffle, no Python,
+    fuses with the scan at any scale.
     """
     if not ratios:
         raise ValueError("ratios must be a non-empty {stratum: ratio} dict")
-    key_cols = list(key_cols or [strata_col])
+    if not key_cols:
+        raise ValueError(
+            "key_cols is required: pass a row-unique (or near-unique) key to "
+            "hash — without one the draw cannot vary within a stratum"
+        )
+    key_cols = list(key_cols)
     if len(key_cols) != 1:
         raise ValueError("portable hashing requires exactly one integral key column")
+    if key_cols == [strata_col]:
+        raise ValueError(
+            "key_cols must differ from strata_col: the draw would be constant "
+            "within each stratum (all-or-nothing sampling)"
+        )
     u = portable_unit_hash(F.col(key_cols[0]), salt=seed)
 
     ratio_expr: Column = F.lit(float(default_ratio))

@@ -132,14 +132,24 @@ def range_join(
 
     Each interval is exploded to the time buckets it covers; events join
     their single bucket (equi-join on key+bucket → ordinary shuffle join,
-    AQE-skewable), then the exact containment predicate filters. Choose
-    ``bucket_seconds`` near the typical interval length: replication factor
-    is ``len/bucket + 1`` per interval while preserving single-bucket event
-    lookup. Output keeps all event columns plus the interval's columns.
+    AQE-skewable) with the exact containment predicate INSIDE the join
+    condition — so ``how="left"`` genuinely preserves unmatched events with
+    NULL interval columns instead of silently degrading to inner (an event
+    matches a given interval in exactly one bucket, so no duplicates).
+    Choose ``bucket_seconds`` near the typical interval length: replication
+    factor is ``len/bucket + 1`` per interval while preserving
+    single-bucket event lookup. Output keeps all event columns plus the
+    interval's columns.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     on = list(on or [])
     width = bucket_seconds * NANOS_PER_SECOND
-    ev = events.withColumn("__bucket", time_bucket(F.col(event_time), bucket_seconds))
+    # explicit frame aliases: qualified refs stay unambiguous even when the
+    # intervals frame derives from the events frame (self-join lineage)
+    ev = events.withColumn(
+        "__bucket", time_bucket(F.col(event_time), bucket_seconds)
+    ).alias("__ev")
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
@@ -148,10 +158,15 @@ def range_join(
                 F.floor(F.col(end_col).cast("long") / F.lit(width)).cast("bigint"),
             )
         ),
+    ).alias("__iv")
+    cond = F.col("__ev.__bucket") == F.col("__iv.__bucket")
+    for k in on:
+        cond = cond & (F.col(f"__ev.{k}") == F.col(f"__iv.{k}"))
+    cond = (
+        cond
+        & (F.col(f"__ev.{event_time}").cast("long") >= F.col(f"__iv.{start_col}").cast("long"))
+        & (F.col(f"__ev.{event_time}").cast("long") <= F.col(f"__iv.{end_col}").cast("long"))
     )
-    joined = ev.join(iv, on + ["__bucket"], how)
-    contained = joined.where(
-        (F.col(event_time).cast("long") >= F.col(start_col).cast("long"))
-        & (F.col(event_time).cast("long") <= F.col(end_col).cast("long"))
-    )
-    return contained.drop("__bucket")
+    ev_cols = [F.col(f"__ev.{c}") for c in events.columns]
+    iv_cols = [F.col(f"__iv.{c}") for c in intervals.columns if c not in on]
+    return ev.join(iv, cond, how).select(*ev_cols, *iv_cols)

@@ -152,6 +152,20 @@ def test_sample_stratified_by_ratios_and_weights(spark):
     assert {r["id"] for r in rows} == {r["id"] for r in again}
 
 
+def test_sample_stratified_by_requires_real_key(spark):
+    """key_cols is mandatory and must differ from the strata column — the
+    strata-hash default sampled each class all-or-nothing (ADVICE round 1)."""
+    import pytest
+
+    from ml_hadoop_experiment_spark.operators.sampling import sample_stratified_by
+
+    df = spark.createDataFrame([(1, "A")], "id long, cls string")
+    with pytest.raises(ValueError, match="key_cols is required"):
+        sample_stratified_by(df, "cls", {"A": 0.5})
+    with pytest.raises(ValueError, match="differ from strata_col"):
+        sample_stratified_by(df, "cls", {"A": 0.5}, key_cols=["cls"])
+
+
 def test_sample_stratified_by_scales_existing_weight(spark):
     from ml_hadoop_experiment_spark.operators.sampling import sample_stratified_by
 

@@ -3,6 +3,7 @@ vs naive inequality join, time buckets."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ml_hadoop_experiment_spark.operators.temporal import (
@@ -77,6 +78,39 @@ def test_range_join_matches_naive_inequality_join(spark):
     n = {(r["event_id"], r["iv_id"]) for r in naive.collect()}
     assert g == n
     assert g  # non-trivial
+
+
+def test_range_join_left_preserves_unmatched_events(spark):
+    """how='left' must keep events outside every interval (and events whose
+    bucket matched but containment failed) with NULL interval columns —
+    the round-1 advisor found the post-join WHERE silently dropped them."""
+    events = spark.createDataFrame(
+        [(1, 1, 100 * S), (2, 1, 5000 * S), (3, 2, 100 * S)],
+        "event_id bigint, k bigint, t long",
+    )
+    intervals = spark.createDataFrame(
+        # event 2 shares bucket 0..? no: 5000s at width 600 is bucket 8;
+        # interval covers buckets 0..1 only. event 3 has no key match.
+        [(10, 1, 0 * S, 700 * S)],
+        "iv_id bigint, k bigint, lo long, hi long",
+    )
+    out = range_join(
+        events, intervals, "t", "lo", "hi", on=["k"], bucket_seconds=600, how="left"
+    )
+    got = {r["event_id"]: r["iv_id"] for r in out.collect()}
+    assert got == {1: 10, 2: None, 3: None}
+    # bucket-matched-but-not-contained: same bucket, containment fails
+    iv2 = spark.createDataFrame(
+        [(20, 1, 200 * S, 300 * S)], "iv_id bigint, k bigint, lo long, hi long"
+    )
+    out2 = range_join(
+        events, iv2, "t", "lo", "hi", on=["k"], bucket_seconds=600, how="left"
+    )
+    got2 = {r["event_id"]: r["iv_id"] for r in out2.collect()}
+    assert got2 == {1: None, 2: None, 3: None}
+
+    with pytest.raises(ValueError, match="how"):
+        range_join(events, intervals, "t", "lo", "hi", how="full")
 
 
 def test_range_join_plans_shuffle_not_bnlj(spark):
