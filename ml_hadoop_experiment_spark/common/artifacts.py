@@ -43,6 +43,12 @@ class _LazyLoadWrapper:
             self._loaded = True
         return self._obj
 
+    @property
+    def obj(self) -> Any:
+        """Reference-shaped accessor (``_SerializableObjWrapper.obj``,
+        common/spark_inference.py:32): resolves lazily instead of eagerly."""
+        return self.get()
+
     def __getstate__(self) -> bytes:
         # cloudpickle so closures/lambdas work as load_fns; Spark's broadcast
         # serializer is plain pickle and would reject them otherwise.
@@ -67,7 +73,15 @@ class SerializableObj:
     def __init__(self, spark: SparkSession, load_fn: Callable[..., Any], *args: Any):
         wrapper = _LazyLoadWrapper(load_fn, *args)
         wrapper.get()  # fail fast on the driver if the recipe is broken
+        #: driver-side handle, reference-shaped: ``model.ew.obj`` is the
+        #: loaded artifact (common/spark_inference.py:44-47)
+        self.ew = wrapper
         self.broadcasted: Broadcast = spark.sparkContext.broadcast(wrapper)
+
+    @property
+    def broadcast(self) -> Broadcast:
+        """Reference attribute name (``SerializableObj.broadcast``)."""
+        return self.broadcasted
 
     def __enter__(self) -> "SerializableObj":
         return self

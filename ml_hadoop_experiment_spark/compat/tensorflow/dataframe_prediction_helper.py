@@ -25,6 +25,22 @@ from ml_hadoop_experiment_spark.schema.feature_spec import (
 
 artifact_type = Any
 inference_udf = Callable[..., pd.Series]
+postprocessing_fn_type = Callable[[Any], Any]
+
+_default_signature = "serving_default"
+
+
+def _canned_linear_classifier_extract_prediction_fn(
+    fetch_tensors: Dict[str, Any],
+) -> List[float]:
+    """Reference :38-53 — positive-class probabilities from a canned
+    LinearClassifier's ``scores`` output."""
+    return [float(s[1]) for s in fetch_tensors["scores"]]
+
+
+def _default_extract_fn(fetch_tensors: Dict[str, Any]) -> pd.Series:
+    """Reference :55-73 — column 1 of ``scores`` as a Series."""
+    return pd.Series(fetch_tensors["scores"][:, 1])
 
 
 def with_inference(
@@ -68,27 +84,25 @@ def keras_model(
 
 
 def graph_model(
-    sparkSession: pyspark.sql.SparkSession, model_path: str, init_tables: bool = True
+    sparkSession: pyspark.sql.SparkSession,
+    export_model_path: str,
+    feeds: Optional[List[str]],
+    fetches: Optional[List[str]],
 ) -> Any:
-    """Frozen-graph artifact (reference :91-101). Requires the tensorflow
-    extra; workers lazily import the GraphDef into a TF1 session."""
+    """Frozen-graph Predictor artifact (reference :91-101 —
+    ``SerializableObj(spark, Predictor.from_graph, path, feeds, fetches)``).
+    Requires the tensorflow extra when the artifact is materialized."""
     from ml_hadoop_experiment_spark.common.artifacts import SerializableObj
+    from ml_hadoop_experiment_spark.compat.tensorflow.predictor import Predictor
 
-    def _load(path: str, init: bool) -> Any:
-        import tensorflow as tf  # optional extra
+    return SerializableObj(
+        sparkSession, Predictor.from_graph, export_model_path, feeds, fetches
+    )
 
-        graph_def = tf.compat.v1.GraphDef()
-        with tf.io.gfile.GFile(path, "rb") as f:
-            graph_def.ParseFromString(f.read())
-        graph = tf.Graph()
-        with graph.as_default():
-            tf.import_graph_def(graph_def, name="")
-        session = tf.compat.v1.Session(graph=graph)
-        if init:
-            session.run(tf.compat.v1.tables_initializer())
-        return session
 
-    return SerializableObj(sparkSession, _load, model_path, init_tables)
+def _default_graph_postprocessing(outputs: Any) -> pd.Series:
+    # the reference's default (:109): first column of the 'score' output
+    return pd.Series(outputs["score"][:, 0])
 
 
 def with_graph_inference_column(
@@ -96,88 +110,113 @@ def with_graph_inference_column(
     model: artifact_type,
     output_column_name: str = "prediction",
     output_column_type: DataType = FloatType(),
-    postprocessing_fn: Optional[Callable[[Any], pd.Series]] = None,
-    feed_names: Optional[List[str]] = None,
-    fetch_name: Optional[str] = None,
+    postprocessing_fn: postprocessing_fn_type = _default_graph_postprocessing,
 ) -> DataFrame:
-    """Graph-session inference column (reference :104-150).
+    """Graph-Predictor inference column (reference :104-150).
 
-    The reference derives input columns from the graph's feed tensor names
-    (:126-129); pass ``feed_names``/``fetch_name`` explicitly when the graph
-    has no canonical signature. Requires the tensorflow extra at execution
-    time (the session lives behind the broadcast artifact).
+    Reference-parity call shape: the input columns are DERIVED from the
+    Predictor artifact's ``feed_tensors`` (``model.ew.obj.feed_tensors``,
+    :126-129) and validated against the frame; ``postprocessing_fn``
+    defaults to the reference's score extractor. The worker-side call uses
+    the Predictor's dict form (session.run over resolved feed/fetch
+    tensors) rather than rebuilding a tf.data pipeline — same batch
+    semantics, fewer moving parts.
     """
-    if feed_names is None or fetch_name is None:
-        raise ValueError(
-            "feed_names and fetch_name are required (tensor names like "
-            "'input_x:0' / 'output:0'); the engine does not guess them"
-        )
-    input_cols = [n.split(":", 1)[0] for n in feed_names]
+    feature_names = list(model.ew.obj.feed_tensors.keys())
+    for feature_name in feature_names:
+        if feature_name not in df.columns:
+            raise ValueError(f"{feature_name} not found in columns {df.columns}")
 
-    def _infer(session: Any, batch: Any) -> pd.Series:
-        feeds = {name: series.to_numpy() for name, series in zip(feed_names, batch)}
-        fetched = session.run(fetch_name, feed_dict=feeds)
-        result = pd.Series(list(fetched))
-        return postprocessing_fn(result) if postprocessing_fn else result
+    def _inference_fn(predictor: Any, series: Any) -> pd.Series:
+        batch_size = series[0].size
+        inputs = {}
+        for feature_name, serie in zip(feature_names, series):
+            values = serie.to_numpy()
+            if values.dtype != object and getattr(values[0], "shape", ()) == ():
+                # scalar features feed as (batch, 1), as the reference does
+                values = values.reshape(batch_size, 1)
+            elif values.dtype == object:
+                values = [
+                    e.tolist() if hasattr(e, "tolist") else e for e in values
+                ]
+            inputs[feature_name] = values
+        outputs = predictor.predict(inputs)
+        return postprocessing_fn(outputs)
 
-    return _inf.with_inference_column(
-        df,
-        model,
-        input_cols,
-        _infer,
-        output_type=output_column_type,
-        output_col=output_column_name,
+    return with_inference(
+        df, model, _inference_fn, feature_names, output_column_type, output_column_name
     )
 
 
 def with_inference_column(
     df: DataFrame,
-    tfrecords_col: str,
+    tfrecords_col: Union[Column, str],
     model: artifact_type,
-    features_specs: Dict[str, Any],
-    inference_fn: inference_udf,
-    output_column_type: DataType = FloatType(),
     output_column_name: str = "prediction",
-    batch_size: int = 1024,
+    feed_tensor_key: str = "inputs",
+    postprocessing_fn: postprocessing_fn_type = _default_extract_fn,
 ) -> DataFrame:
-    """Serialized-Example inference column (reference :153-186).
-
-    The reference feeds raw serialized strings to a TF serving signature;
-    here the engine decodes them with its TF-free codec against
-    ``features_specs`` and hands ``inference_fn`` the decoded batch — plug
-    a real signature call into ``inference_fn`` when TF is installed.
+    """Serialized-Example (Estimator serving-signature) inference column —
+    reference :153-186, exact call shape: the raw serialized strings feed
+    the model's default serving signature under ``feed_tensor_key``;
+    ``postprocessing_fn`` extracts the score column. Requires the
+    tensorflow extra on workers (the SavedModel signature runs there); a
+    model artifact resolving to a plain callable is accepted as the
+    TF-free testing seam (it receives the list of serialized bytes). For
+    decode-then-infer without TF, use the engine-native
+    ``operators.inference.with_serialized_example_inference``.
     """
-    return _inf.with_serialized_example_inference(
-        df,
-        tfrecords_col,
-        model,
-        to_engine_specs(features_specs),
-        inference_fn,
-        output_type=output_column_type,
-        output_col=output_column_name,
-        batch_size=batch_size,
+
+    def _inference_fn(resolved: Any, series: Any) -> pd.Series:
+        try:
+            import tensorflow as tf  # optional extra
+
+            signatures = getattr(resolved, "signatures", None)
+            if signatures is not None:
+                outputs = signatures[_default_signature](
+                    **{feed_tensor_key: tf.constant(series[0])}
+                )
+                return postprocessing_fn(outputs)
+        except ImportError:
+            pass
+        if callable(resolved):
+            return postprocessing_fn(resolved(list(series[0])))
+        raise ValueError(
+            "model must resolve to a SavedModel with signatures (tensorflow "
+            "extra) or to a callable over the serialized batch"
+        )
+
+    return with_inference(
+        df, model, _inference_fn, [tfrecords_col], FloatType(), output_column_name
     )
 
 
 def predict_with_tfr(
     features_specs: Dict[str, Any],
     model_path: str,
-    rows: List[Dict[str, Any]],
-    postprocessing_fn: Optional[Callable[[Any], Any]] = None,
+    postprocessing_fn: postprocessing_fn_type = _canned_linear_classifier_extract_prediction_fn,
     feed_tensor_key: str = "inputs",
-) -> Any:
-    """Driver-side estimator predict over encoded Examples (reference
-    :259-282). Requires the tensorflow extra to load the SavedModel."""
+) -> Callable[[List[Dict[str, Any]]], Any]:
+    """Driver-side estimator predict over encoded Examples — reference
+    :259-282, exact call shape: loads the SavedModel eagerly and RETURNS a
+    ``predict(inputs)`` callable; each call encodes the input dicts with
+    the engine's TF-free Example codec and feeds the serialized protos to
+    the default serving signature. Requires the tensorflow extra."""
     import tensorflow as tf  # optional extra
 
     specs = to_engine_specs(features_specs)
-    model = tf.saved_model.load(model_path)
-    signature = model.signatures["serving_default"]
+    estimator = tf.saved_model.load(model_path)
+    signature = estimator.signatures[_default_signature]
 
     def _call(serialized: List[bytes]) -> Any:
         return signature(**{feed_tensor_key: tf.constant(serialized)})
 
-    return _frameworks.predict_with_examples(rows, specs, _call, postprocessing_fn)
+    def _predict(inputs: List[Dict[str, Any]]) -> Any:
+        return _frameworks.predict_with_examples(
+            inputs, specs, _call, postprocessing_fn
+        )
+
+    return _predict
 
 
 def filtered_columns(df: DataFrame, specs: Dict[str, Any]) -> List[Column]:

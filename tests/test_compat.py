@@ -272,6 +272,66 @@ def test_bootstrap_seeded_draws_match_reference_scheme():
     assert out["mse"][0] == pytest.approx(expected_mse)
 
 
+def test_bootstrap_metric_routing_never_silently_substitutes():
+    """ADVICE round 1: Keras-style metrics must route through the Keras
+    eval path (ImportError without TF), never silently fall back to
+    builtin mse/mae; unrecognized metrics on a non-Keras model raise."""
+    from ml_hadoop_experiment_spark.compat.tensorflow.keras_bootstrap_helper import (
+        evaluate_bootstrap,
+    )
+
+    df = pd.DataFrame({"x": [1.0, 2.0], "y": [2.0, 4.0]})
+    kwargs = dict(
+        nb_bootstrap=2,
+        input_transform=lambda d: d["x"].to_numpy(),
+        label_transform=lambda d: d["y"].to_numpy(),
+        seed=0,
+    )
+
+    class FakeKerasModel:
+        loss = "mse"
+        outputs = [object()]
+
+        def predict(self, X, verbose=0):
+            return np.asarray(X, dtype=float) * 2.0
+
+    class PlainModel:
+        def predict(self, X):
+            return np.asarray(X, dtype=float) * 2.0
+
+    class FakeMetricObject:  # looks like a Keras metric, is not a (name, fn) pair
+        name = "auc"
+
+    try:
+        import tensorflow  # noqa: F401
+
+        has_tf = True
+    except ImportError:
+        has_tf = False
+
+    if not has_tf:
+        # Keras model (compiled loss) must refuse rather than compute mse/mae
+        with pytest.raises(ImportError, match="tensorflow"):
+            evaluate_bootstrap(FakeKerasModel(), df, **kwargs)
+        with pytest.raises(ImportError, match="tensorflow"):
+            evaluate_bootstrap(
+                FakeKerasModel(), df, metrics=[FakeMetricObject()], **kwargs
+            )
+
+    # non-Keras model with unrecognized metrics: explicit error
+    with pytest.raises(ValueError, match="never silently substituted"):
+        evaluate_bootstrap(PlainModel(), df, metrics=[FakeMetricObject()], **kwargs)
+
+    # explicit callables still run framework-free, for Keras-shaped models too
+    out = evaluate_bootstrap(
+        FakeKerasModel(),
+        df,
+        metrics={"mse": lambda y, p, w: float(np.sum(w * (y - p) ** 2) / np.sum(w))},
+        **kwargs,
+    )
+    assert set(out) == {"mse"} and len(out["mse"]) == 2
+
+
 def test_sklearn_compat_column(spark):
     from ml_hadoop_experiment_spark.compat.sklearn.spark_inference import (
         with_inference_column,
@@ -316,6 +376,75 @@ def test_pytorch_compat_column_cpu_device(spark):
         df, None, ["a"], prep, infer2, "double", batch_size=8
     )
     assert sorted(r["prediction"] for r in out2.collect()) == [11.0, 31.0]
+
+
+class _FakeGraphPredictor:
+    """TF-free stand-in with the reference Predictor surface:
+    feed_tensors keys name the input columns; predict(dict) returns
+    fetch outputs."""
+
+    def __init__(self):
+        self.feed_tensors = {"a": object(), "b": object()}
+
+    def predict(self, inputs):
+        a = np.asarray(inputs["a"], dtype=float).reshape(-1)
+        b = np.asarray(inputs["b"], dtype=float).reshape(-1)
+        return {"score": np.stack([a + b, a - b], axis=1)}
+
+
+def test_graph_inference_column_derives_feeds_from_artifact(spark):
+    """Reference call shape (dataframe_prediction_helper.py:104-150): no
+    feed/fetch args — the input columns come from model.ew.obj.feed_tensors
+    and the default postprocessing extracts score[:, 0]."""
+    from ml_hadoop_experiment_spark.common.artifacts import SerializableObj
+    from ml_hadoop_experiment_spark.compat.tensorflow.dataframe_prediction_helper import (
+        with_graph_inference_column,
+    )
+
+    model = SerializableObj(spark, _FakeGraphPredictor)
+    df = spark.createDataFrame([(1.0, 2.0), (5.0, 3.0)], "a double, b double")
+    out = with_graph_inference_column(df, model)
+    got = sorted(r["prediction"] for r in out.collect())
+    assert got == [3.0, 8.0]
+
+    df_bad = spark.createDataFrame([(1.0,)], "a double")
+    with pytest.raises(ValueError, match="not found in columns"):
+        with_graph_inference_column(df_bad, model)
+
+
+def test_serialized_inference_column_reference_signature(spark):
+    """Reference positional shape (df, tfrecords_col, model) with default
+    postprocessing scores[:, 1]; the TF-free seam feeds the callable the
+    raw serialized batch."""
+    from ml_hadoop_experiment_spark.compat.tensorflow.dataframe_prediction_helper import (
+        with_inference_column,
+    )
+
+    def fake_signature(serialized):
+        # score class-1 proba = len(bytes) / 100
+        return {
+            "scores": np.array([[0.0, len(b) / 100.0] for b in serialized])
+        }
+
+    df = spark.createDataFrame([(bytearray(b"abc"),), (bytearray(b"abcdef"),)], "tfr binary")
+    out = with_inference_column(df, "tfr", fake_signature)
+    got = sorted(round(r["prediction"], 4) for r in out.collect())
+    assert got == [0.03, 0.06]
+
+
+def test_predict_with_tfr_returns_callable_or_gates_on_tf():
+    from ml_hadoop_experiment_spark.compat.tensorflow.dataframe_prediction_helper import (
+        predict_with_tfr,
+    )
+    from ml_hadoop_experiment_spark.schema.feature_spec import FixedLenFeature
+
+    try:
+        import tensorflow  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError):
+            predict_with_tfr({"x": FixedLenFeature([], "float32")}, "/nonexistent")
+    else:  # pragma: no cover - env with TF
+        pass
 
 
 def test_gated_tf_functions_raise_importerror(spark):
