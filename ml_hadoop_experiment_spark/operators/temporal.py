@@ -14,28 +14,88 @@ keeps planning them:
   inequality join plans as BroadcastNestedLoopJoin (O(n*m) and
   broadcast-bound); bucketizing converts it to an equi-join on
   (key, bucket) + exact containment filter, which shuffles and scales.
-- ``time_bucket`` — integer bucket arithmetic for rollups; evaluates
-  identically in DuckDB (the fixtures carry epoch-nanos bigints).
+- ``time_bucket`` — integer bucket arithmetic for rollups.
+
+Time-column types: every operator accepts TIMESTAMP, TIMESTAMP_NTZ, DATE,
+or an integral epoch column. Timestamps normalize to epoch-microseconds
+BIGINT via ``unix_micros`` (TIMESTAMP_NTZ is cast through TIMESTAMP — the
+engine pins the session timezone to UTC so the wall clock IS the instant);
+integral columns are interpreted as epoch-nanoseconds (the legacy fixture
+convention). When an operator compares two time columns of different
+scales, both are promoted to nanoseconds (exact: µs*1000 stays well inside
+BIGINT range until year ~2262). All bucket/gap widths are given in seconds
+and converted to the column's native scale, so results are identical
+whichever wire type the data arrives in.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DataType,
+    DateType,
+    IntegerType,
+    LongType,
+    ShortType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 NANOS_PER_SECOND = 1_000_000_000
+MICROS_PER_SECOND = 1_000_000
+
+_INTEGRAL_TYPES = (ByteType, ShortType, IntegerType, LongType)
 
 
-def time_bucket(ts: Column, width_seconds: int) -> Column:
-    """Hypertable-style bucket id from an epoch-nanos timestamp column."""
-    return F.floor(ts / F.lit(width_seconds * NANOS_PER_SECOND)).cast("bigint")
+def epoch_and_scale(col: Column, dtype: Optional[DataType]) -> Tuple[Column, int]:
+    """Normalize a time column to (BIGINT epoch, units-per-second).
+
+    TIMESTAMP / TIMESTAMP_NTZ / DATE → ``unix_micros`` (µs, exact — parquet
+    timestamps are µs native); integral (or unknown ``dtype=None``) → the
+    column as-is, interpreted as epoch-nanoseconds for backwards
+    compatibility with epoch-bigint datasets.
+    """
+    if isinstance(dtype, (TimestampType, TimestampNTZType, DateType)):
+        return F.unix_micros(col.cast("timestamp")), MICROS_PER_SECOND
+    if dtype is None or isinstance(dtype, _INTEGRAL_TYPES):
+        return col.cast("bigint"), NANOS_PER_SECOND
+    raise TypeError(
+        f"time column must be a timestamp, date, or integral epoch; got {dtype}"
+    )
+
+
+def _common_scale(
+    pairs: Sequence[Tuple[Column, int]]
+) -> Tuple[List[Column], int]:
+    """Promote (epoch, scale) pairs to one common scale (max = finest)."""
+    target = max(s for _, s in pairs)
+    return [c * F.lit(target // s) if s != target else c for c, s in pairs], target
+
+
+def time_bucket(
+    ts: Column, width_seconds: int, dtype: Optional[DataType] = None
+) -> Column:
+    """Hypertable-style integer bucket id from a time column.
+
+    ``dtype`` selects the epoch normalization (pass
+    ``df.schema["ts"].dataType``); ``None`` keeps the legacy epoch-nanos
+    BIGINT interpretation. Bucket ids are scale-invariant:
+    ``floor(epoch_us / (w*1e6)) == floor(epoch_ns / (w*1e9))`` exactly.
+    """
+    epoch, scale = epoch_and_scale(ts, dtype)
+    return F.floor(epoch / F.lit(width_seconds * scale)).cast("bigint")
 
 
 def time_bucket_sql(ts_expr: str, width_seconds: int) -> str:
-    """DuckDB twin over a TIMESTAMP column (fixtures store nanos)."""
-    return f"CAST(floor(epoch_ns({ts_expr}) / {width_seconds * NANOS_PER_SECOND}.0) AS BIGINT)"
+    """DuckDB twin over a TIMESTAMP column (µs-native, like parquet)."""
+    return (
+        f"CAST(floor(epoch_us({ts_expr}) / {width_seconds * MICROS_PER_SECOND}.0)"
+        " AS BIGINT)"
+    )
 
 
 def sessionize(
@@ -51,16 +111,18 @@ def sessionize(
     The classic two-window composition — ``lag`` to detect gaps, running
     ``sum`` of the new-session flags to number them — both over the same
     (key, time) window, so Catalyst plans ONE shuffle and one sort for the
-    whole operator. Session ids start at 0 per key. Epoch-nanos input.
+    whole operator. Session ids start at 0 per key. Accepts timestamp or
+    epoch-bigint time columns (see module docstring).
     """
     keys = [F.col(c) for c in key_cols]
-    w = Window.partitionBy(*keys).orderBy(F.col(time_col).asc())
-    prev_t = F.lag(F.col(time_col)).over(w)
-    gap_ns = int(gap_seconds * NANOS_PER_SECOND)
-    new_session = F.when(
-        prev_t.isNull() | ((F.col(time_col) - prev_t) > gap_ns), 1
-    ).otherwise(0)
-    running = Window.partitionBy(*keys).orderBy(F.col(time_col).asc()).rowsBetween(
+    epoch, scale = epoch_and_scale(
+        F.col(time_col), df.schema[time_col].dataType
+    )
+    w = Window.partitionBy(*keys).orderBy(epoch.asc())
+    prev_t = F.lag(epoch).over(w)
+    gap = int(gap_seconds * scale)
+    new_session = F.when(prev_t.isNull() | ((epoch - prev_t) > gap), 1).otherwise(0)
+    running = Window.partitionBy(*keys).orderBy(epoch.asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn(session_col, F.sum(new_session).over(running) - 1)
@@ -83,6 +145,8 @@ def asof_join(
     Plan shape: tag + unionByName + one window over (key, time) using
     ``last(..., ignorenulls=True)`` — a single hash exchange on the key and
     one sort, both streaming-friendly at scale; no broadcast, no UDF.
+    Left and right time columns may be timestamp or epoch-bigint in any
+    mix; both sides normalize to a common epoch scale before comparing.
     """
     on = list(on)
     value_cols = list(
@@ -92,14 +156,18 @@ def asof_join(
     )
     out_cols = [f"{c}{suffix}" for c in value_cols]
 
-    l_tagged = left.withColumn("__t", F.col(left_time).cast("long")).withColumn(
-        "__is_left", F.lit(1)
+    (lt, rt), _ = _common_scale(
+        [
+            epoch_and_scale(F.col(left_time), left.schema[left_time].dataType),
+            epoch_and_scale(F.col(right_time), right.schema[right_time].dataType),
+        ]
     )
+    l_tagged = left.withColumn("__t", lt).withColumn("__is_left", F.lit(1))
     for c, oc in zip(value_cols, out_cols):
         l_tagged = l_tagged.withColumn(oc, F.lit(None).cast(right.schema[c].dataType))
     r_tagged = right.select(
         *on,
-        F.col(right_time).cast("long").alias("__t"),
+        rt.alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.col(c).alias(oc) for c, oc in zip(value_cols, out_cols)],
     )
@@ -139,33 +207,50 @@ def range_join(
     Choose ``bucket_seconds`` near the typical interval length: replication
     factor is ``len/bucket + 1`` per interval while preserving
     single-bucket event lookup. Output keeps all event columns plus the
-    interval's columns.
+    interval's columns. Time columns may be timestamp or epoch-bigint in
+    any mix (normalized to a common scale).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     on = list(on or [])
-    width = bucket_seconds * NANOS_PER_SECOND
+    (et, st, en), scale = _common_scale(
+        [
+            epoch_and_scale(F.col(event_time), events.schema[event_time].dataType),
+            epoch_and_scale(F.col(start_col), intervals.schema[start_col].dataType),
+            epoch_and_scale(F.col(end_col), intervals.schema[end_col].dataType),
+        ]
+    )
+    width = bucket_seconds * scale
     # explicit frame aliases: qualified refs stay unambiguous even when the
-    # intervals frame derives from the events frame (self-join lineage)
-    ev = events.withColumn(
-        "__bucket", time_bucket(F.col(event_time), bucket_seconds)
-    ).alias("__ev")
-    iv = intervals.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_col).cast("long") / F.lit(width)).cast("bigint"),
-                F.floor(F.col(end_col).cast("long") / F.lit(width)).cast("bigint"),
-            )
-        ),
-    ).alias("__iv")
+    # intervals frame derives from the events frame (self-join lineage).
+    # epoch exprs are materialized as columns BEFORE aliasing so the join
+    # condition references plain qualified columns on the correct side.
+    ev = (
+        events.withColumn("__t_e", et)
+        .withColumn("__bucket", F.floor(F.col("__t_e") / F.lit(width)).cast("bigint"))
+        .alias("__ev")
+    )
+    iv = (
+        intervals.withColumn("__start_e", st)
+        .withColumn("__end_e", en)
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__start_e") / F.lit(width)).cast("bigint"),
+                    F.floor(F.col("__end_e") / F.lit(width)).cast("bigint"),
+                )
+            ),
+        )
+        .alias("__iv")
+    )
     cond = F.col("__ev.__bucket") == F.col("__iv.__bucket")
     for k in on:
         cond = cond & (F.col(f"__ev.{k}") == F.col(f"__iv.{k}"))
     cond = (
         cond
-        & (F.col(f"__ev.{event_time}").cast("long") >= F.col(f"__iv.{start_col}").cast("long"))
-        & (F.col(f"__ev.{event_time}").cast("long") <= F.col(f"__iv.{end_col}").cast("long"))
+        & (F.col("__ev.__t_e") >= F.col("__iv.__start_e"))
+        & (F.col("__ev.__t_e") <= F.col("__iv.__end_e"))
     )
     ev_cols = [F.col(f"__ev.{c}") for c in events.columns]
     iv_cols = [F.col(f"__iv.{c}") for c in intervals.columns if c not in on]

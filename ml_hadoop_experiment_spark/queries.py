@@ -35,10 +35,10 @@ _FAN_OUT_TABLES = {"documents", "embeddings"}
 
 
 # Runtime-settable engine defaults a driver-provided session may lack.
-# Without nanosAsLong the events table (TIMESTAMP(NANOS) parquet) fails to
-# read at all; UTC + Arrow keep results/latency identical to get_session().
+# UTC pins TIMESTAMP_NTZ↔TIMESTAMP casts to the identity mapping (the
+# events fixture is parquet timestamp[us], read as TIMESTAMP_NTZ); Arrow
+# keeps results/latency identical to get_session().
 _RUNTIME_CONFS = {
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
@@ -46,11 +46,31 @@ _RUNTIME_CONFS = {
 
 def _ensure_confs(spark: SparkSession) -> None:
     for k, v in _RUNTIME_CONFS.items():
-        try:
-            if spark.conf.get(k, None) != v:
-                spark.conf.set(k, v)
-        except Exception:
-            pass  # static/unknown conf in this build — best effort
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)  # loud on static confs: a silent skip here
+            # cost round 2 its bench (stale nanosAsLong masked a fixture
+            # schema change) — if the session can't take these, fail now
+
+
+def _normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """One schema adaptation point for the events table's time column.
+
+    The driver has shipped this fixture as TIMESTAMP(NANOS)-read-as-bigint
+    (round 1) and as parquet timestamp[us]/TIMESTAMP_NTZ (round 2+); every
+    downstream query assumes one canonical type instead of sniffing the
+    wire format itself. Output: TIMESTAMP (UTC session tz, so NTZ wall
+    clocks map to the same instant). Integer division for the nanos path —
+    a double-routed divide loses precision above 2^53 ns (~1970+104 days).
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, TimestampType):
+        return df
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    # integral epoch-nanos (legacy fixture convention)
+    return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,9 +83,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     on production multi-row-group data it's a no-op, so no extra shuffle at
     scale. All declared queries are row-value deterministic (portable hash /
     digests / pure expressions), so repartitioning never changes results.
+
+    The events table's ``ts`` is normalized to TIMESTAMP here (see
+    ``_normalize_event_time``) — queries never see the wire type.
     """
     _ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_event_time(df)
     if name in _FAN_OUT_TABLES:
         from ml_hadoop_experiment_spark.plans.optimize import fan_out
 
@@ -817,10 +842,10 @@ WHERE NOT EXISTS (
 
 
 # --------------------------------------------------------------------------
-# Temporal extensions: hypertable rollup, as-of join, JSON props.
-# The events fixture stores TIMESTAMP(NANOS); Spark reads it as epoch-nanos
-# bigint (nanosAsLong), DuckDB as TIMESTAMP — bucket/compare via integer
-# nanos on both sides for exactness.
+# Temporal extensions: hypertable rollup, as-of join, range join, JSON props.
+# ``_t`` hands every query a TIMESTAMP ``ts`` (UTC); DuckDB reads the same
+# parquet as TIMESTAMP — bucket/compare via integer epoch-micros on both
+# sides for exactness (epoch_us is the parquet-native unit, no rounding).
 # --------------------------------------------------------------------------
 
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,7 +855,9 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            time_bucket(F.col("ts"), 3600).alias("hour_bucket"),
+            time_bucket(
+                F.col("ts"), 3600, dtype=ev.schema["ts"].dataType
+            ).alias("hour_bucket"),
             F.col("event_type"),
         )
         .agg(
@@ -843,7 +870,7 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_ROLLUP = """
-SELECT CAST(floor(epoch_ns(ts) / 3600000000000.0) AS BIGINT) AS hour_bucket,
+SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,
        event_type,
        count(*) AS n_events,
        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
@@ -915,8 +942,8 @@ SELECT event_id, user_id,
 FROM (
   SELECT event_id, user_id, ts,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
-                OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (
-                     PARTITION BY user_id ORDER BY ts ASC)) > 1800000000000
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts ASC)) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
 )
@@ -1067,8 +1094,11 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark admits all fixture rows, the result equals the batch hourly
     rollup — a real streaming window operator, fully oracle-checked.
 
-    The nanos-bigint ts becomes a real timestamp for event time; outputs
-    report the window start as an epoch-seconds bigint (portable)."""
+    The stream schema is taken from a batch read of the same file — never
+    hard-coded (round 2's frozen ``ts bigint`` schema silently coerced the
+    fixture's µs timestamps and collapsed every event into two windows) —
+    then ``ts`` normalizes to TIMESTAMP exactly like the batch loader.
+    Outputs report the window start as an epoch-seconds bigint (portable)."""
     import uuid
 
     from ml_hadoop_experiment_spark.streaming.inference import (
@@ -1076,12 +1106,11 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_confs(spark)
-    stream = (
-        spark.readStream.schema("event_id bigint, ts bigint, user_id bigint, "
-                                "event_type string, value double, props string")
+    wire_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _normalize_event_time(
+        spark.readStream.schema(wire_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", (F.col("ts") / F.lit(1_000_000_000)).cast("timestamp"))
     )
     out = windowed_event_aggregates(
         stream, ts_col="ts", key_col="event_type", value_col="value",
@@ -1108,7 +1137,7 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STREAMING_ROLLUP = """
-SELECT CAST(floor(epoch_ns(ts) / 3600000000000.0) AS BIGINT) * 3600 AS window_start_s,
+SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600 AS window_start_s,
        event_type,
        count(*) AS n_events,
        round(sum(value), 2) AS sum_value
