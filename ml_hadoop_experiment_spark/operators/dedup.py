@@ -132,27 +132,54 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_ids: Optional[int] = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one LSH band.
 
     Band key = the band's signature slice joined with '|' (no extra md5 —
-    the values are already uniform hashes). The per-band frames are
-    unioned (band_id, band_key, id) then self-joined per bucket — the
-    textbook banding join; skewed buckets are split by AQE skew-join
-    handling at scale.
+    the values are already uniform hashes). The (band, band_key, id)
+    frame is built by exploding ONE ``array(struct(band, key))`` column —
+    a single scan of the signature frame, versus ``bands`` scans with the
+    round-1 per-band ``unionByName`` (each union branch re-read the
+    signature aggregation) — then self-joined per bucket: the textbook
+    banding join; skewed buckets are split by AQE skew-join handling at
+    scale.
+
+    ``max_bucket_ids`` (optional) drops buckets wider than N ids before
+    the self-join. A degenerate band key (e.g. near-empty documents all
+    hashing alike) creates one bucket whose self-join is O(width²); the
+    cap bounds the worst case at the cost of recall ON THOSE PATHOLOGICAL
+    BUCKETS ONLY — a bucket that wide is not discriminating anyway (the
+    standard production guard; off by default so toy-scale results stay
+    exactly oracle-comparable).
     """
     num_hashes = len([c for c in signatures.columns if c.startswith("mh_")])
     assert bands * rows_per_band <= num_hashes, "bands*rows exceeds signature size"
-    frames: Optional[DataFrame] = None
-    for b in range(bands):
-        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        frame = signatures.select(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *cols).alias("band_key"),
-            F.col("id"),
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    frames = signatures.select(F.col("id"), F.explode(entries).alias("__e")).select(
+        "id", F.col("__e.band").alias("band"), F.col("__e.band_key").alias("band_key")
+    )
+    if max_bucket_ids is not None:
+        w = Window.partitionBy("band", "band_key")
+        frames = (
+            frames.withColumn("__n", F.count(F.lit(1)).over(w))
+            .where(F.col("__n") <= max_bucket_ids)
+            .drop("__n")
         )
-        frames = frame if frames is None else frames.unionByName(frame)
     left = frames.alias("a")
     right = frames.alias("b")
     return (
@@ -231,6 +258,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     cache_intermediates: Optional[bool] = None,
     storage_level: Optional["StorageLevel"] = None,  # noqa: F821
+    max_bucket_ids: Optional[int] = None,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: shingle -> minhash -> band -> verify.
 
@@ -260,7 +288,7 @@ def minhash_dedup_pairs(
         sigs = minhash_signatures(toks, num_hashes).persist(level)
     else:
         sigs = minhash_signatures(toks, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_ids)
     return jaccard_pairs(cands, toks, threshold)
 
 

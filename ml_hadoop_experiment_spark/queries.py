@@ -950,6 +950,45 @@ FROM (
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: each event joined to its user's first-hour
+    promo interval (interval = [first event, first event + 1h] per user,
+    derived from the same table — a self-join lineage the operator must
+    alias through). Engine: interval→bucket explode + equi-join on
+    (user_id, bucket) with exact containment in the join condition — an
+    ordinary shuffle join, never BroadcastNestedLoop. Oracle: the naive
+    inequality join (fine at toy scale, the plan Spark must NOT use)."""
+    from ml_hadoop_experiment_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    intervals = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("lo"))
+        .withColumn("hi", F.col("lo") + F.expr("INTERVAL 1 HOUR"))
+    )
+    out = range_join(
+        ev.select("event_id", "user_id", "ts"),
+        intervals,
+        event_time="ts",
+        start_col="lo",
+        end_col="hi",
+        on=["user_id"],
+        bucket_seconds=3600,
+    )
+    return out.select("event_id", "user_id")
+
+
+SQL_RANGE_JOIN = """
+SELECT e.event_id, e.user_id
+FROM events e
+JOIN (
+  SELECT user_id, min(ts) AS lo, min(ts) + INTERVAL 1 HOUR AS hi
+  FROM events GROUP BY user_id
+) i
+ON e.user_id = i.user_id AND e.ts >= i.lo AND e.ts <= i.hi
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with FROZEN centroids (KMeans k=8 seed=42 computed once on
     sf0.01, embedded as literals — operators/ivf_fixture.py): list
@@ -1338,6 +1377,7 @@ QUERIES = {
     "streaming_rollup": q_streaming_rollup,
     "user_similarity": q_user_similarity,
     "sessionize": q_sessionize,
+    "range_join": q_range_join,
     "events_rollup": q_events_rollup,
     "events_asof": q_events_asof,
     "json_props": q_json_props,
@@ -1385,6 +1425,7 @@ ORACLE_SQL = {
     "streaming_rollup": SQL_STREAMING_ROLLUP,
     "user_similarity": SQL_USER_SIMILARITY,
     "sessionize": SQL_SESSIONIZE,
+    "range_join": SQL_RANGE_JOIN,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_asof": SQL_EVENTS_ASOF,
     "json_props": SQL_JSON_PROPS,

@@ -166,3 +166,33 @@ def test_simhash_sql_twin(spark):
     ).fetchall())
     for k, v in got.items():
         assert duck[k] == v
+
+
+def test_lsh_bucket_cap_drops_only_wide_buckets(docs, spark):
+    """max_bucket_ids drops candidates only from buckets wider than the cap;
+    uncapped (None) results are unchanged from the default path."""
+    toks = tokens_frame(docs, "doc_id", "text", 1)
+    sigs = minhash_signatures(toks, 8)
+    base = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, 4, 2).collect()}
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, 4, 2, max_bucket_ids=None).collect()
+    }
+    assert uncapped == base
+    # docs 1,2,5 are identical -> every band bucket holding them has width 3;
+    # cap=2 removes exactly those buckets' pairs
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, 4, 2, max_bucket_ids=2).collect()
+    }
+    assert not {(1, 2), (1, 5), (2, 5)} & capped
+    assert capped <= base
+
+
+def test_lsh_single_scan_plan(docs, spark):
+    """The banding frame must come from ONE explode of the signature frame —
+    no per-band union branches (round-2 plan had `bands` scans)."""
+    toks = tokens_frame(docs, "doc_id", "text", 1)
+    sigs = minhash_signatures(toks, 8)
+    plan = lsh_candidate_pairs(sigs, 4, 2)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan, plan
