@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     # temporal + relational breadth
     "events_rollup",
     "events_asof",
+    "sessionize",
+    "range_join",
     "json_props",
     "window_topk",
     "rollup_counts",

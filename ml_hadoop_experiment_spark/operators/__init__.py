@@ -2,6 +2,7 @@ from ml_hadoop_experiment_spark.operators.sampling import (
     WEIGHT_COLUMN_NAME,
     add_deterministic_sampling_col,
     add_random_sampling_col,
+    assign_split,
     get_filter_sampling_ratio,
     cap_per_key,
     sample_stratified_by,
@@ -78,6 +79,7 @@ __all__ = [
     "add_random_sampling_col",
     "add_deterministic_sampling_col",
     "get_filter_sampling_ratio",
+    "assign_split",
     "cap_per_key",
     "sample_stratified_by",
     "sample_with_predicate",

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ml_hadoop_experiment_spark.functions.hashing import (
     portable_unit_hash,
+    portable_unit_hash_sql,
     spark_unit_hash,
 )
 
@@ -186,6 +187,68 @@ def sample_stratified_by(
     )
     # ratio > 0 for every surviving row (u in [0,1) < ratio implies ratio > 0)
     return kept.withColumn(WEIGHT_COLUMN_NAME, weight_col * max_ratio / ratio_expr)
+
+
+def assign_split(
+    df: DataFrame,
+    key_cols: List[str],
+    splits: "dict[str, float]",
+    split_col: str = "split",
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment by stable key hash.
+
+    ``splits`` maps name -> fraction (must sum to 1 within 1e-9); each row
+    lands in the split whose cumulative-[0,1) interval contains its key
+    hash, in the dict's insertion order. Hashing the KEY (not ``rand()``)
+    is what makes the split reproducible across reruns, engines, and —
+    critically for leakage — across *tables*: every row of the same entity
+    (user, document, session) lands in the same split wherever it appears,
+    so feature/label tables can be split independently and still agree.
+
+    Pure expression (one when/otherwise chain over a hash): no shuffle, no
+    Python, fuses into the scan at any scale. ``portable=True`` switches to
+    the DuckDB-identical multiplicative hash (single integral key) used by
+    the oracle gate; the default is native Murmur3 over any key columns.
+    """
+    if not splits:
+        raise ValueError("splits must be a non-empty {name: fraction} dict")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if not key_cols:
+        raise ValueError("key_cols is required: the split must hash a stable key")
+    if portable:
+        if len(key_cols) != 1:
+            raise ValueError("portable mode requires exactly one integral key column")
+        u = portable_unit_hash(F.col(key_cols[0]), salt=seed)
+    else:
+        u = spark_unit_hash(*[F.col(c) for c in key_cols], seed=seed)
+
+    names = list(splits)
+    cum = 0.0
+    expr: Optional[Column] = None
+    for name in names[:-1]:
+        cum += splits[name]
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def assign_split_sql(
+    key_expr: str, splits: "dict[str, float]", seed: int = 0
+) -> str:
+    """DuckDB twin of ``assign_split(portable=True)`` as a CASE expression."""
+    u = portable_unit_hash_sql(key_expr, salt=seed)
+    names = list(splits)
+    parts, cum = [], 0.0
+    for name in names[:-1]:
+        cum += splits[name]
+        parts.append(f"WHEN {u} < {cum!r} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
 
 
 def cap_per_key(

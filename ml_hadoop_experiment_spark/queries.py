@@ -761,6 +761,40 @@ SELECT l_orderkey, l_linenumber FROM (
 """
 
 
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment of orders by
+    customer key — entity-level hashing so every order of a customer lands
+    in the same split (no cross-split leakage), reproducible across
+    engines. Pure expression, zero shuffle until the audit count."""
+    from ml_hadoop_experiment_spark.operators.sampling import assign_split
+
+    orders = _t(spark, sf_dir, "orders")
+    out = assign_split(orders, ["o_custkey"], _SPLITS, seed=7, portable=True)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+def _sql_train_split() -> str:
+    from ml_hadoop_experiment_spark.operators.sampling import assign_split_sql
+
+    case = assign_split_sql("o_custkey", _SPLITS, seed=7)
+    return f"""
+SELECT {case} AS split,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY 1
+"""
+
+
+SQL_TRAIN_SPLIT = _sql_train_split()
+
+
 # --------------------------------------------------------------------------
 # Relational breadth (free from Spark per SURVEY §2.4/§2.6 — declared so the
 # engine's window/rollup/anti-join planning is exercised and oracle-gated).
@@ -1383,6 +1417,7 @@ QUERIES = {
     "json_props": q_json_props,
     "sample_by_class": q_sample_by_class,
     "cap_per_key": q_cap_per_key,
+    "train_split": q_train_split,
     "window_topk": q_window_topk,
     "rollup_counts": q_rollup_counts,
     "anti_join": q_anti_join,
@@ -1431,6 +1466,7 @@ ORACLE_SQL = {
     "json_props": SQL_JSON_PROPS,
     "sample_by_class": SQL_SAMPLE_BY_CLASS,
     "cap_per_key": SQL_CAP_PER_KEY,
+    "train_split": SQL_TRAIN_SPLIT,
     "window_topk": SQL_WINDOW_TOPK,
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "anti_join": SQL_ANTI_JOIN,

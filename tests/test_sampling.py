@@ -196,3 +196,80 @@ def test_cap_per_key(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cap_per_key(df, ["k"], k=0, order_col="seq")
+
+
+# --------------------------------------------------------------------------
+# assign_split: deterministic train/val/test assignment
+# --------------------------------------------------------------------------
+
+
+def test_assign_split_validates(spark):
+    from ml_hadoop_experiment_spark.operators.sampling import assign_split
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(df, ["k"], {"train": 0.5, "test": 0.4})
+    with pytest.raises(ValueError, match="non-empty"):
+        assign_split(df, ["k"], {})
+    with pytest.raises(ValueError, match="key_cols"):
+        assign_split(df, [], {"train": 1.0})
+    with pytest.raises(ValueError, match="integral key"):
+        assign_split(df, ["k", "k"], {"train": 1.0}, portable=True)
+
+
+def test_assign_split_deterministic_and_entity_consistent(spark):
+    from ml_hadoop_experiment_spark.operators.sampling import assign_split
+
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = spark.createDataFrame([(i,) for i in range(500)], "user_id bigint")
+    # a second, differently-shaped table sharing the entity key
+    b = spark.createDataFrame(
+        [(i, i * 10) for i in range(500)], "user_id bigint, other bigint"
+    )
+    sa = {r["user_id"]: r["split"]
+          for r in assign_split(a, ["user_id"], splits, seed=3).collect()}
+    sa2 = {r["user_id"]: r["split"]
+           for r in assign_split(a, ["user_id"], splits, seed=3).collect()}
+    sb = {r["user_id"]: r["split"]
+          for r in assign_split(b, ["user_id"], splits, seed=3).collect()}
+    assert sa == sa2  # rerun-stable
+    assert sa == sb   # entity-consistent across tables (leakage guard)
+    # every named split non-empty and roughly proportional at n=500
+    from collections import Counter
+
+    c = Counter(sa.values())
+    assert set(c) == set(splits)
+    assert 0.7 <= c["train"] / 500 <= 0.9
+
+
+def test_assign_split_portable_matches_duckdb(spark):
+    import duckdb
+
+    from ml_hadoop_experiment_spark.operators.sampling import (
+        assign_split,
+        assign_split_sql,
+    )
+
+    splits = {"train": 0.6, "val": 0.2, "test": 0.2}
+    df = spark.createDataFrame([(i,) for i in range(300)], "k bigint")
+    got = {r["k"]: r["split"]
+           for r in assign_split(df, ["k"], splits, seed=11, portable=True).collect()}
+    case = assign_split_sql("k", splits, seed=11)
+    want = {
+        k: s
+        for k, s in duckdb.sql(
+            f"SELECT k, {case} AS split FROM range(300) t(k)"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_assign_split_is_pure_expression(spark):
+    from ml_hadoop_experiment_spark.operators.sampling import assign_split
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    plan = (
+        assign_split(df, ["k"], {"a": 0.5, "b": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
