@@ -795,6 +795,61 @@ GROUP BY 1
 SQL_TRAIN_SPLIT = _sql_train_split()
 
 
+def q_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline — the canonical training-data shape,
+    composed entirely from the engine's own operators: quality filter
+    (codegen heuristic score) → exact dedup (16-byte-digest shuffle, keep
+    lowest doc_id) → deterministic train/val/test assignment (portable
+    entity hash) → per-(split, lang) audit counts. At 100 TB every stage
+    before the final audit agg is map-side except the one digest shuffle."""
+    from ml_hadoop_experiment_spark.functions.text import quality_score
+    from ml_hadoop_experiment_spark.operators.dedup import dedup_exact
+    from ml_hadoop_experiment_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.withColumn("q", quality_score(F.col("text"))).where(
+        F.col("q") >= 0.5
+    )
+    deduped = dedup_exact(kept, ["text"], "doc_id")
+    split = assign_split(deduped, ["doc_id"], _SPLITS, seed=13, portable=True)
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+    )
+
+
+def _sql_doc_pipeline() -> str:
+    from ml_hadoop_experiment_spark.functions.text import quality_score_sql
+    from ml_hadoop_experiment_spark.operators.sampling import assign_split_sql
+
+    q = quality_score_sql("text")
+    case = assign_split_sql("doc_id", _SPLITS, seed=13)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text, lang, {q} AS q FROM documents WHERE {q} >= 0.5
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT {case} AS split, lang,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS avg_quality
+FROM deduped
+GROUP BY 1, 2
+"""
+
+
+SQL_DOC_PIPELINE = _sql_doc_pipeline()
+
+
 # --------------------------------------------------------------------------
 # Relational breadth (free from Spark per SURVEY §2.4/§2.6 — declared so the
 # engine's window/rollup/anti-join planning is exercised and oracle-gated).
@@ -981,6 +1036,45 @@ FROM (
               THEN 1 ELSE 0 END AS new_session
   FROM events
 )
+"""
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize → aggregate: events-per-session and session duration
+    (µs-exact integers) per (user, session). The windowed session
+    numbering and the aggregation group on the same key prefix, so
+    Catalyst reuses ONE hash exchange on user_id for both stages."""
+    from ml_hadoop_experiment_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+            "duration_us"
+        ),
+    )
+
+
+SQL_SESSION_STATS = """
+WITH s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - 1 AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC)) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+  )
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM s GROUP BY 1, 2
 """
 
 
@@ -1219,6 +1313,68 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (F.session_window) drained to completion
+    over the events stream: per-user gap-merged sessions with event counts.
+    Because the stream drains fully (availableNow) and the watermark admits
+    every fixture row, the emitted sessions equal the batch gap
+    sessionization — a real stateful streaming operator, fully
+    oracle-checked against the lag+running-sum batch formulation (boundary
+    semantics verified identical: gap == threshold merges, > splits).
+    Outputs epoch-µs session starts (portable; no timestamps)."""
+    import uuid
+
+    from ml_hadoop_experiment_spark.streaming.inference import (
+        session_window_aggregates,
+    )
+
+    _ensure_confs(spark)
+    wire_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _normalize_event_time(
+        spark.readStream.schema(wire_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = session_window_aggregates(
+        stream, ts_col="ts", key_col="user_id", gap="30 minutes", watermark="1 hour"
+    )
+    sink = f"streaming_sessionize_{uuid.uuid4().hex}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+    )
+
+
+SQL_STREAMING_SESSIONIZE = """
+WITH s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - 1 AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC)) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+  )
+)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Extension: KMV distinct-count sketch (operators/sketches.py) — an
 # oracle-checkable cardinality estimator (portable hash ⇒ the *sketch
@@ -1409,8 +1565,10 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "streaming_dedup": q_streaming_dedup,
     "streaming_rollup": q_streaming_rollup,
+    "streaming_sessionize": q_streaming_sessionize,
     "user_similarity": q_user_similarity,
     "sessionize": q_sessionize,
+    "session_stats": q_session_stats,
     "range_join": q_range_join,
     "events_rollup": q_events_rollup,
     "events_asof": q_events_asof,
@@ -1418,6 +1576,7 @@ QUERIES = {
     "sample_by_class": q_sample_by_class,
     "cap_per_key": q_cap_per_key,
     "train_split": q_train_split,
+    "doc_pipeline": q_doc_pipeline,
     "window_topk": q_window_topk,
     "rollup_counts": q_rollup_counts,
     "anti_join": q_anti_join,
@@ -1458,8 +1617,10 @@ ORACLE_SQL = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "streaming_rollup": SQL_STREAMING_ROLLUP,
+    "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
     "user_similarity": SQL_USER_SIMILARITY,
     "sessionize": SQL_SESSIONIZE,
+    "session_stats": SQL_SESSION_STATS,
     "range_join": SQL_RANGE_JOIN,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_asof": SQL_EVENTS_ASOF,
@@ -1467,6 +1628,7 @@ ORACLE_SQL = {
     "sample_by_class": SQL_SAMPLE_BY_CLASS,
     "cap_per_key": SQL_CAP_PER_KEY,
     "train_split": SQL_TRAIN_SPLIT,
+    "doc_pipeline": SQL_DOC_PIPELINE,
     "window_topk": SQL_WINDOW_TOPK,
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "anti_join": SQL_ANTI_JOIN,

@@ -11,6 +11,10 @@ extensions, built so the *same* batch operators run on streams:
   the result to a sink callback; use when the sink itself is batch-only.
 - ``windowed_event_aggregates`` — watermarked tumbling-window aggregation
   for late data, the standard streaming rollup shape.
+- ``session_window_aggregates`` — watermarked SESSION-window aggregation
+  (``F.session_window``): gap-merged dynamic windows per key, the
+  streaming twin of the batch ``operators.temporal.sessionize`` (verified
+  boundary-identical: a gap of exactly ``gap`` merges, ``> gap`` splits).
 """
 
 from __future__ import annotations
@@ -61,6 +65,33 @@ def foreach_batch_inference(
         sink(transform(batch_df), epoch_id)
 
     return _process
+
+
+def session_window_aggregates(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked session-window count per key: events within ``gap`` of
+    each other merge into one session (state bounded by the watermark —
+    sessions older than it finalize and evict, required for 24/7 streams).
+    Emits (session_start, session_end, key, n_events); ``session_end`` is
+    ``last event + gap`` per Spark's session-window definition."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
 
 
 def windowed_event_aggregates(

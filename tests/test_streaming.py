@@ -98,3 +98,47 @@ def test_windowed_aggregates(spark, tmp_path):
     }
     assert got[("2026-01-01 00:00:00", "click")] == (2, 3.0)
     assert got[("2026-01-01 00:01:00", "view")] == (1, 5.0)
+
+
+def test_session_window_aggregates_boundary_semantics(spark, tmp_path):
+    """Session windows must merge a gap of EXACTLY the threshold and split
+    strictly above it — the boundary the batch sessionize oracle assumes
+    (new session iff diff > gap)."""
+    import datetime as dt
+
+    from ml_hadoop_experiment_spark.streaming.inference import (
+        session_window_aggregates,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(seconds=600)),        # == gap: merges
+        (1, base + dt.timedelta(seconds=600 + 599)),  # < gap: merges
+        (1, base + dt.timedelta(seconds=600 + 599 + 601)),  # > gap: splits
+        (2, base),                                    # other key: own session
+    ]
+    src = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    path = str(tmp_path / "sess_src")
+    src.write.parquet(path)
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(path)
+    agg = session_window_aggregates(
+        stream, ts_col="ts", key_col="user_id", gap="600 seconds", watermark="1 hour"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_sink").collect()
+    }
+    assert got == {
+        (1, "2026-01-01 00:00:00"): 3,
+        (1, "2026-01-01 00:30:00"): 1,
+        (2, "2026-01-01 00:00:00"): 1,
+    }
