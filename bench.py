@@ -47,8 +47,12 @@ BENCH_QUERIES = [
     "events_rollup",
     "events_asof",
     "sessionize",
+    "session_stats",
     "range_join",
     "json_props",
+    # pipeline compositions
+    "train_split",
+    "doc_pipeline",
     "window_topk",
     "rollup_counts",
     "anti_join",
