@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     # extensions
     "text_stats",
     "doc_fingerprint",
+    "tfidf_topk",
     "dedup_exact",
     "near_dup_pairs",
     "simhash",

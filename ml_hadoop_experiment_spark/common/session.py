@@ -33,8 +33,9 @@ def session_defaults() -> dict[str, str]:
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         "spark.sql.session.timeZone": "UTC",
-        # parquet TIMESTAMP(NANOS) (e.g. the events fixture) is read as a
-        # bigint of epoch-nanos rather than rejected
+        # parquet TIMESTAMP(NANOS) files read as epoch-nanos bigint rather
+        # than being rejected (temporal operators accept both; the current
+        # fixtures are timestamp[us] and unaffected by this conf)
         "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
 

@@ -1,0 +1,93 @@
+"""Corpus-statistics operators: TF-IDF term scoring.
+
+Extension beyond the reference (it has no corpus-level text statistics;
+its vocabulary op, tensorflow/vocabulary.py, counts raw values only).
+TF-IDF is the workhorse for keyword extraction / relevance features in
+training-data pipelines; here it is a pure relational composition so
+Catalyst plans every stage:
+
+  explode → per-(doc, token) count (tf) → per-token doc frequency (df)
+  → broadcast scalar doc count → score → per-doc top-k window.
+
+Every aggregation is map-side combined; the only broadcast is one row
+(the corpus size). At 100 TB the tf frame is the big intermediate — it is
+consumed twice (df aggregation + the scoring join), so callers with an
+expensive upstream should persist it (``cache_tf=True``) exactly like the
+MinHash pipeline's auto-persist; the default keeps toy-scale plans
+stage-light.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    cache_tf: bool = False,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: (id, token, tfidf, rk).
+
+    Smooth-idf formula (sklearn's default): ``tf * (ln((N+1)/(df+1)) + 1)``
+    — never negative, never divides by zero. Whitespace tokenization after
+    lowercasing; ties in score break on token text so the output is
+    total-order deterministic. ``tfidf`` is rounded to 6 decimals for
+    cross-engine comparison; the rank is computed on the unrounded score.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    if cache_tf:
+        tf = tf.persist()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0)))
+        + F.lit(1.0)
+    )
+    w = Window.partitionBy("id").orderBy(F.col("__score").desc(), F.col("token").asc())
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("__score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("id", "token", F.round(F.col("__score"), 6).alias("tfidf"), "rk")
+    )
+
+
+def tfidf_topk_sql(
+    table: str, id_expr: str, text_expr: str, k: int = 3, out_id: str = "id"
+) -> str:
+    """DuckDB twin of ``tfidf_topk_terms`` (same formula, same tie order);
+    ``out_id`` names the id column in the output."""
+    return f"""
+WITH toks AS (
+  SELECT {id_expr} AS id,
+         unnest(regexp_split_to_array(lower(trim({text_expr})), '\\s+')) AS token
+  FROM {table}
+),
+termfreq AS (SELECT id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df_t FROM termfreq GROUP BY 1),
+n AS (SELECT count(DISTINCT {id_expr}) AS n_docs FROM {table})
+SELECT id AS {out_id}, token, round(score, 6) AS tfidf, rk FROM (
+  SELECT termfreq.id, termfreq.token,
+         termfreq.tf * (ln((n.n_docs + 1.0) / (dfreq.df_t + 1.0)) + 1.0) AS score,
+         row_number() OVER (
+           PARTITION BY termfreq.id
+           ORDER BY termfreq.tf * (ln((n.n_docs + 1.0) / (dfreq.df_t + 1.0)) + 1.0) DESC,
+                    termfreq.token ASC
+         ) AS rk
+  FROM termfreq JOIN dfreq USING (token), n
+) WHERE rk <= {k}
+"""

@@ -136,18 +136,30 @@ def asof_join(
     right_time: str,
     value_cols: Optional[Sequence[str]] = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: columns of the most recent right row with
-    ``right_time <= left_time`` within the same ``on`` key (backward as-of;
-    NULLs when no prior right row exists). Ties on the timestamp include
-    the right row (DuckDB ASOF JOIN semantics).
+    """For each left row: columns of the matching right row within the same
+    ``on`` key —
+
+    - ``direction="backward"`` (default): the most recent right row with
+      ``right_time <= left_time`` (NULLs when no prior right row exists).
+      Ties on the timestamp include the right row (DuckDB ASOF JOIN
+      semantics).
+    - ``direction="forward"``: the earliest right row with
+      ``right_time >= left_time`` (ties included symmetrically).
 
     Plan shape: tag + unionByName + one window over (key, time) using
-    ``last(..., ignorenulls=True)`` — a single hash exchange on the key and
-    one sort, both streaming-friendly at scale; no broadcast, no UDF.
-    Left and right time columns may be timestamp or epoch-bigint in any
-    mix; both sides normalize to a common epoch scale before comparing.
+    ``last``/``first`` with ``ignorenulls=True`` — a single hash exchange
+    on the key and one sort, both streaming-friendly at scale; no
+    broadcast, no UDF. Forward reuses the same window ordering with a
+    following frame, so both directions cost identically. Left and right
+    time columns may be timestamp or epoch-bigint in any mix; both sides
+    normalize to a common epoch scale before comparing.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     on = list(on)
     value_cols = list(
         value_cols
@@ -173,15 +185,27 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
-    # right rows sort before left rows at the same instant -> ties included
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort before left rows at the same instant -> ties
+        # included; take the last right value seen so far
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda oc: F.last(oc, ignorenulls=True)  # noqa: E731
+    else:
+        # right rows sort after left rows at the same instant -> ties
+        # included; take the first right value yet to come
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__t").asc(), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda oc: F.first(oc, ignorenulls=True)  # noqa: E731
     filled = unioned
     for oc in out_cols:
-        filled = filled.withColumn(oc, F.last(oc, ignorenulls=True).over(w))
+        filled = filled.withColumn(oc, pick(oc).over(w))
     return filled.where(F.col("__is_left") == 1).drop("__t", "__is_left")
 
 

@@ -996,6 +996,35 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
 """
 
 
+def q_events_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click picks the user's NEXT view event's
+    value at-or-after the click (the attribution-window / next-touch
+    shape). Same single-shuffle union+window plan as backward, with a
+    following frame. Oracle: DuckDB ASOF LEFT JOIN on ``l.ts <= r.ts``."""
+    from ml_hadoop_experiment_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("next_view_value")
+    )
+    out = asof_join(
+        clicks, views, on=["user_id"], left_time="ts", right_time="ts",
+        value_cols=["next_view_value"], suffix="", direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_view_value")
+
+
+SQL_EVENTS_ASOF_FWD = """
+SELECT l.event_id, l.user_id, r.value AS next_view_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the props column (codegen'd
     get_json_object; DuckDB twin json_extract_string)."""
@@ -1313,6 +1342,26 @@ GROUP BY 1, 2
 """
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — corpus statistics as a relational
+    composition (explode → tf agg → df agg → one-row broadcast → window).
+    All aggregations map-side combined; ties break on token text."""
+    from ml_hadoop_experiment_spark.operators.corpus import tfidf_topk_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_topk_terms(docs, "doc_id", "text", k=3)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def _sql_tfidf_topk() -> str:
+    from ml_hadoop_experiment_spark.operators.corpus import tfidf_topk_sql
+
+    return tfidf_topk_sql("documents", "doc_id", "text", k=3, out_id="doc_id")
+
+
+SQL_TFIDF_TOPK = _sql_tfidf_topk()
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SESSION windows (F.session_window) drained to completion
     over the events stream: per-user gap-merged sessions with event counts.
@@ -1373,6 +1422,47 @@ WITH s AS (
 SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n_events
 FROM s GROUP BY user_id, session_id
 """
+
+
+def q_streaming_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming inference: the U1 vectorized-inference column applied to a
+    STREAMING DataFrame (same operator, same pandas_udf — Structured
+    Streaming runs it per micro-batch) and drained to completion. Result
+    equals the batch ``udf_linear_score``, so a real streaming-inference
+    path is fully oracle-checked."""
+    import uuid
+
+    from ml_hadoop_experiment_spark.streaming.inference import streaming_inference
+
+    _ensure_confs(spark)
+    wire_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    stream = (
+        spark.readStream.schema(wire_schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+    scored = streaming_inference(
+        stream,
+        _LinearScorer(),
+        ["l_extendedprice", "l_discount"],
+        lambda m, b: m.predict(b[0], b[1]),
+        output_type="double",
+        batch_size=4096,
+        output_col="score",
+    ).select("l_orderkey", "l_linenumber", "score")
+    sink = f"streaming_score_{uuid.uuid4().hex}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+SQL_STREAMING_SCORE = SQL_UDF_LINEAR_SCORE
 
 
 # --------------------------------------------------------------------------
@@ -1566,17 +1656,20 @@ QUERIES = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_rollup": q_streaming_rollup,
     "streaming_sessionize": q_streaming_sessionize,
+    "streaming_score": q_streaming_score,
     "user_similarity": q_user_similarity,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
     "range_join": q_range_join,
     "events_rollup": q_events_rollup,
     "events_asof": q_events_asof,
+    "events_asof_fwd": q_events_asof_fwd,
     "json_props": q_json_props,
     "sample_by_class": q_sample_by_class,
     "cap_per_key": q_cap_per_key,
     "train_split": q_train_split,
     "doc_pipeline": q_doc_pipeline,
+    "tfidf_topk": q_tfidf_topk,
     "window_topk": q_window_topk,
     "rollup_counts": q_rollup_counts,
     "anti_join": q_anti_join,
@@ -1618,17 +1711,20 @@ ORACLE_SQL = {
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "streaming_rollup": SQL_STREAMING_ROLLUP,
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
+    "streaming_score": SQL_STREAMING_SCORE,
     "user_similarity": SQL_USER_SIMILARITY,
     "sessionize": SQL_SESSIONIZE,
     "session_stats": SQL_SESSION_STATS,
     "range_join": SQL_RANGE_JOIN,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_asof_fwd": SQL_EVENTS_ASOF_FWD,
     "json_props": SQL_JSON_PROPS,
     "sample_by_class": SQL_SAMPLE_BY_CLASS,
     "cap_per_key": SQL_CAP_PER_KEY,
     "train_split": SQL_TRAIN_SPLIT,
     "doc_pipeline": SQL_DOC_PIPELINE,
+    "tfidf_topk": SQL_TFIDF_TOPK,
     "window_topk": SQL_WINDOW_TOPK,
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "anti_join": SQL_ANTI_JOIN,

@@ -152,3 +152,56 @@ def test_sessionize_single_shuffle(spark):
     df = spark.createDataFrame([(1, 1, 0)], "event_id bigint, user_id bigint, t long")
     plan = sessionize(df, ["user_id"], "t", 600)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_join_forward_golden(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 10 * S), (2, 1, 20 * S), (3, 1, 5 * S), (4, 2, 50 * S)],
+        "event_id bigint, k bigint, t long",
+    )
+    right = spark.createDataFrame(
+        [(1, 8 * S, 100.0), (1, 15 * S, 200.0), (2, 30 * S, 300.0)],
+        "k bigint, t long, v double",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t", direction="forward"
+    )
+    got = {r["event_id"]: r["v_asof"] for r in out.collect()}
+    assert got == {
+        1: 200.0,  # t=10: next right at t=15
+        2: None,   # t=20: nothing after
+        3: 100.0,  # t=5: next right at t=8
+        4: None,   # k=2: right only at t=30 < 50? no — 30 < 50, nothing after
+    }
+
+
+def test_asof_join_forward_tie_includes_equal_timestamp(spark):
+    left = spark.createDataFrame([(1, 1, 10 * S)], "event_id bigint, k bigint, t long")
+    right = spark.createDataFrame([(1, 10 * S, 7.0)], "k bigint, t long, v double")
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t", direction="forward"
+    ).collect()
+    assert out[0]["v_asof"] == 7.0
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on=["k"], left_time="t", right_time="t",
+                  direction="nearest")
+
+
+def test_asof_join_timestamp_and_bigint_mixed_scales(spark):
+    """One side timestamp, the other epoch-nanos bigint: both normalize to
+    a common scale and compare correctly."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 1, base + dt.timedelta(seconds=10))],
+        "event_id bigint, k bigint, t timestamp",
+    )
+    ns = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) * S
+    right = spark.createDataFrame(
+        [(1, ns + 8 * S, 100.0), (1, ns + 15 * S, 200.0)],
+        "k bigint, t long, v double",
+    )
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="t").collect()
+    assert out[0]["v_asof"] == 100.0
