@@ -403,3 +403,57 @@ def ivf_topk(
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    dim: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label centroid of a fixed-width embedding column:
+    (label, n, centroid array<double>).
+
+    The scalable plan for vector aggregation: ``dim`` independent
+    per-position SUM aggregates over ``vec[i]`` — all map-side combined in
+    ONE aggregation pass, no explode (a posexplode formulation shuffles
+    ``rows x dim`` rows; this shuffles ``groups x dim`` partial sums).
+    Per-position sums go through DECIMAL so the result is addition-order
+    independent (exact), then one double division per position — making a
+    float aggregation bit-reproducible across engines (the oracle gate's
+    requirement) AND across Spark reruns with different partitionings.
+    """
+    sums = [
+        F.sum(F.col(vec_col)[i].cast("decimal(27,10)")).alias(f"__s{i}")
+        for i in range(dim)
+    ]
+    agg = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"), *sums)
+    centroid = F.array(
+        *[
+            F.round(
+                F.col(f"__s{i}").cast("double") / F.col("n"), round_digits
+            )
+            for i in range(dim)
+        ]
+    )
+    return agg.select(label_col, "n", centroid.alias("centroid"))
+
+
+def embedding_centroids_sql(
+    table: str,
+    label_expr: str,
+    vec_expr: str,
+    dim: int,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of ``embedding_centroids`` (1-based list indexing)."""
+    elems = ", ".join(
+        f"round(CAST(sum(CAST({vec_expr}[{i + 1}] AS DECIMAL(27,10))) AS DOUBLE)"
+        f" / count(*), {round_digits})"
+        for i in range(dim)
+    )
+    return (
+        f"SELECT {label_expr} AS label, count(*) AS n, [{elems}] AS centroid\n"
+        f"FROM {table} GROUP BY 1"
+    )

@@ -1189,6 +1189,40 @@ def _sql_ivf_topk() -> str:
 SQL_IVF_TOPK = _sql_ivf_topk()
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class means): 64 per-position
+    decimal-exact SUM aggregates in one map-side-combined pass — the
+    vector-aggregation plan that shuffles groups×dim partial sums instead
+    of rows×dim exploded rows. Output is long-form (label, n, pos, c)
+    scalars for the driver's value hash."""
+    from ml_hadoop_experiment_spark.operators.similarity import embedding_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_centroids(emb, "label", "embedding", dim=64)
+    exploded = out.select(
+        "label", "n", F.posexplode("centroid").alias("pos", "c")
+    )
+    # posexplode yields int32 positions; DuckDB's range() yields BIGINT —
+    # align (the driver's value hash serializes dtypes)
+    return exploded.withColumn("pos", F.col("pos").cast("bigint"))
+
+
+def _sql_embedding_centroids() -> str:
+    from ml_hadoop_experiment_spark.operators.similarity import (
+        embedding_centroids_sql,
+    )
+
+    inner = embedding_centroids_sql("embeddings", "label", "embedding", dim=64)
+    # parallel unnests zip in DuckDB: (pos, element) pairs off one scan
+    return (
+        "SELECT label, n, unnest(range(64)) AS pos, unnest(centroid) AS c\n"
+        f"FROM ({inner})"
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = _sql_embedding_centroids()
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (applyInPandasWithState) driven to
     completion: the documents table streamed as micro-batches through
@@ -1652,6 +1686,7 @@ QUERIES = {
     "lsh_buckets": q_lsh_buckets,
     "multimodal_meta": q_multimodal_meta,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_centroids": q_embedding_centroids,
     "ivf_topk": q_ivf_topk,
     "streaming_dedup": q_streaming_dedup,
     "streaming_rollup": q_streaming_rollup,
@@ -1708,6 +1743,7 @@ ORACLE_SQL = {
     "lsh_buckets": SQL_LSH_BUCKETS,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "streaming_rollup": SQL_STREAMING_ROLLUP,
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,

@@ -143,3 +143,30 @@ def test_ivf_fixed_full_probe_equals_brute_force(spark):
     full = [r["id"] for r in ivf_topk_fixed(
         emb, FROZEN_CENTROIDS_8X64, q, k=10, nprobe=8).collect()]
     assert full == exact
+
+
+def test_embedding_centroids_golden(spark):
+    from ml_hadoop_experiment_spark.operators.similarity import embedding_centroids
+
+    rows = [
+        (0, [1.0, 2.0]),
+        (0, [3.0, 4.0]),
+        (1, [10.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {r["label"]: (r["n"], r["centroid"])
+           for r in embedding_centroids(df, "label", "embedding", dim=2).collect()}
+    assert out[0] == (2, [2.0, 3.0])
+    assert out[1] == (1, [10.0, 0.0])
+
+
+def test_embedding_centroids_single_aggregation_no_explode(spark):
+    from ml_hadoop_experiment_spark.operators.similarity import embedding_centroids
+
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "label int, embedding array<float>")
+    plan = (
+        embedding_centroids(df, "label", "embedding", dim=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in plan  # no explode: per-position aggregates only
+    assert plan.count("Exchange hashpartitioning") == 1, plan
