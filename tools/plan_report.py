@@ -18,7 +18,12 @@ from ml_hadoop_experiment_spark.queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 # streaming queries execute eagerly inside the callable; their batch plan
 # against the memory sink is not the streaming plan — report them separately
-STREAMING = {"streaming_dedup", "streaming_rollup"}
+STREAMING = {
+    "streaming_dedup",
+    "streaming_rollup",
+    "streaming_sessionize",
+    "streaming_score",
+}
 
 
 def describe(plan: str) -> dict:
