@@ -148,6 +148,28 @@ def lang_id_sql(expr: str) -> str:
     return sql
 
 
+# --- repetition signals (Gopher-style quality rules) ----------------------
+
+
+def distinct_token_ratio(col: Column) -> Column:
+    """|distinct tokens| / |tokens| in [0,1] — low values flag the
+    mass-repetition documents the Gopher quality rules drop. Pure
+    expression (array_distinct), zero shuffle."""
+    tokens = F.split(F.trim(F.lower(col)), r"\s+")
+    return F.round(
+        F.size(F.array_distinct(tokens)).cast("double")
+        / F.greatest(F.size(tokens), F.lit(1)),
+        6,
+    )
+
+
+def distinct_token_ratio_sql(expr: str) -> str:
+    toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    return (
+        f"round(len(list_distinct({toks})) * 1.0 / greatest(len({toks}), 1), 6)"
+    )
+
+
 # --- fingerprinting -------------------------------------------------------
 
 

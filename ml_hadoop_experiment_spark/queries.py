@@ -1458,6 +1458,78 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token ratio
+    (pure expression) and top-bigram coverage (the fraction of the doc
+    covered by its most frequent word bigram — relational: bigram explode
+    → per-(doc, bigram) count → per-doc max, all map-side combined).
+    The two standard mass-repetition filters for LLM corpus curation."""
+    from ml_hadoop_experiment_spark.functions.text import distinct_token_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select(
+        "doc_id",
+        distinct_token_ratio(F.col("text")).alias("distinct_ratio"),
+        # bigint: F.size is int32, DuckDB len() is BIGINT — the driver's
+        # value hash serializes dtypes
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.arrays_zip(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+        ).alias("__bi"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        "distinct_ratio",
+        "n_tokens",
+        F.explode(
+            F.transform(F.col("__bi"), lambda s: F.concat_ws(" ", s["0"], s["1"]))
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("doc_id", "distinct_ratio", "n_tokens", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("doc_id", "distinct_ratio", "n_tokens").agg(
+        F.round(
+            (F.max("c") * 2).cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("top_bigram_frac")
+    )
+
+
+SQL_REPETITION_STATS = """
+WITH base AS (
+  SELECT doc_id,
+         {dr} AS distinct_ratio,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, distinct_ratio, n_tokens,
+         toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM base, unnest(range(1, len(toks))) AS t(i)
+),
+counts AS (
+  SELECT doc_id, distinct_ratio, n_tokens, bigram, count(*) AS c
+  FROM bigrams GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, distinct_ratio, n_tokens,
+       round(max(c) * 2.0 / greatest(n_tokens, 1), 6) AS top_bigram_frac
+FROM counts GROUP BY 1, 2, 3
+"""
+
+
+def _finalize_repetition_sql() -> str:
+    from ml_hadoop_experiment_spark.functions.text import distinct_token_ratio_sql
+
+    return SQL_REPETITION_STATS.replace("{dr}", distinct_token_ratio_sql("text"))
+
+
+SQL_REPETITION_STATS = _finalize_repetition_sql()
+
+
 def q_streaming_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming inference: the U1 vectorized-inference column applied to a
     STREAMING DataFrame (same operator, same pandas_udf — Structured
@@ -1705,6 +1777,7 @@ QUERIES = {
     "train_split": q_train_split,
     "doc_pipeline": q_doc_pipeline,
     "tfidf_topk": q_tfidf_topk,
+    "repetition_stats": q_repetition_stats,
     "window_topk": q_window_topk,
     "rollup_counts": q_rollup_counts,
     "anti_join": q_anti_join,
@@ -1761,6 +1834,7 @@ ORACLE_SQL = {
     "train_split": SQL_TRAIN_SPLIT,
     "doc_pipeline": SQL_DOC_PIPELINE,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "repetition_stats": SQL_REPETITION_STATS,
     "window_topk": SQL_WINDOW_TOPK,
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "anti_join": SQL_ANTI_JOIN,

@@ -74,3 +74,14 @@ def test_duckdb_twin_parity(spark):
     }
     for r in got:
         assert duck[r["doc_id"]] == (r["tc"], r["q"], r["lang"], r["fp"])
+
+
+def test_distinct_token_ratio(spark):
+    from ml_hadoop_experiment_spark.functions.text import distinct_token_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a b a b")], "id bigint, t string"
+    )
+    got = {r["id"]: r["r"]
+           for r in df.select("id", distinct_token_ratio(F.col("t")).alias("r")).collect()}
+    assert got == {1: 0.25, 2: 1.0, 3: 0.5}
