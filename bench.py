@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "near_dup_pairs",
     "simhash",
     "ann_topk",
+    "ann_topk_batch",
     "ivf_topk",
     "embedding_near_dup",
     # temporal + relational breadth

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ml_hadoop_experiment_spark.functions.vectors import cosine_similarity_expr
@@ -95,6 +95,42 @@ def cosine_topk(
         df.select(F.col(id_col).alias("id"), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k per query VECTOR SET — the batched serving shape.
+
+    The query frame broadcasts (a query batch is small by construction);
+    every (corpus row, query) pair scores map-side with zero shuffle on
+    the corpus, then one window per query id keeps k. Output
+    (qid, id, score, rk); ties break on id. At 100 TB the corpus-side scan
+    dominates and is embarrassingly parallel — cost is corpus × |queries|
+    dot products with no corpus movement, vs |queries| separate jobs for
+    the single-query operator.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("__qv")
+    )
+    pairs = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__cv")
+    ).crossJoin(F.broadcast(q))
+    score = F.round(cosine_similarity_expr(F.col("__cv"), F.col("__qv")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        pairs.select("qid", "id", score.alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
     )
 
 

@@ -1189,6 +1189,35 @@ def _sql_ivf_topk() -> str:
 SQL_IVF_TOPK = _sql_ivf_topk()
 
 
+def q_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact ANN: top-5 neighbors for each of the 5 query vectors
+    (vec_id < 5) in ONE pass — queries broadcast, corpus never moves,
+    per-query window top-k. The serving-batch shape of ann_topk."""
+    from ml_hadoop_experiment_spark.operators.similarity import cosine_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return cosine_topk_batch(emb, queries, k=5)
+
+
+# reuses SQL_ANN_TOPK's dot/norm folds (aliases e and q); formatted at the
+# bottom of the module after those constants are defined
+SQL_ANN_TOPK_BATCH = """
+SELECT qid, id, score, rk FROM (
+  SELECT q.vec_id AS qid, e.vec_id AS id,
+         round({dot} / ({norm_e} * {norm_q}), 6) AS score,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round({dot} / ({norm_e} * {norm_q}), 6) DESC, e.vec_id ASC
+         ) AS rk
+  FROM embeddings e,
+       (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+) WHERE rk <= 5
+"""
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (class means): 64 per-position
     decimal-exact SUM aggregates in one map-side-combined pass — the
@@ -1735,6 +1764,11 @@ FROM orders
 """
 
 
+SQL_ANN_TOPK_BATCH = SQL_ANN_TOPK_BATCH.format(
+    dot=_DOT_Q, norm_e=_NORM_E, norm_q=_NORM_Q
+)
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -1755,6 +1789,7 @@ QUERIES = {
     "near_dup_pairs": q_near_dup_pairs,
     "simhash": q_simhash,
     "ann_topk": q_ann_topk,
+    "ann_topk_batch": q_ann_topk_batch,
     "lsh_buckets": q_lsh_buckets,
     "multimodal_meta": q_multimodal_meta,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1812,6 +1847,7 @@ ORACLE_SQL = {
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
     "simhash": SQL_SIMHASH,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_topk_batch": SQL_ANN_TOPK_BATCH,
     "ivf_topk": SQL_IVF_TOPK,
     "lsh_buckets": SQL_LSH_BUCKETS,
     "multimodal_meta": SQL_MULTIMODAL_META,

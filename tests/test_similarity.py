@@ -170,3 +170,40 @@ def test_embedding_centroids_single_aggregation_no_explode(spark):
     )
     assert "Generate" not in plan  # no explode: per-position aggregates only
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cosine_topk_batch_matches_single_query(spark):
+    from ml_hadoop_experiment_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_batch,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    batch = cosine_topk_batch(df, queries, k=4)
+    got = {(r["qid"], r["rk"]): r["id"] for r in batch.collect()}
+    for qid in range(3):
+        qvec = rows[qid][1]
+        single = cosine_topk(df, qvec, k=4).collect()
+        for rk, r in enumerate(single, start=1):
+            assert got[(qid, rk)] == r["id"], (qid, rk)
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        cosine_topk_batch(df, queries, k=0)
+
+
+def test_cosine_topk_batch_corpus_never_shuffles_before_scoring(spark):
+    from ml_hadoop_experiment_spark.operators.similarity import cosine_topk_batch
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id bigint, embedding array<float>")
+    q = df.select(F.col("vec_id").alias("qid"), "embedding")
+    plan = cosine_topk_batch(df, q, k=1)._jdf.queryExecution().executedPlan().toString()
+    # queries broadcast; the only exchange is the per-qid top-k window
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
