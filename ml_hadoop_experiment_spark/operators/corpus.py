@@ -19,6 +19,8 @@ stage-light.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -28,7 +30,7 @@ def tfidf_topk_terms(
     id_col: str,
     text_col: str,
     k: int = 3,
-    cache_tf: bool = False,
+    cache_tf: Optional[bool] = None,
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document: (id, token, tfidf, rk).
 
@@ -37,6 +39,12 @@ def tfidf_topk_terms(
     lowercasing; ties in score break on token text so the output is
     total-order deterministic. ``tfidf`` is rounded to 6 decimals for
     cross-engine comparison; the rank is computed on the unrounded score.
+
+    ``cache_tf``: the tf frame is consumed twice (df aggregation + scoring
+    join); the default ``None`` auto-persists it (MEMORY_AND_DISK) when
+    Catalyst estimates the input above the MinHash pipeline's
+    ``AUTO_PERSIST_BYTES`` threshold — same policy, same rationale: small
+    inputs skip the materialization stage, 100 TB inputs tokenize once.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -47,8 +55,17 @@ def tfidf_topk_terms(
         ).alias("token"),
     )
     tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    if cache_tf is None:
+        from ml_hadoop_experiment_spark.operators.dedup import (
+            AUTO_PERSIST_BYTES,
+            _estimated_input_bytes,
+        )
+
+        cache_tf = _estimated_input_bytes(df) > AUTO_PERSIST_BYTES
     if cache_tf:
-        tf = tf.persist()
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
     score = F.col("tf") * (

@@ -1263,9 +1263,11 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ml_hadoop_experiment_spark.streaming.stateful import stateful_dedup
 
+    # schema from a batch read — never hard-coded (the round-2 lesson);
+    # the file source needs a directory, so glob-filter to the one table
+    wire_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
-        spark.readStream.schema("doc_id bigint")
-        # the file source needs a directory; glob-filter to the one table
+        spark.readStream.schema(wire_schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
         .select("doc_id")
