@@ -230,12 +230,15 @@ def jaccard_pairs(
     return out
 
 
-#: auto-persist threshold for ``minhash_dedup_pairs``: below this estimated
-#: input size the extra materialization costs more than the recompute it
-#: saves (measured at sf0.1: persisting the 5k-doc token frame made the
-#: pipeline *slower* — stage overhead dominates); far above it, recomputing
-#: the shingle+distinct pass 3x is the dominant cost.
-AUTO_PERSIST_BYTES = 256 << 20
+#: auto-persist threshold for ``minhash_dedup_pairs`` (Catalyst's estimate
+#: is COMPRESSED parquet bytes, so this is far smaller than the in-memory
+#: token frame it gates). Measured A/B, local[32] steady state: at 5k docs
+#: (595 KB estimate) persisting LOSES (2.19 s off vs 2.72 s on — stage
+#: overhead dominates); at 50k docs (5.8 MB estimate) persisting WINS
+#: (20.6 s on vs 26.6 s off — three shingle+distinct recomputes dominate).
+#: 4 MB sits between the two measured points; production corpora are far
+#: above it, interactive toy inputs far below.
+AUTO_PERSIST_BYTES = 4 << 20
 
 
 def _estimated_input_bytes(df: DataFrame) -> int:
