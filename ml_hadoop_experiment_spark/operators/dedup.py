@@ -68,6 +68,33 @@ def dedup_exact(
     )
 
 
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    content_cols: List[str],
+    ref_content_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Cross-corpus dedup: drop rows whose content digest appears in
+    ``reference`` (dedup a new crawl against the existing training set —
+    the incremental companion to ``dedup_exact``'s self-dedup).
+
+    A left-anti join on 16-byte digests: the exchange carries digests,
+    never payloads, and the reference side reduces to its DISTINCT digest
+    set before shuffling (map-side combined). With a small reference the
+    join broadcasts; at 100 TB-vs-100 TB it degrades gracefully to a
+    digest-keyed sort-merge anti join.
+    """
+    ref_cols = list(ref_content_cols or content_cols)
+    ref_digests = reference.select(
+        content_digest([F.col(c) for c in ref_cols]).alias("__digest")
+    ).distinct()
+    return (
+        df.withColumn("__digest", content_digest([F.col(c) for c in content_cols]))
+        .join(ref_digests, "__digest", "left_anti")
+        .drop("__digest")
+    )
+
+
 def duplicate_stats(df: DataFrame, content_cols: List[str]) -> DataFrame:
     """(digest, n_copies) for groups with more than one row — the audit view."""
     return (

@@ -1407,6 +1407,28 @@ GROUP BY 1, 2
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup: keep documents whose text does NOT already
+    appear in the 'existing corpus' (stand-in: doc_id < 100) — the
+    incremental new-crawl-vs-training-set shape. Digest-keyed left-anti
+    join; payloads never shuffle."""
+    from ml_hadoop_experiment_spark.operators.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") < 100)
+    out = dedup_against(docs.where(F.col("doc_id") >= 100), existing, ["text"])
+    return out.select("doc_id")
+
+
+SQL_DEDUP_INCREMENTAL = """
+SELECT doc_id FROM documents
+WHERE doc_id >= 100
+  AND coalesce(text, chr(0) || 'null') NOT IN (
+    SELECT coalesce(text, chr(0) || 'null') FROM documents WHERE doc_id < 100
+  )
+"""
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — corpus statistics as a relational
     composition (explode → tf agg → df agg → one-row broadcast → window).
@@ -1787,6 +1809,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "minhash_signatures": q_minhash_signatures,
     "near_dup_pairs": q_near_dup_pairs,
     "simhash": q_simhash,
@@ -1845,6 +1868,7 @@ ORACLE_SQL = {
     "text_stats": SQL_TEXT_STATS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
     "simhash": SQL_SIMHASH,

@@ -196,3 +196,20 @@ def test_lsh_single_scan_plan(docs, spark):
     sigs = minhash_signatures(toks, 8)
     plan = lsh_candidate_pairs(sigs, 4, 2)._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" not in plan, plan
+
+
+def test_dedup_against_cross_corpus(spark):
+    from ml_hadoop_experiment_spark.operators.dedup import dedup_against
+
+    new = spark.createDataFrame(
+        [(1, "seen before"), (2, "brand new"), (3, None), (4, "also new")],
+        "id bigint, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, "seen before"), (101, None)], "rid bigint, text string"
+    )
+    out = sorted(r["id"] for r in dedup_against(new, ref, ["text"]).collect())
+    # row 1 (exact text match) and row 3 (NULL matches NULL sentinel) drop
+    assert out == [2, 4]
+    # payload column set preserved
+    assert dedup_against(new, ref, ["text"]).columns == ["id", "text"]
