@@ -98,3 +98,19 @@ def test_portable_unit_hash_range(key, salt):
     h = ((key % PORTABLE_HASH_MOD) * _KNUTH + _OFFSET + salt) % _TWO32
     u = h / _TWO32
     assert 0.0 <= u < 1.0
+
+
+@settings(max_examples=500)
+@given(
+    ns=st.integers(min_value=0, max_value=4 * 10**18),
+    width_s=st.integers(min_value=1, max_value=10**6),
+)
+def test_time_bucket_scale_invariance(ns: int, width_s: int):
+    """The round-3 temporal claim: bucket ids computed from epoch-micros
+    equal those from epoch-nanos for the same instant and width — so a
+    fixture wire-type change can never shift a rollup bucket. (floor
+    division by width*scale; µs = ns // 1000 exact for parquet-µs data.)"""
+    us = ns // 1000
+    # a parquet timestamp[us] instant has ns = us * 1000 exactly
+    ns_exact = us * 1000
+    assert us // (width_s * 1_000_000) == ns_exact // (width_s * 1_000_000_000)
