@@ -1407,6 +1407,66 @@ GROUP BY 1, 2
 """
 
 
+def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate audit view: (digest, n_copies) for every content group
+    with more than one row — the triage report run before committing to a
+    dedup pass. Same content basis as ``dedup_exact`` (l_orderkey), so
+    this reports exactly the groups that pass would collapse. One
+    map-combined digest aggregation. (The documents fixture has no exact
+    text duplicates — a 0-row result — so the audit runs where duplicates
+    exist.)"""
+    from ml_hadoop_experiment_spark.operators.dedup import duplicate_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_stats(li, ["l_orderkey"]).withColumnRenamed(
+        "count", "n_copies"
+    )
+
+
+SQL_DUP_STATS = """
+SELECT md5(CAST(l_orderkey AS VARCHAR)) AS digest, count(*) AS n_copies
+FROM lineitem
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via half-fingerprint blocking: pairs within
+    hamming distance 3 of a 16-bit fingerprint. Candidates join on either
+    exact half (pigeonhole), exact popcount verifies — never all-pairs."""
+    from ml_hadoop_experiment_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=16, max_hamming=3
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    from ml_hadoop_experiment_spark.operators.dedup import simhash_sql
+
+    fp = simhash_sql("text", 16)
+    return f"""
+WITH fps AS (SELECT doc_id AS id, {fp} AS fp FROM documents),
+blocks AS (
+  SELECT id, fp, 0 AS part, fp % 256 AS block FROM fps
+  UNION ALL
+  SELECT id, fp, 1 AS part, fp // 256 AS block FROM fps  -- int div: CAST(fp/256) would ROUND, Spark truncates
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+  FROM blocks a JOIN blocks b
+    ON a.part = b.part AND a.block = b.block AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
+FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus dedup: keep documents whose text does NOT already
     appear in the 'existing corpus' (stand-in: doc_id < 100) — the
@@ -1810,6 +1870,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
+    "dup_stats": q_dup_stats,
+    "simhash_pairs": q_simhash_pairs,
     "minhash_signatures": q_minhash_signatures,
     "near_dup_pairs": q_near_dup_pairs,
     "simhash": q_simhash,
@@ -1869,6 +1931,8 @@ ORACLE_SQL = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "dup_stats": SQL_DUP_STATS,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
     "simhash": SQL_SIMHASH,
