@@ -385,21 +385,53 @@ def simhash_sql(expr: str, bits: int = 16) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
+def simhash_block_bounds(bits: int, max_hamming: int) -> List[tuple]:
+    """(start, width) of the ``max_hamming + 1`` disjoint bit segments used
+    for pigeonhole blocking: if two fingerprints differ in at most d bits,
+    at least one of d+1 disjoint segments contains zero flips, so the pair
+    shares that segment exactly. Widths are as even as the split allows.
+
+    Shared by the Spark operator and the DuckDB SQL twin so both sides
+    block identically by construction.
+    """
+    num_blocks = max_hamming + 1
+    if num_blocks > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {num_blocks} non-empty blocks "
+            f"but the fingerprint has only {bits} bits"
+        )
+    base, rem = divmod(bits, num_blocks)
+    bounds, start = [], 0
+    for i in range(num_blocks):
+        width = base + (1 if i < rem else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame, bits: int = 16, max_hamming: int = 2
 ) -> DataFrame:
-    """Pairs within ``max_hamming`` bit flips, using half-fingerprint
-    blocking: two fingerprints within hamming distance d <= bits/2 share at
-    least one exact half (pigeonhole for d<=1 per half); candidates join on
-    either half, then exact popcount verifies."""
-    fp = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("fp"))
-    half = bits // 2
-    lo = (F.col("fp") % (1 << half)).alias("block")
-    hi = (F.col("fp") / (1 << half)).cast("bigint").alias("block")
-    blocks = fp.select("id", "fp", F.lit(0).alias("part"), lo).unionByName(
-        fp.select("id", "fp", F.lit(1).alias("part"), hi)
-    )
-    a, b = blocks.alias("a"), blocks.alias("b")
+    """Candidate-join + exact-verify stage of SimHash near-dup, on a frame
+    with columns ``(id, fp)``. Exposed separately so recall can be tested
+    against brute-force popcount on crafted fingerprints.
+
+    Blocking: one row per (segment index, segment value) per doc —
+    ``max_hamming + 1`` disjoint segments (see ``simhash_block_bounds``).
+    Pigeonhole guarantees every true pair collides in at least one segment;
+    ``bit_count(xor)`` then verifies exactly, so the result is exact recall
+    at the declared ``max_hamming`` (the old two-half blocking only
+    guaranteed recall at hamming <= 1). Scale shape is unchanged: a
+    segment-keyed self-join, never all-pairs; segments shrink as
+    max_hamming grows, so degenerate-block fan-out is the cost of deeper
+    radius — cap with an upstream filter if a segment value dominates.
+    """
+    parts = None
+    for part, (start, width) in enumerate(simhash_block_bounds(bits, max_hamming)):
+        block = F.shiftright(F.col("fp"), start).bitwiseAND(F.lit((1 << width) - 1))
+        p = fp.select("id", "fp", F.lit(part).alias("part"), block.alias("block"))
+        parts = p if parts is None else parts.unionByName(p)
+    a, b = parts.alias("a"), parts.alias("b")
     cands = (
         a.join(
             b,
@@ -419,3 +451,30 @@ def simhash_near_dup_pairs(
     return cands.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bit flips of their ``bits``-bit SimHash.
+
+    Fingerprint is a pure column expression (zero shuffle); candidates come
+    from pigeonhole blocking on ``max_hamming + 1`` disjoint bit segments
+    (exact recall — see ``simhash_pairs_from_fingerprints``), then exact
+    popcount verifies. Never materializes all-pairs.
+    """
+    fp = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("fp"))
+    return simhash_pairs_from_fingerprints(fp, bits=bits, max_hamming=max_hamming)
+
+
+def simhash_blocks_sql(bits: int, max_hamming: int) -> str:
+    """DuckDB twin of the blocking stage: the ``blocks`` CTE body over a
+    ``fps(id, fp)`` relation, one UNION ALL arm per segment, generated from
+    the same ``simhash_block_bounds`` as the Spark operator."""
+    arms = []
+    for part, (start, width) in enumerate(simhash_block_bounds(bits, max_hamming)):
+        # fp is nonnegative, so integer div/mod == shift/mask
+        arms.append(
+            f"SELECT id, fp, {part} AS part, (fp // {1 << start}) % {1 << width} AS block FROM fps"
+        )
+    return "\n  UNION ALL\n  ".join(arms)

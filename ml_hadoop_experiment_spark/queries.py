@@ -1432,9 +1432,10 @@ HAVING count(*) > 1
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via half-fingerprint blocking: pairs within
-    hamming distance 3 of a 16-bit fingerprint. Candidates join on either
-    exact half (pigeonhole), exact popcount verifies — never all-pairs."""
+    """SimHash near-dup pairs: pairs within hamming distance 3 of a 16-bit
+    fingerprint. Candidates come from pigeonhole blocking on max_hamming+1
+    = 4 disjoint 4-bit segments (every true pair shares at least one exact
+    segment), exact popcount verifies — never all-pairs, exact recall."""
     from ml_hadoop_experiment_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -1444,15 +1445,14 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_simhash_pairs() -> str:
-    from ml_hadoop_experiment_spark.operators.dedup import simhash_sql
+    from ml_hadoop_experiment_spark.operators.dedup import simhash_blocks_sql, simhash_sql
 
     fp = simhash_sql("text", 16)
+    blocks = simhash_blocks_sql(16, 3)
     return f"""
 WITH fps AS (SELECT doc_id AS id, {fp} AS fp FROM documents),
 blocks AS (
-  SELECT id, fp, 0 AS part, fp % 256 AS block FROM fps
-  UNION ALL
-  SELECT id, fp, 1 AS part, fp // 256 AS block FROM fps  -- int div: CAST(fp/256) would ROUND, Spark truncates
+  {blocks}
 ),
 cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b

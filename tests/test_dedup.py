@@ -147,6 +147,68 @@ def test_simhash_near_dup_pairs(spark):
     assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs} == {(1, 2, 0)}
 
 
+def test_simhash_block_bounds():
+    from ml_hadoop_experiment_spark.operators.dedup import simhash_block_bounds
+
+    assert simhash_block_bounds(16, 3) == [(0, 4), (4, 4), (8, 4), (12, 4)]
+    assert simhash_block_bounds(16, 1) == [(0, 8), (8, 8)]
+    # uneven split still covers all bits with max_hamming+1 segments
+    assert simhash_block_bounds(16, 4) == [(0, 4), (4, 3), (7, 3), (10, 3), (13, 3)]
+    with pytest.raises(ValueError):
+        simhash_block_bounds(4, 4)
+
+
+def test_simhash_pairs_recall_vs_bruteforce(spark):
+    """Blocking must return EXACTLY the brute-force popcount pairs at every
+    max_hamming — including pairs whose flips split across the old two
+    halves (e.g. hamming 2 as 1+1), which half-blocking silently missed."""
+    from itertools import combinations
+
+    from ml_hadoop_experiment_spark.operators.dedup import simhash_pairs_from_fingerprints
+
+    # crafted fingerprints: flips split across halves/segments on purpose
+    fps = {
+        1: 0b0000000000000000,
+        2: 0b0000000100000001,  # hamming 2 vs 1, one flip per 8-bit half
+        3: 0b0001000100000001,  # hamming 3 vs 1, flips in 3 of 4 nibbles
+        4: 0b0001000100010001,  # hamming 4 vs 1 (outside d<=3)
+        5: 0b1000000000000001,  # hamming 2 vs 1, extreme bits
+        6: 0b0000000000000011,  # hamming 2 vs 1, same nibble
+    }
+    df = spark.createDataFrame(list(fps.items()), "id bigint, fp bigint")
+    for d in (0, 1, 2, 3):
+        truth = {
+            (a, b, bin(fps[a] ^ fps[b]).count("1"))
+            for a, b in combinations(sorted(fps), 2)
+            if bin(fps[a] ^ fps[b]).count("1") <= d
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_pairs_from_fingerprints(df, bits=16, max_hamming=d).collect()
+        }
+        assert got == truth, f"max_hamming={d}: {got} != {truth}"
+
+
+def test_simhash_near_dup_pairs_recall_real_texts(spark):
+    """End-to-end recall on real fingerprints: operator output == brute-force
+    all-pairs popcount over the same simhash column, at hamming 2 and 3."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    fp = {r["doc_id"]: r["f"] for r in
+          docs.select("doc_id", simhash(F.col("text"), 16).alias("f")).collect()}
+    ids = sorted(fp)
+    for d in (2, 3):
+        truth = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin(fp[a] ^ fp[b]).count("1")
+                if h <= d:
+                    truth.add((a, b, h))
+        got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+               simhash_near_dup_pairs(docs, "doc_id", "text",
+                                      bits=16, max_hamming=d).collect()}
+        assert got == truth
+
+
 def test_simhash_sql_twin(spark):
     """simhash() and simhash_sql() agree (Spark evaluates both)."""
     import duckdb
