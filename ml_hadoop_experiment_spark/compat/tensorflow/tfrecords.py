@@ -104,6 +104,29 @@ def df_to_tf_record(
     return [path for path, _ in written]
 
 
+def read_parsed_sequence_tfr(
+    files: Union[str, List[str]],
+    context_features: Dict[str, Any],
+    sequence_features: Dict[str, Any],
+    compression_type: str = "GZIP",
+) -> Iterator[Tuple[Dict[str, Any], Dict[str, Any]]]:
+    """Driver-side parsed SequenceExample iterator (reference
+    tensorflow/tfrecords.py:60-72, minus the tf.data dependency).
+
+    Yields ``(context, sequences)`` pairs like
+    ``tf.io.parse_single_sequence_example``: scalar-shaped sequence specs
+    yield one value per step ([T]); shaped specs a list per step ([T, k]).
+    """
+    ctx_specs = to_engine_specs(context_features)
+    seq_specs = to_engine_specs(sequence_features)
+    compression = "gzip" if (compression_type or "").upper() == "GZIP" else None
+    if isinstance(files, str):
+        files = [files]
+    for f in files:
+        for record in _tfr.read_tfrecord_file(f, compression):
+            yield _tfr.parse_sequence_example_bytes(record, ctx_specs, seq_specs)
+
+
 def read_parsed_tfr(
     files: Union[str, List[str]],
     features_specs: Dict[str, Any],

@@ -334,13 +334,9 @@ def _decode_feature(buf: bytes) -> Tuple[str, List[Any]]:
     raise ValueError(f"unknown Feature field {field}")
 
 
-def parse_example_raw(data: bytes) -> Dict[str, List[Any]]:
-    """Serialized Example -> {name: raw list} (no spec interpretation)."""
+def _parse_features_body(features: bytes) -> Dict[str, List[Any]]:
+    """Features message content (repeated map entries) -> {name: raw list}."""
     out: Dict[str, List[Any]] = {}
-    pos = 0
-    tag, pos = _read_varint(data, pos)
-    ln, pos = _read_varint(data, pos)
-    features = data[pos : pos + ln]
     fpos = 0
     while fpos < len(features):
         tag, fpos = _read_varint(features, fpos)
@@ -362,6 +358,14 @@ def parse_example_raw(data: bytes) -> Dict[str, List[Any]]:
                 _, feat = _decode_feature(chunk) if chunk else ("", [])
         out[name.decode()] = feat
     return out
+
+
+def parse_example_raw(data: bytes) -> Dict[str, List[Any]]:
+    """Serialized Example -> {name: raw list} (no spec interpretation)."""
+    pos = 0
+    tag, pos = _read_varint(data, pos)
+    ln, pos = _read_varint(data, pos)
+    return _parse_features_body(data[pos : pos + ln])
 
 
 def parse_example_bytes(data: bytes, specs: FeatureSpecs) -> Dict[str, Any]:
@@ -388,6 +392,141 @@ def parse_example_bytes(data: bytes, specs: FeatureSpecs) -> Dict[str, Any]:
         else:
             row[name] = values
     return row
+
+
+# --------------------------------------------------------------------------
+# SequenceExample: ``SequenceExample{ Features context=1;
+# FeatureLists feature_lists=2 }``; ``FeatureLists{ map<string,FeatureList>
+# feature_list=1 }``; ``FeatureList{ repeated Feature feature=1 }``.
+# Parity: reference tensorflow/tfrecords.py:60-72 reads these via
+# tf.io.parse_single_sequence_example; the codec below is the TF-free twin.
+# --------------------------------------------------------------------------
+
+
+def to_sequence_example_bytes(
+    context: Dict[str, Any],
+    sequence: Dict[str, List[Any]],
+    context_specs: FeatureSpecs,
+    sequence_specs: FeatureSpecs,
+) -> bytes:
+    """(context row, {name: list of steps}) -> serialized SequenceExample.
+
+    Context features follow Example semantics exactly (defaults, empty-as-
+    null, shape checks — see ``make_example_encoder``). Each sequence step
+    is one Feature in the FeatureList: a scalar step encodes one element, a
+    list step encodes that many. A sequence feature whose value is None is
+    omitted entirely (readers with that name in their spec see zero steps).
+    """
+    ctx = make_example_encoder(context_specs)(context)  # == context field 1
+    entries = []
+    for name, spec in sequence_specs.items():
+        steps = sequence.get(name)
+        if steps is None:
+            continue
+        kind = _dtype_kind(spec.dtype)
+        feats = bytearray()
+        for step in steps:
+            values = _as_list(step)
+            if values is None:
+                values = []
+            _check_elements(values, spec)
+            feats += _len_delim(1, _encode_feature(values, kind))  # FeatureList.feature
+        entry = _len_delim(1, name.encode()) + _len_delim(2, bytes(feats))
+        entries.append(_len_delim(1, entry))  # FeatureLists.feature_list map entry
+    return ctx + _len_delim(2, b"".join(entries))
+
+
+def parse_sequence_example_raw(
+    data: bytes,
+) -> Tuple[Dict[str, List[Any]], Dict[str, List[List[Any]]]]:
+    """Serialized SequenceExample -> (context raw lists, {name: list of
+    per-step raw lists}); no spec interpretation."""
+    context: Dict[str, List[Any]] = {}
+    sequence: Dict[str, List[List[Any]]] = {}
+    pos = 0
+    while pos < len(data):
+        tag, pos = _read_varint(data, pos)
+        ln, pos = _read_varint(data, pos)
+        chunk = data[pos : pos + ln]
+        pos += ln
+        field = tag >> 3
+        if field == 1:  # context: a Features message
+            context = _parse_features_body(chunk)
+        elif field == 2:  # feature_lists
+            fpos = 0
+            while fpos < len(chunk):
+                etag, fpos = _read_varint(chunk, fpos)
+                eln, fpos = _read_varint(chunk, fpos)
+                entry = chunk[fpos : fpos + eln]
+                fpos += eln
+                epos = 0
+                name = b""
+                steps: List[List[Any]] = []
+                while epos < len(entry):
+                    etag2, epos = _read_varint(entry, epos)
+                    eln2, epos = _read_varint(entry, epos)
+                    payload = entry[epos : epos + eln2]
+                    epos += eln2
+                    if etag2 >> 3 == 1:
+                        name = payload
+                    else:  # FeatureList: repeated Feature
+                        lpos = 0
+                        while lpos < len(payload):
+                            _, lpos = _read_varint(payload, lpos)
+                            fln, lpos = _read_varint(payload, lpos)
+                            feat = payload[lpos : lpos + fln]
+                            lpos += fln
+                            steps.append(_decode_feature(feat)[1] if feat else [])
+                sequence[name.decode()] = steps
+    return context, sequence
+
+
+def _convert_values(values: List[Any], dtype: str) -> List[Any]:
+    if dtype == "string":
+        return [v.decode() if isinstance(v, bytes) else v for v in values]
+    if dtype in ("int32", "int64"):
+        return [int(v) for v in values]
+    return [float(v) for v in values]
+
+
+def parse_sequence_example_bytes(
+    data: bytes, context_specs: FeatureSpecs, sequence_specs: FeatureSpecs
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Serialized SequenceExample -> (context row, sequence row), honoring
+    spec defaults/shapes for context and flattening scalar-shaped sequence
+    specs to one value per step (mirrors the tensor shapes
+    tf.io.parse_single_sequence_example yields: [T] vs [T, k])."""
+    raw_ctx, raw_seq = parse_sequence_example_raw(data)
+    # context follows Example semantics exactly: re-frame and reuse
+    ctx_row: Dict[str, Any] = {}
+    for name, spec in context_specs.items():
+        values = raw_ctx.get(name)
+        if values is None or len(values) == 0:
+            if isinstance(spec, FixedLenFeature):
+                if spec.default_value is None:
+                    raise ValueError(f"context feature {name} missing and spec has no default")
+                values = _as_list(spec.default_value)
+            else:
+                values = []
+        values = _convert_values(values, spec.dtype)
+        if isinstance(spec, FixedLenFeature) and not spec.shape:
+            ctx_row[name] = values[0]
+        else:
+            ctx_row[name] = values
+    seq_row: Dict[str, Any] = {}
+    for name, spec in sequence_specs.items():
+        steps = [_convert_values(s, spec.dtype) for s in raw_seq.get(name, [])]
+        scalar_steps = isinstance(spec, FixedLenFeature) and not spec.shape
+        if scalar_steps:
+            for s in steps:
+                if len(s) != 1:
+                    raise ValueError(
+                        f"sequence feature {name}: scalar spec but step has {len(s)} values"
+                    )
+            seq_row[name] = [s[0] for s in steps]
+        else:
+            seq_row[name] = steps
+    return ctx_row, seq_row
 
 
 # --------------------------------------------------------------------------

@@ -162,3 +162,125 @@ def test_events_reader(tmp_path):
     pdf = metrics_long_frame(str(tmp_path))
     got = [(r.step, r.name, round(r.value, 1)) for r in pdf.itertuples()]
     assert got == [(42, "metric0", 32.4), (44, "metric0", 33.8), (44, "metric1", 23.3)]
+
+
+# --------------------------------------------------------------------------
+# SequenceExample (reference tensorflow/tfrecords.py:60-72)
+# --------------------------------------------------------------------------
+
+CTX_SPECS = {
+    "user": FixedLenFeature((), "string"),
+    "weight": FixedLenFeature((), "float32", default_value=2.5),
+    "tags": VarLenFeature("int64"),
+}
+SEQ_SPECS = {
+    "clicks": FixedLenFeature((), "int64"),       # scalar per step -> [T]
+    "scores": VarLenFeature("float32"),           # ragged steps -> [T, *]
+    "pair": FixedLenFeature((2,), "int64"),       # shaped steps -> [T, 2]
+    "words": FixedLenFeature((), "string"),
+}
+
+
+def test_sequence_example_roundtrip():
+    from ml_hadoop_experiment_spark.sources.tfrecords import (
+        parse_sequence_example_bytes,
+        to_sequence_example_bytes,
+    )
+
+    ctx = {"user": "u1", "weight": 0.5, "tags": [3, 1, 4]}
+    seq = {
+        "clicks": [1, 0, 1, 1],
+        "scores": [[0.25], [], [0.5, 0.75]],
+        "pair": [[1, 2], [3, 4]],
+        "words": ["a", "bb"],
+    }
+    data = to_sequence_example_bytes(ctx, seq, CTX_SPECS, SEQ_SPECS)
+    got_ctx, got_seq = parse_sequence_example_bytes(data, CTX_SPECS, SEQ_SPECS)
+    assert got_ctx == {"user": "u1", "weight": 0.5, "tags": [3, 1, 4]}
+    assert got_seq == {
+        "clicks": [1, 0, 1, 1],
+        "scores": [[0.25], [], [0.5, 0.75]],
+        "pair": [[1, 2], [3, 4]],
+        "words": ["a", "bb"],
+    }
+
+
+def test_sequence_example_context_defaults_and_omitted_sequence():
+    from ml_hadoop_experiment_spark.sources.tfrecords import (
+        parse_sequence_example_bytes,
+        to_sequence_example_bytes,
+    )
+
+    # weight omitted (has default -> reader fills); sequence features absent
+    data = to_sequence_example_bytes({"user": "u2"}, {}, CTX_SPECS, SEQ_SPECS)
+    ctx, seq = parse_sequence_example_bytes(data, CTX_SPECS, SEQ_SPECS)
+    assert ctx == {"user": "u2", "weight": 2.5, "tags": []}
+    assert seq == {"clicks": [], "scores": [], "pair": [], "words": []}
+
+
+def test_sequence_example_scalar_step_shape_enforced():
+    from ml_hadoop_experiment_spark.sources.tfrecords import (
+        parse_sequence_example_bytes,
+        to_sequence_example_bytes,
+    )
+
+    data = to_sequence_example_bytes(
+        {"user": "u"}, {"clicks": [[1, 2]]}, CTX_SPECS, SEQ_SPECS
+    )
+    with pytest.raises(ValueError, match="scalar spec but step has 2"):
+        parse_sequence_example_bytes(data, CTX_SPECS, SEQ_SPECS)
+
+
+def test_sequence_example_type_enforcement():
+    from ml_hadoop_experiment_spark.sources.tfrecords import to_sequence_example_bytes
+
+    with pytest.raises(ValueError, match="not integer"):
+        to_sequence_example_bytes(
+            {"user": "u"}, {"clicks": [1, "x"]}, CTX_SPECS, SEQ_SPECS
+        )
+
+
+def test_read_parsed_sequence_tfr_compat(tmp_path):
+    """File roundtrip through the compat reader with duck-typed tf.io-style
+    specs (reference read_parsed_sequence_tfr call shape)."""
+    from ml_hadoop_experiment_spark.compat.tensorflow.tfrecords import (
+        read_parsed_sequence_tfr,
+    )
+    from ml_hadoop_experiment_spark.sources.tfrecords import (
+        to_sequence_example_bytes,
+        write_tfrecord_file,
+    )
+
+    class _FakeDType:
+        def __init__(self, name):
+            self.name = name
+
+    class _FakeFixedLenSequenceFeature:  # structural: shape + dtype attrs
+        def __init__(self, shape, dtype):
+            self.shape = shape
+            self.dtype = _FakeDType(dtype)
+            self.allow_missing = True
+
+    class _FakeVarLenFeature:  # structural: dtype only
+        def __init__(self, dtype):
+            self.dtype = _FakeDType(dtype)
+
+    ctx_tf = {"user": _FakeFixedLenSequenceFeature([], "string")}
+    seq_tf = {
+        "clicks": _FakeFixedLenSequenceFeature([], "int64"),
+        "scores": _FakeVarLenFeature("float32"),
+    }
+    rows = [
+        ({"user": "a"}, {"clicks": [1, 0], "scores": [[0.5], [0.25, 0.75]]}),
+        ({"user": "b"}, {"clicks": [7], "scores": [[]]}),
+    ]
+    records = [
+        to_sequence_example_bytes(c, s, CTX_SPECS, SEQ_SPECS) for c, s in rows
+    ]
+    path = str(tmp_path / "seq.tfrecord")
+    write_tfrecord_file(path, records, compression="gzip")
+    got = list(read_parsed_sequence_tfr(path, ctx_tf, seq_tf, compression_type="GZIP"))
+    assert got == [
+        ({"user": "a"}, {"clicks": [1, 0], "scores": [[0.5], [0.25, 0.75]]}),
+        ({"user": "b"}, {"clicks": [7], "scores": [[]]}),
+    ]
