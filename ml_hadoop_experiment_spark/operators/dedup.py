@@ -21,6 +21,7 @@ reproducibility is not needed (see functions/hashing.py docstring).
 
 from __future__ import annotations
 
+import logging
 from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, Window
@@ -31,6 +32,8 @@ from ml_hadoop_experiment_spark.functions.hashing import (
     minhash_permute,
     portable_token_hash_int,
 )
+
+_logger = logging.getLogger(__name__)
 
 
 # --------------------------------------------------------------------------
@@ -163,6 +166,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     max_bucket_ids: Optional[int] = None,
+    scale_safe_joins: bool = True,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one LSH band.
 
@@ -175,13 +179,25 @@ def lsh_candidate_pairs(
     banding join; skewed buckets are split by AQE skew-join handling at
     scale.
 
-    ``max_bucket_ids`` (optional) drops buckets wider than N ids before
-    the self-join. A degenerate band key (e.g. near-empty documents all
-    hashing alike) creates one bucket whose self-join is O(width²); the
-    cap bounds the worst case at the cost of recall ON THOSE PATHOLOGICAL
-    BUCKETS ONLY — a bucket that wide is not discriminating anyway (the
-    standard production guard; off by default so toy-scale results stay
-    exactly oracle-comparable).
+    ``max_bucket_ids`` (optional here; ``minhash_dedup_pairs`` defaults it
+    to 1024) drops buckets wider than N ids before the self-join. A
+    degenerate band key (e.g. near-empty documents all hashing alike)
+    creates one bucket whose self-join is O(width²); the cap bounds the
+    worst case at the cost of recall ON THOSE PATHOLOGICAL BUCKETS ONLY —
+    a bucket that wide is not discriminating anyway (the standard
+    production guard). The cap is a map-combined width aggregate +
+    left-anti join (measured cheaper than a count window: the agg shuffle
+    carries one row per bucket per partition, and the anti-join's
+    over-cap side is near-empty on healthy corpora so AQE runs it
+    broadcast). Audit what a cap drops with ``lsh_bucket_overflow``.
+
+    ``scale_safe_joins`` MERGE-hints the bucket self-join. Both sides are
+    the same corpus-derived frame, so a compile-time broadcast is always
+    wrong at scale — and the cap/persist nodes can collapse the size
+    ESTIMATE below autoBroadcastJoinThreshold while the actual frame is
+    unbounded (observed on the 10x corpus: planner broadcast the capped
+    frame and OOM'd the driver). ``minhash_dedup_pairs`` wires this to
+    its big-input policy so toy corpora keep their (correct) broadcasts.
     """
     num_hashes = len([c for c in signatures.columns if c.startswith("mh_")])
     assert bands * rows_per_band <= num_hashes, "bands*rows exceeds signature size"
@@ -201,14 +217,17 @@ def lsh_candidate_pairs(
         "id", F.col("__e.band").alias("band"), F.col("__e.band_key").alias("band_key")
     )
     if max_bucket_ids is not None:
-        w = Window.partitionBy("band", "band_key")
-        frames = (
-            frames.withColumn("__n", F.count(F.lit(1)).over(w))
-            .where(F.col("__n") <= max_bucket_ids)
-            .drop("__n")
+        over = (
+            frames.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__width"))
+            .where(F.col("__width") > max_bucket_ids)
+            .drop("__width")
         )
+        frames = frames.join(over, ["band", "band_key"], "left_anti")
     left = frames.alias("a")
     right = frames.alias("b")
+    if scale_safe_joins:
+        right = right.hint("merge")
     return (
         left.join(
             right,
@@ -221,18 +240,71 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_bucket_overflow(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_ids: int = 1024,
+) -> DataFrame:
+    """Audit table of LSH buckets wider than ``max_bucket_ids`` — exactly
+    the buckets ``lsh_candidate_pairs`` would drop at that cap.
+
+    Returns (band, band_key, width) — one map-combined aggregation, no
+    join, so running it alongside a capped dedup is cheap. Production
+    jobs should count/log this frame per run: a growing overflow count
+    means the corpus has a degenerate content class (empty docs,
+    boilerplate) that deserves an upstream filter rather than a wider cap.
+    """
+    num_hashes = len([c for c in signatures.columns if c.startswith("mh_")])
+    assert bands * rows_per_band <= num_hashes, "bands*rows exceeds signature size"
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        signatures.select(F.explode(entries).alias("__e"))
+        .select(F.col("__e.band").alias("band"), F.col("__e.band_key").alias("band_key"))
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .where(F.col("width") > max_bucket_ids)
+    )
+
+
 def jaccard_pairs(
-    candidates: DataFrame, tokens: DataFrame, threshold: float = 0.0
+    candidates: DataFrame,
+    tokens: DataFrame,
+    threshold: float = 0.0,
+    scale_safe_joins: bool = True,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs from the distinct token sets.
 
     |A∩B| via a two-sided token join restricted to candidate pairs; |A∪B| =
     |A|+|B|-|A∩B|. Output: (id_a, id_b, jaccard) with jaccard >= threshold.
     Cost scales with candidate count (LSH already pruned), never all-pairs.
+
+    ``scale_safe_joins`` MERGE-hints the token-frame joins: the token frame
+    is corpus-sized (one row per distinct token per document) and must
+    never be broadcast off a compile-time estimate — an un-materialized
+    persisted token frame reports its tiny COMPRESSED parquet estimate and
+    the planner would happily broadcast millions of rows (observed OOM on
+    the 10x corpus). ``minhash_dedup_pairs`` wires this to its big-input
+    policy; direct callers get the scale-safe default.
     """
     sizes = tokens.groupBy("id").agg(F.count("*").alias("n_tokens"))
     ta = tokens.select(F.col("id").alias("id_a"), "token")
     tb = tokens.select(F.col("id").alias("id_b"), "token")
+    if scale_safe_joins:
+        sizes = sizes.hint("merge")
+        ta = ta.hint("merge")
+        tb = tb.hint("merge")
     inter = (
         candidates.join(ta, "id_a")
         .join(tb, ["id_b", "token"])
@@ -288,9 +360,18 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     cache_intermediates: Optional[bool] = None,
     storage_level: Optional["StorageLevel"] = None,  # noqa: F821
-    max_bucket_ids: Optional[int] = None,
+    max_bucket_ids: Optional[int] = 1024,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: shingle -> minhash -> band -> verify.
+
+    ``max_bucket_ids`` defaults ON (1024): the candidate-verify stage is
+    the one superlinear term in the pipeline (SCALE.md measured 8.7× time
+    at 10× rows on a dup-heavy corpus) and its size is driven by bucket
+    width squared, so a width cap is the scale guard, not an optimization.
+    Dropping a 1024-wide bucket costs recall only on content so uniform
+    that a 16-bit band key cannot discriminate it — run
+    ``lsh_bucket_overflow(sigs, bands, rows_per_band, max_bucket_ids)``
+    to see exactly what a corpus loses; pass ``None`` to uncap.
 
     The token frame is consumed three times (signatures + both sides of the
     Jaccard verify) and the signature frame ``2*bands`` times (each band
@@ -310,6 +391,12 @@ def minhash_dedup_pairs(
     toks = tokens_frame(df, id_col, text_col, shingle_size)
     if cache_intermediates is None:
         cache_intermediates = _estimated_input_bytes(df) > AUTO_PERSIST_BYTES
+    # the same big-input bit gates the MERGE hints: once intermediates are
+    # persisted, compile-time size estimates lie (compressed-scan bytes for
+    # in-memory frames), so broadcast decisions must not be made from them;
+    # small un-persisted inputs keep their honest estimates and their
+    # (measured faster) broadcast plans.
+    safe_joins = bool(cache_intermediates)
     if cache_intermediates:
         from pyspark import StorageLevel
 
@@ -318,8 +405,16 @@ def minhash_dedup_pairs(
         sigs = minhash_signatures(toks, num_hashes).persist(level)
     else:
         sigs = minhash_signatures(toks, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_ids)
-    return jaccard_pairs(cands, toks, threshold)
+    if max_bucket_ids is not None:
+        _logger.info(
+            "minhash_dedup_pairs: LSH bucket cap active (max_bucket_ids=%d); "
+            "audit dropped buckets with lsh_bucket_overflow(signatures, %d, %d, %d)",
+            max_bucket_ids, bands, rows_per_band, max_bucket_ids,
+        )
+    cands = lsh_candidate_pairs(
+        sigs, bands, rows_per_band, max_bucket_ids, scale_safe_joins=safe_joins
+    )
+    return jaccard_pairs(cands, toks, threshold, scale_safe_joins=safe_joins)
 
 
 # --------------------------------------------------------------------------

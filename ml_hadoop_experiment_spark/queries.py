@@ -530,7 +530,9 @@ GROUP BY doc_id
 
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: 3-shingles, 8 hashes, 4x2 bands,
-    Jaccard >= 0.3 verification."""
+    Jaccard >= 0.3 verification. The default LSH bucket cap (1024 ids) is
+    active — the scale guard against O(width²) degenerate buckets — and
+    the oracle mirrors it with the same QUALIFY window filter."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_dedup_pairs(
         docs, "doc_id", "text", shingle_size=3, num_hashes=8, bands=4,
@@ -557,10 +559,14 @@ sigs AS (
   GROUP BY id
 ),
 bandframe AS (
-  SELECT 0 AS band, mh_0 || '|' || mh_1 AS band_key, id FROM sigs
-  UNION ALL SELECT 1, mh_2 || '|' || mh_3, id FROM sigs
-  UNION ALL SELECT 2, mh_4 || '|' || mh_5, id FROM sigs
-  UNION ALL SELECT 3, mh_6 || '|' || mh_7, id FROM sigs
+  SELECT band, band_key, id FROM (
+    SELECT 0 AS band, mh_0 || '|' || mh_1 AS band_key, id FROM sigs
+    UNION ALL SELECT 1, mh_2 || '|' || mh_3, id FROM sigs
+    UNION ALL SELECT 2, mh_4 || '|' || mh_5, id FROM sigs
+    UNION ALL SELECT 3, mh_6 || '|' || mh_7, id FROM sigs
+  )
+  -- mirror of the operator's default max_bucket_ids=1024 width cap
+  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= 1024
 ),
 cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b

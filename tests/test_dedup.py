@@ -275,3 +275,32 @@ def test_dedup_against_cross_corpus(spark):
     assert out == [2, 4]
     # payload column set preserved
     assert dedup_against(new, ref, ["text"]).columns == ["id", "text"]
+
+
+def test_lsh_bucket_cap_and_overflow_audit(spark):
+    """A degenerate corpus (identical text, bucket width > cap) loses its
+    pairs under the cap, and lsh_bucket_overflow reports exactly the
+    dropped buckets; distinct content is unaffected."""
+    from ml_hadoop_experiment_spark.operators.dedup import lsh_bucket_overflow
+
+    degenerate = [(i, "all the same boilerplate text here") for i in range(8)]
+    distinct = [(100, "alpha beta gamma delta epsilon zeta"),
+                (101, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(degenerate + distinct, "id bigint, text string")
+
+    uncapped = minhash_dedup_pairs(df, "id", "text", threshold=0.1,
+                                   max_bucket_ids=None)
+    capped = minhash_dedup_pairs(df, "id", "text", threshold=0.1,
+                                 max_bucket_ids=4)
+    unc = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in unc and (100, 101) in cap
+    assert any(a < 100 and b < 100 for a, b in unc)  # degenerate pairs exist
+    assert not any(a < 100 and b < 100 for a, b in cap)  # ...and are capped away
+
+    toks = tokens_frame(df, "id", "text", 3)
+    sigs = minhash_signatures(toks, 8)
+    overflow = lsh_bucket_overflow(sigs, 4, 2, max_bucket_ids=4).collect()
+    assert len(overflow) == 4  # all 4 bands overflow for the identical docs
+    assert all(r["width"] == 8 for r in overflow)
+    assert lsh_bucket_overflow(sigs, 4, 2, max_bucket_ids=1024).count() == 0
