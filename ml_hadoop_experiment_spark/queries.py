@@ -674,6 +674,105 @@ FROM documents
 """
 
 
+def q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real container-header parsing over binary image payloads: PNG/JPEG/
+    GIF blobs are synthesized per document (dims derived from doc_id) with
+    pure codegen byte construction, then ``extract_image_features`` parses
+    width/height back out of the actual header bytes in mapInPandas. The
+    oracle re-parses the SAME blobs with independent hex arithmetic in
+    DuckDB — construction is shared by design, the two PARSERS are not."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 640 + 1).cast("int")
+    h = (F.col("doc_id") % 480 + 1).cast("int")
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    def be16(c):
+        return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+    def le16(c):
+        return F.concat(
+            F.unhex(F.lpad(F.hex(c % 256), 2, "0")),
+            F.unhex(F.lpad(F.hex((c / 256).cast("int")), 2, "0")),
+        )
+
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),
+        be32(w), be32(h), F.unhex(F.lit("0806000000")),
+    )
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8FFC0000B08")),
+        be16(h), be16(w), F.unhex(F.lit("01011100FFD9")),
+    )
+    gif = F.concat(
+        F.unhex(F.lit("474946383961")), le16(w), le16(h), F.unhex(F.lit("000000")),
+    )
+    content = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, jpeg)
+        .otherwise(gif)
+    )
+    payloads = docs.select(F.col("doc_id").alias("id"), content.alias("content"))
+    feats = extract_image_features(payloads, "id", "content", batch_size=256)
+    return feats.select(
+        F.col("id").alias("doc_id"), "byte_length", "width", "height", "decoder"
+    )
+
+
+SQL_IMAGE_DIMS = """
+WITH params AS (
+  SELECT doc_id,
+         CAST(doc_id % 640 + 1 AS INT) AS w,
+         CAST(doc_id % 480 + 1 AS INT) AS h,
+         doc_id % 3 AS fmt
+  FROM documents
+),
+payloads AS (
+  SELECT doc_id,
+    CASE fmt
+      WHEN 0 THEN unhex('89504E470D0A1A0A0000000D49484452')
+                  || unhex(lpad(hex(w), 8, '0')) || unhex(lpad(hex(h), 8, '0'))
+                  || unhex('0806000000')
+      WHEN 1 THEN unhex('FFD8FFC0000B08')
+                  || unhex(lpad(hex(h), 4, '0')) || unhex(lpad(hex(w), 4, '0'))
+                  || unhex('01011100FFD9')
+      ELSE unhex('474946383961')
+           || unhex(lpad(hex(w % 256), 2, '0')) || unhex(lpad(hex(w // 256), 2, '0'))
+           || unhex(lpad(hex(h % 256), 2, '0')) || unhex(lpad(hex(h // 256), 2, '0'))
+           || unhex('000000')
+    END AS content
+  FROM params
+),
+-- independent parse: dims re-read from the blob's header bytes only
+parsed AS (
+  SELECT doc_id, octet_length(content) AS byte_length, hex(content) AS hx
+  FROM payloads
+)
+SELECT doc_id, byte_length,
+  CASE
+    WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
+      THEN CAST(('0x' || substring(hx, 33, 8)) AS INT)
+    WHEN substring(hx, 1, 4) = 'FFD8'
+      THEN CAST(('0x' || substring(hx, 19, 4)) AS INT)
+    ELSE CAST(('0x' || substring(hx, 15, 2) || substring(hx, 13, 2)) AS INT)
+  END AS width,
+  CASE
+    WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
+      THEN CAST(('0x' || substring(hx, 41, 8)) AS INT)
+    WHEN substring(hx, 1, 4) = 'FFD8'
+      THEN CAST(('0x' || substring(hx, 15, 4)) AS INT)
+    ELSE CAST(('0x' || substring(hx, 19, 2) || substring(hx, 17, 2)) AS INT)
+  END AS height,
+  CASE
+    WHEN substring(hx, 1, 16) = '89504E470D0A1A0A' THEN 'header-png'
+    WHEN substring(hx, 1, 4) = 'FFD8' THEN 'header-jpeg'
+    ELSE 'header-gif'
+  END AS decoder
+FROM parsed
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: LSH sign-bit buckets (4 planes) + exact
     cosine >= 0.3 verification inside buckets."""
@@ -1885,6 +1984,7 @@ QUERIES = {
     "ann_topk_batch": q_ann_topk_batch,
     "lsh_buckets": q_lsh_buckets,
     "multimodal_meta": q_multimodal_meta,
+    "image_dims": q_image_dims,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_centroids": q_embedding_centroids,
     "ivf_topk": q_ivf_topk,
@@ -1947,6 +2047,7 @@ ORACLE_SQL = {
     "ivf_topk": SQL_IVF_TOPK,
     "lsh_buckets": SQL_LSH_BUCKETS,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "image_dims": SQL_IMAGE_DIMS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "streaming_dedup": SQL_STREAMING_DEDUP,

@@ -79,3 +79,51 @@ def test_extract_audio_features_fake_path(spark):
     assert sorted((r["id"], r["rms"]) for r in out) == sorted(
         (r["id"], r["rms"]) for r in again
     )
+
+
+def test_parse_image_dims_pure():
+    """Header parsing against hand-built container bytes (and PIL-style
+    golden layouts): PNG big-endian IHDR, JPEG SOF scan past other
+    segments, GIF little-endian, BMP with reserved-zero guard."""
+    from ml_hadoop_experiment_spark.operators.multimodal import parse_image_dims
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + b"\x08\x06\x00\x00\x00")
+    assert parse_image_dims(png) == (640, 480, "png")
+
+    # JPEG with an APP0 segment BEFORE the SOF (the scan must skip it)
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof = (b"\xff\xc0\x00\x0b\x08" + (33).to_bytes(2, "big")
+           + (99).to_bytes(2, "big") + b"\x01\x01\x11\x00")
+    assert parse_image_dims(b"\xff\xd8" + app0 + sof + b"\xff\xd9") == (99, 33, "jpeg")
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00\x00\x00"
+    assert parse_image_dims(gif) == (320, 200, "gif")
+
+    bmp = (b"BM" + (26).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+           + (26).to_bytes(4, "little") + (12).to_bytes(4, "little")
+           + (100).to_bytes(4, "little", signed=True)
+           + (-50).to_bytes(4, "little", signed=True))
+    assert parse_image_dims(bmp) == (100, 50, "bmp")
+
+    # non-image bytes, including text that starts like a magic number
+    assert parse_image_dims(b"plain text content here") is None
+    assert parse_image_dims(b"BMW cars are popular in Europe etc") is None
+    assert parse_image_dims(b"") is None
+    assert parse_image_dims(b"\x89PNG\r\n\x1a\n\x00\x00") is None  # truncated
+
+
+def test_extract_image_features_header_path(spark):
+    """Real dims come back through the mapInPandas path for header-parseable
+    payloads while unknown bytes keep the length-derived fake."""
+    from ml_hadoop_experiment_spark.operators.multimodal import extract_image_features
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + (12).to_bytes(4, "big") + (34).to_bytes(4, "big")
+           + b"\x08\x06\x00\x00\x00")
+    rows = [(1, bytearray(png)), (2, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "id bigint, content binary")
+    got = {r["id"]: r for r in extract_image_features(df, "id", "content").collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["decoder"]) == (12, 34, "header-png")
+    assert got[2]["decoder"] == "fake"
