@@ -123,6 +123,13 @@ def tokens_frame(
     per-index ``slice``+``concat_ws`` transform (O(n*shingle) interpreted
     expression evals — measured 3-5x slower); then one explode. No
     posexplode self-join: zero shuffle before the distinct.
+
+    Documents SHORTER than ``shingle_size`` words emit their whole
+    whitespace-normalized text as a single shingle (round 4; previously
+    they emitted nothing and could never be near-dup candidates). Exact
+    copies of a short doc therefore match at Jaccard 1.0; empty/blank
+    docs all share the empty shingle and form one bucket — bounded by the
+    LSH width cap, and better routed to ``dedup_exact`` anyway.
     """
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     if shingle_size > 1:
@@ -135,7 +142,8 @@ def tokens_frame(
             zipped,
             lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(shingle_size)]),
         )
-        tokens = F.when(n >= shingle_size, shingles).otherwise(F.array())
+        whole_text = F.array(F.concat_ws(" ", tokens))
+        tokens = F.when(n >= shingle_size, shingles).otherwise(whole_text)
     return (
         df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("token"))
         .distinct()

@@ -541,15 +541,22 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_NEAR_DUP_PAIRS = f"""
-WITH toks AS (
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+toks AS (
   SELECT DISTINCT doc_id AS id, sh AS token FROM (
     SELECT doc_id,
            unnest(list_transform(
              range(1, greatest(len(t) - 2, 0) + 1),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-          FROM documents)
+    FROM base
     WHERE len(t) >= 3
+    UNION ALL
+    -- short docs emit the whole normalized text as one shingle
+    SELECT doc_id, array_to_string(t, ' ') AS sh
+    FROM base
+    WHERE len(t) < 3
   )
 ),
 sigs AS (

@@ -55,9 +55,27 @@ def test_tokens_and_shingles(spark):
     assert toks == {"a", "b", "c", "d"}
     sh = {r["token"] for r in tokens_frame(df, "id", "text", 2).collect()}
     assert sh == {"a b", "b c", "c d"}
-    # document shorter than the shingle -> no tokens
-    short = spark.createDataFrame([(1, "a")], "id bigint, text string")
-    assert tokens_frame(short, "id", "text", 3).count() == 0
+    # document shorter than the shingle -> whole text as a single shingle
+    short = spark.createDataFrame(
+        [(1, "a"), (2, "a  b"), (3, "a b c")], "id bigint, text string"
+    )
+    got = {r["id"]: r["token"] for r in tokens_frame(short, "id", "text", 3).collect()
+           if r["id"] != 3}
+    assert got == {1: "a", 2: "a b"}  # normalized whitespace, one shingle
+
+
+def test_short_doc_near_dups_found(spark):
+    """Short-doc copies are near-dup candidates via the whole-text shingle
+    (pre-round-4 they emitted zero tokens and were invisible to MinHash)."""
+    df = spark.createDataFrame(
+        [(1, "buy now"), (2, "buy now"), (3, "unrelated words entirely"),
+         (4, "a much longer document with plenty of distinct words in it")],
+        "id bigint, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+             minhash_dedup_pairs(df, "id", "text", shingle_size=3,
+                                 threshold=0.5).collect()}
+    assert pairs == {(1, 2, 1.0)}
 
 
 def test_minhash_identical_docs_same_signature(docs):
