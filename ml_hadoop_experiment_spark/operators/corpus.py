@@ -45,6 +45,11 @@ def tfidf_topk_terms(
     Catalyst estimates the input above the MinHash pipeline's
     ``AUTO_PERSIST_BYTES`` threshold — same policy, same rationale: small
     inputs skip the materialization stage, 100 TB inputs tokenize once.
+    As with ``minhash_dedup_pairs``, the persisted frame stays registered
+    until the caller drops it (``spark.catalog.clearCache()`` or garbage
+    collection of the returned plan): repeated invocations in one session
+    (bench loops, notebooks) accumulate cached partitions until then, so
+    loop callers should clear between iterations.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")

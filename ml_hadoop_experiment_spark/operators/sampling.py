@@ -226,16 +226,31 @@ def assign_split(
     else:
         u = spark_unit_hash(*[F.col(c) for c in key_cols], seed=seed)
 
-    names = list(splits)
-    cum = 0.0
     expr: Optional[Column] = None
-    for name in names[:-1]:
-        cum += splits[name]
+    bounds, last_name = _split_boundaries(splits)
+    for name, cum in bounds:
         branch = F.when(u < F.lit(cum), F.lit(name))
         expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
-    last = F.lit(names[-1])
+    last = F.lit(last_name)
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, out)
+
+
+def _split_boundaries(splits: "dict[str, float]") -> "tuple[list, str]":
+    """Cumulative [0,1) interval bounds for ``assign_split``, accumulated in
+    exact rational arithmetic (``Fraction.limit_denominator`` snaps each
+    float fraction to its intended rational, so 0.8 + 0.1 -> exactly 0.9,
+    not 0.9000000000000001). Shared by the Spark literals and the SQL CASE
+    thresholds so both engines compare against the identical boundary."""
+    from fractions import Fraction
+
+    names = list(splits)
+    cum = Fraction(0)
+    bounds = []
+    for name in names[:-1]:
+        cum += Fraction(splits[name]).limit_denominator(10**9)
+        bounds.append((name, float(cum)))
+    return bounds, names[-1]
 
 
 def assign_split_sql(
@@ -243,12 +258,9 @@ def assign_split_sql(
 ) -> str:
     """DuckDB twin of ``assign_split(portable=True)`` as a CASE expression."""
     u = portable_unit_hash_sql(key_expr, salt=seed)
-    names = list(splits)
-    parts, cum = [], 0.0
-    for name in names[:-1]:
-        cum += splits[name]
-        parts.append(f"WHEN {u} < {cum!r} THEN '{name}'")
-    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+    bounds, last_name = _split_boundaries(splits)
+    parts = [f"WHEN {u} < {cum!r} THEN '{name}'" for name, cum in bounds]
+    return "CASE " + " ".join(parts) + f" ELSE '{last_name}' END"
 
 
 def cap_per_key(

@@ -273,3 +273,22 @@ def test_assign_split_is_pure_expression(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_split_boundaries_exact():
+    """Cumulative boundaries are the exact stated fractions (0.8 + 0.1 must
+    be 0.9, not 0.9000000000000001), in both the Spark literals and the SQL
+    CASE thresholds."""
+    from ml_hadoop_experiment_spark.operators.sampling import (
+        _split_boundaries,
+        assign_split_sql,
+    )
+
+    bounds, last = _split_boundaries({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert bounds == [("train", 0.8), ("val", 0.9)] and last == "test"
+    sql = assign_split_sql("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert "< 0.9 " in sql and "0.9000000000000001" not in sql
+    # thirds stay consistent between the two sides too
+    b3, _ = _split_boundaries({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    s3 = assign_split_sql("doc_id", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert f"< {b3[1][1]!r} " in s3
