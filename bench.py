@@ -61,6 +61,15 @@ BENCH_QUERIES = [
     "user_similarity",
     "kmv_distinct",
     "quantiles",
+    "image_dims",
+    # structured streaming (availableNow drains: each call runs the whole
+    # micro-batch pipeline to completion, so the timing includes source
+    # listing, state-store updates, and sink commit — the micro-batch
+    # overhead this bench exists to track round-over-round)
+    "streaming_dedup",
+    "streaming_rollup",
+    "streaming_sessionize",
+    "streaming_score",
 ]
 
 
