@@ -702,3 +702,123 @@ def read_tfrecords(
                     yield pd.DataFrame(rows)
 
     return files_df.mapInPandas(_read, schema)
+
+
+# --------------------------------------------------------------------------
+# Distributed SequenceExample source / sink. The engine-level twins of the
+# reference's driver-side sequence reader (tensorflow/tfrecords.py:60-72):
+# each task parses/writes its own files; only (path, count) reaches the
+# driver. Schema mapping: context scalar spec -> scalar column, context
+# varlen/shaped -> array column, sequence scalar spec -> array (one element
+# per step), sequence varlen/shaped -> array<array>.
+# --------------------------------------------------------------------------
+
+_BASE_TYPES = {
+    "int32": "int",
+    "int64": "bigint",
+    "float32": "float",
+    "float64": "double",
+    "string": "string",
+}
+
+
+def _sequence_schema(context_specs: FeatureSpecs, sequence_specs: FeatureSpecs) -> str:
+    fields = []
+    for name, spec in context_specs.items():
+        base = _BASE_TYPES[spec.dtype]
+        if isinstance(spec, FixedLenFeature) and not spec.shape:
+            fields.append(f"`{name}` {base}")
+        else:
+            fields.append(f"`{name}` array<{base}>")
+    for name, spec in sequence_specs.items():
+        base = _BASE_TYPES[spec.dtype]
+        if isinstance(spec, FixedLenFeature) and not spec.shape:
+            fields.append(f"`{name}` array<{base}>")
+        else:
+            fields.append(f"`{name}` array<array<{base}>>")
+    return ", ".join(fields)
+
+
+def write_sequence_tfrecords(
+    df: DataFrame,
+    context_specs: FeatureSpecs,
+    sequence_specs: FeatureSpecs,
+    path: str,
+    compression: Optional[str] = "gzip",
+    num_files: Optional[int] = None,
+) -> List[Tuple[str, int]]:
+    """SequenceExample sink: context columns + per-step array columns ->
+    one ``part-{i:05d}`` file per partition, (path, count) per file.
+
+    No global shuffle (sequence datasets are usually already grouped by
+    the entity that defines the sequence); pass the frame through
+    ``df.repartition(...)`` first if a reshuffle is wanted.
+    """
+    os.makedirs(path, exist_ok=True)
+    n_files = num_files or df.rdd.getNumPartitions()
+    ctx_cols = [c for c in df.columns if c in context_specs]
+    seq_cols = [c for c in df.columns if c in sequence_specs]
+    projected = df.select(ctx_cols + seq_cols)
+    if num_files is not None:
+        projected = projected.repartition(n_files)
+    ctx_items, seq_items = dict(context_specs), dict(sequence_specs)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from ml_hadoop_experiment_spark.sources.tfrecords_vec import frame_record
+
+        pid = TaskContext.get().partitionId()
+        fpath = os.path.join(path, f"part-{pid:05d}")
+        n = 0
+        with _open_sink(fpath, compression) as f:
+            for pdf in batches:
+                for row in pdf.to_dict("records"):
+                    ctx = {k: row.get(k) for k in ctx_items}
+                    seq = {
+                        k: (list(v) if v is not None else None)
+                        for k, v in ((k, row.get(k)) for k in seq_items)
+                    }
+                    rec = to_sequence_example_bytes(ctx, seq, ctx_items, seq_items)
+                    f.write(frame_record(rec))
+                    n += 1
+        yield pd.DataFrame({"path": [fpath], "count": [n]})
+
+    result = projected.mapInPandas(_write, "path string, count bigint").collect()
+    return [(r["path"], r["count"]) for r in result]
+
+
+def read_sequence_tfrecords(
+    spark: SparkSession,
+    path: str,
+    context_specs: FeatureSpecs,
+    sequence_specs: FeatureSpecs,
+    compression: Optional[str] = "gzip",
+) -> DataFrame:
+    """Distributed SequenceExample source; schema per ``_sequence_schema``.
+    Files are listed driver-side, parsed executor-side; ``_*`` part files
+    are skipped like the Example source."""
+    files = sorted(
+        f
+        for f in glob.glob(os.path.join(path, "*"))
+        if not os.path.basename(f).startswith("_")
+    )
+    schema = _sequence_schema(context_specs, sequence_specs)
+    ctx_items, seq_items = dict(context_specs), dict(sequence_specs)
+
+    files_df = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        max(1, len(files))
+    )
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath in pdf["file"]:
+                rows = []
+                for rec in read_tfrecord_file(fpath, compression):
+                    ctx, seq = parse_sequence_example_bytes(rec, ctx_items, seq_items)
+                    ctx.update(seq)
+                    rows.append(ctx)
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return files_df.mapInPandas(_read, schema)

@@ -469,3 +469,30 @@ def test_constant_and_predictor_modules():
         predictor.import_graph_def("/nonexistent.pb")
     with pytest.raises(ImportError, match="tensorflow"):
         predictor.Predictor.from_graph("/nonexistent.pb", ["x:0"], ["y:0"])
+
+
+def test_logging_conf_with_file_handler(tmp_path):
+    """Reference logging.conf.py twin: INFO file handler with the same
+    record format lands on the root logger."""
+    import logging
+
+    from ml_hadoop_experiment_spark.compat.tensorflow.logging_conf import (
+        with_file_handler,
+    )
+
+    path = str(tmp_path / "run.log")
+    root = logging.getLogger()
+    before = list(root.handlers)
+    try:
+        with_file_handler(path)
+        fh = [h for h in root.handlers if h not in before][0]
+        assert fh.level == logging.INFO
+        logging.getLogger("compat.test").warning("hello-compat")
+        fh.flush()
+        line = open(path).read()
+        assert ":WARNING:compat.test: hello-compat" in line
+    finally:
+        for h in list(root.handlers):
+            if h not in before:
+                root.removeHandler(h)
+                h.close()

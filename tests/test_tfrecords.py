@@ -284,3 +284,38 @@ def test_read_parsed_sequence_tfr_compat(tmp_path):
         ({"user": "a"}, {"clicks": [1, 0], "scores": [[0.5], [0.25, 0.75]]}),
         ({"user": "b"}, {"clicks": [7], "scores": [[]]}),
     ]
+
+
+def test_sequence_tfrecords_spark_roundtrip(spark, tmp_path):
+    """Distributed SequenceExample sink + source: session-style frame with
+    context scalars and per-step arrays survives the roundtrip."""
+    from ml_hadoop_experiment_spark.sources.tfrecords import (
+        read_sequence_tfrecords,
+        write_sequence_tfrecords,
+    )
+
+    ctx_specs = {
+        "session_id": FixedLenFeature((), "string"),
+        "label": FixedLenFeature((), "int64", default_value=0),
+    }
+    seq_specs = {
+        "item_ids": FixedLenFeature((), "int64"),
+        "prices": VarLenFeature("float32"),
+    }
+    df = spark.range(40).selectExpr(
+        "concat('s', id) as session_id",
+        "cast(id % 2 as bigint) as label",
+        "transform(sequence(0, cast(id % 4 as int)), x -> cast(x as bigint)) as item_ids",
+        "transform(sequence(0, cast(id % 4 as int)), "
+        "  x -> array(cast(x as float), cast(x + 0.5 as float))) as prices",
+    )
+    out = str(tmp_path / "seq_sink")
+    written = write_sequence_tfrecords(df, ctx_specs, seq_specs, out, num_files=3)
+    assert sum(c for _, c in written) == 40
+    back = read_sequence_tfrecords(spark, out, ctx_specs, seq_specs)
+    got = {r["session_id"]: r for r in back.collect()}
+    assert len(got) == 40
+    r7 = got["s7"]
+    assert r7["label"] == 1
+    assert list(r7["item_ids"]) == [0, 1, 2, 3]
+    assert [list(x) for x in r7["prices"]] == [[0.0, 0.5], [1.0, 1.5], [2.0, 2.5], [3.0, 3.5]]
