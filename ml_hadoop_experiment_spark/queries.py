@@ -1579,6 +1579,65 @@ FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 3
 SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the simhash near-dup
+    pairs (hamming <= 3), every document labeled with its cluster = the
+    smallest doc_id reachable through near-dup edges. Iterative min-label
+    propagation (one shuffle join + map-combined min per round, O(diameter)
+    rounds); the oracle computes the identical closure with a DuckDB
+    recursive CTE — two independent transitive-closure algorithms."""
+    from ml_hadoop_experiment_spark.operators.dedup import (
+        dedup_clusters,
+        simhash_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text", bits=16, max_hamming=3)
+    out = dedup_clusters(docs, pairs, "doc_id")
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def _sql_dup_clusters() -> str:
+    from ml_hadoop_experiment_spark.operators.dedup import (
+        simhash_blocks_sql,
+        simhash_sql,
+    )
+
+    fp = simhash_sql("text", 16)
+    blocks = simhash_blocks_sql(16, 3)
+    return f"""
+WITH RECURSIVE
+fps AS (SELECT doc_id AS id, {fp} AS fp FROM documents),
+blocks AS (
+  {blocks}
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+  FROM blocks a JOIN blocks b
+    ON a.part = b.part AND a.block = b.block AND a.id < b.id
+),
+pairs AS (
+  SELECT id_a, id_b FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id AS doc_id, min(comp) AS cluster
+FROM reach
+GROUP BY id
+"""
+
+
+SQL_DUP_CLUSTERS = _sql_dup_clusters()
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus dedup: keep documents whose text does NOT already
     appear in the 'existing corpus' (stand-in: doc_id < 100) — the
@@ -1984,6 +2043,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dup_stats": q_dup_stats,
     "simhash_pairs": q_simhash_pairs,
+    "dup_clusters": q_dup_clusters,
     "minhash_signatures": q_minhash_signatures,
     "near_dup_pairs": q_near_dup_pairs,
     "simhash": q_simhash,
@@ -2046,6 +2106,7 @@ ORACLE_SQL = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dup_stats": SQL_DUP_STATS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "dup_clusters": SQL_DUP_CLUSTERS,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
     "simhash": SQL_SIMHASH,

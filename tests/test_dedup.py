@@ -322,3 +322,50 @@ def test_lsh_bucket_cap_and_overflow_audit(spark):
     assert len(overflow) == 4  # all 4 bands overflow for the identical docs
     assert all(r["width"] == 8 for r in overflow)
     assert lsh_bucket_overflow(sigs, 4, 2, max_bucket_ids=1024).count() == 0
+
+
+def test_connected_components_basic(spark):
+    """Chain, triangle, and singleton-via-df: labels are min reachable id."""
+    from ml_hadoop_experiment_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),       # chain -> comp 1
+         (10, 11), (11, 12), (10, 12), # triangle -> comp 10
+         (20, 21)],                    # pair -> comp 20
+        "id_a bigint, id_b bigint",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+                                 "doc_id bigint")
+    clusters = {r["id"]: r["cluster"] for r in
+                dedup_clusters(docs, edges, "doc_id").collect()}
+    assert clusters[99] == 99  # singleton: own cluster
+    assert clusters[4] == 1 and clusters[12] == 10
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-node path needs ~log-diameter label hops; ensure the iteration
+    bound accommodates it and labels are exact."""
+    from ml_hadoop_experiment_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "id_a bigint, id_b bigint"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges, max_iterations=45).collect()}
+    assert set(got.values()) == {100}
+    assert len(got) == 41
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from ml_hadoop_experiment_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 215)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(edges, max_iterations=2)
