@@ -207,3 +207,47 @@ def doc_fingerprint_sql(expr: str) -> str:
         f"t -> {token_hash_sql('t')})), "
         f"(acc, h) -> (acc * 31 + h) % 2147483647)"
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (curation-pipeline scrubbing pass)
+# --------------------------------------------------------------------------
+
+#: (tag, pattern) in application order — earlier rules run first so e.g.
+#: SSNs are tagged before the phone rule could claim their digits. The
+#: patterns stay inside the Java-regex ∩ RE2 common subset (no lookaround,
+#: no backrefs) so the Spark column and the DuckDB oracle use the SAME
+#: strings; the oracle gate then certifies both engines replace the same
+#: spans. Conservative by design: false negatives over mangled text.
+PII_RULES = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("SSN", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("IPV4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("CARD", r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b"),
+    ("PHONE", r"\+?[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}[ -]?[0-9]{0,4}\b"),
+]
+
+
+def redact_pii(col: Column, tags: bool = True) -> Column:
+    """Replace email / SSN / IPv4 / card-number / phone spans with
+    ``[TAG]`` markers (or ``[PII]`` when ``tags=False``).
+
+    A chain of ``regexp_replace`` expressions — pure codegen, zero Python,
+    fuses into the scan like every other text function here. Rules apply
+    in ``PII_RULES`` order on the running result, mirroring
+    ``redact_pii_sql`` exactly.
+    """
+    out = col
+    for tag, pattern in PII_RULES:
+        out = F.regexp_replace(out, pattern, f"[{tag}]" if tags else "[PII]")
+    return out
+
+
+def redact_pii_sql(expr: str, tags: bool = True) -> str:
+    """DuckDB twin of ``redact_pii`` (same patterns, same order, 'g' flag)."""
+    out = expr
+    for tag, pattern in PII_RULES:
+        repl = f"[{tag}]" if tags else "[PII]"
+        sql_pattern = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pattern}', '{repl}', 'g')"
+    return out

@@ -780,6 +780,44 @@ FROM parsed
 """
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: deterministic synthetic PII (email, phone, IP,
+    SSN, card — derived from doc_id) is appended to each document and then
+    redacted by the codegen regexp_replace chain. The oracle applies the
+    SAME patterns through DuckDB's RE2 — a differential test that the two
+    regex engines replace identical spans on identical text."""
+    from ml_hadoop_experiment_spark.functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 card 4111 1111 1111 1111"),
+    )
+    return docs.select("doc_id", redact_pii(synth).alias("redacted"))
+
+
+def _sql_pii_redaction() -> str:
+    from ml_hadoop_experiment_spark.functions.text import redact_pii_sql
+
+    synth = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or +1 555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.0.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || "
+        "'.7 ssn 123-45-6789 card 4111 1111 1111 1111'"
+    )
+    return f"SELECT doc_id, {redact_pii_sql(f'({synth})')} AS redacted FROM documents"
+
+
+SQL_PII_REDACTION = _sql_pii_redaction()
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: LSH sign-bit buckets (4 planes) + exact
     cosine >= 0.3 verification inside buckets."""
@@ -2052,6 +2090,7 @@ QUERIES = {
     "lsh_buckets": q_lsh_buckets,
     "multimodal_meta": q_multimodal_meta,
     "image_dims": q_image_dims,
+    "pii_redaction": q_pii_redaction,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_centroids": q_embedding_centroids,
     "ivf_topk": q_ivf_topk,
@@ -2116,6 +2155,7 @@ ORACLE_SQL = {
     "lsh_buckets": SQL_LSH_BUCKETS,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "image_dims": SQL_IMAGE_DIMS,
+    "pii_redaction": SQL_PII_REDACTION,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "streaming_dedup": SQL_STREAMING_DEDUP,

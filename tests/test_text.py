@@ -85,3 +85,48 @@ def test_distinct_token_ratio(spark):
     got = {r["id"]: r["r"]
            for r in df.select("id", distinct_token_ratio(F.col("t")).alias("r")).collect()}
     assert got == {1: 0.25, 2: 1.0, 3: 0.5}
+
+
+def test_redact_pii_spans(spark):
+    """Each rule redacts its span; surrounding text survives; tag order
+    protects SSNs from the phone rule."""
+    from ml_hadoop_experiment_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "mail me at john.doe+spam@sub.example.co.uk today"),
+        (2, "ssn 123-45-6789 and phone +44 020-7946-0958"),
+        (3, "server at 192.168.0.1 port 8080"),
+        (4, "card 4111 1111 1111 1111 expires soon"),
+        (5, "no pii in this sentence at all"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    got = {r["id"]: r["r"] for r in
+           df.select("id", redact_pii(F.col("t")).alias("r")).collect()}
+    assert got[1] == "mail me at [EMAIL] today"
+    assert got[2].startswith("ssn [SSN] and phone ")
+    assert "[PHONE]" in got[2]
+    assert got[3] == "server at [IPV4] port 8080"
+    assert got[4] == "card [CARD] expires soon"
+    assert got[5] == rows[4][1]
+
+
+def test_redact_pii_sql_twin_agrees(spark):
+    """Differential: Java regex (Spark) and RE2 (DuckDB) replace identical
+    spans for every rule on a mixed corpus."""
+    import duckdb
+
+    from ml_hadoop_experiment_spark.functions.text import redact_pii, redact_pii_sql
+
+    texts = [
+        "a@b.io x 1.2.3.4 y 999-99-9999 z +1 555-123-4567 w 1234 5678 9012 3456",
+        "no matches here",
+        "edge a@@b.com 256.1.1.1 12-34-5678 +123 456 789",
+        "two emails a@x.org b@y.net and two ips 10.0.0.1 10.0.0.2",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id bigint, t string")
+    got = {r["id"]: r["r"] for r in
+           df.select("id", redact_pii(F.col("t")).alias("r")).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        duck = con.execute(f"SELECT {redact_pii_sql('?::VARCHAR')}", [t]).fetchone()[0]
+        assert duck == got[i], f"row {i}: spark={got[i]!r} duck={duck!r}"
