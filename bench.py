@@ -62,6 +62,12 @@ BENCH_QUERIES = [
     "kmv_distinct",
     "quantiles",
     "image_dims",
+    "pii_redaction",
+    "simhash_pairs",
+    # dup_clusters is deliberately NOT benched: ~8.6 s at sf0.1 (iterative
+    # label propagation over the dense 16-bit simhash pair graph) would
+    # dominate the bench total without tracking anything the simhash_pairs
+    # entry doesn't already cover.
     # structured streaming (availableNow drains: each call runs the whole
     # micro-batch pipeline to completion, so the timing includes source
     # listing, state-store updates, and sink commit — the micro-batch
