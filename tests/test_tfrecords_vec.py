@@ -147,3 +147,39 @@ def test_sink_fallback_matches_vectorized_bytes(spark, tmp_path, comp):
     back = read_tfrecords(spark, out, specs, compression=comp)
     got = {r["k"]: list(r["v"]) for r in back.collect()}
     assert got[10] == [10, 11]
+
+
+def test_byte_identity_property():
+    """Property: for ANY mix of scalar spec dtypes and values, the
+    vectorized stream equals the per-row stream byte for byte."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ints = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    floats = st.floats(width=32, allow_nan=False)  # NaN batches fall back by design
+    texts = st.text(max_size=300)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(ints, ints, floats, texts), min_size=1, max_size=50
+        )
+    )
+    def run(rows):
+        pdf = pd.DataFrame(
+            {
+                "i": np.array([r[0] for r in rows], dtype=np.int64),
+                "j": np.array([r[1] for r in rows], dtype=np.int64),
+                "f": np.array([r[2] for r in rows], dtype=np.float32),
+                "s": [r[3] for r in rows],
+            }
+        )
+        specs = {
+            "i": FixedLenFeature((), "int64", default_value=0),
+            "j": FixedLenFeature((), "int32", default_value=0),
+            "f": FixedLenFeature((), "float32", default_value=0.0),
+            "s": FixedLenFeature((), "string", default_value=""),
+        }
+        assert encode_framed_batch(pdf, specs) == _per_row_stream(pdf, specs)
+
+    run()
