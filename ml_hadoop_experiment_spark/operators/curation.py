@@ -1,0 +1,195 @@
+"""Corpus curation operators beyond dedup: benchmark decontamination and
+normalization-aware dedup.
+
+Extensions beyond the reference (BASELINE.json north-star, LLM-pipeline
+family). The reference has no corpus ops at all; these follow the published
+recipes used by large-scale LM training pipelines:
+
+- **Decontamination** (GPT-3 appendix C / Dodge et al. 2021, "Documenting
+  Large Webtext Corpora"): a training document is contaminated when it
+  shares at least one word-level n-gram (n ~ 8-13) with any document in an
+  evaluation benchmark. The corpus side is 100 TB; the benchmark side is a
+  few MB — so the whole operation must be a broadcast semi-join against the
+  benchmark's n-gram set, never a shuffle of the corpus.
+
+- **Normalized dedup**: exact dedup after text canonicalization
+  (lowercase, punctuation strip, whitespace collapse) — catches
+  trivially-reformatted copies that byte-exact digests miss, at exactly
+  the same single-shuffle cost as ``dedup_exact``.
+
+Design for 100 TB:
+- benchmark n-grams: distinct-aggregated then **broadcast** (eval sets are
+  tiny by construction; a 1 M-gram benchmark set is ~50 MB hashed);
+- corpus n-grams are generated and probed map-side: the only wide exchange
+  is the per-document hit aggregation, which carries (id, 1) pairs for
+  matching grams only — on a healthy corpus contamination is rare, so the
+  shuffle is near-empty;
+- grams can be compared as 32-bit portable hashes (``hash_grams=True``)
+  to shrink the broadcast; collisions only ever *add* flagged docs
+  (conservative for decontamination) at ~n_grams²/2³² expected false
+  pairs.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ml_hadoop_experiment_spark.functions.hashing import (
+    portable_token_hash_int,
+    portable_token_hash_int_sql,
+)
+from ml_hadoop_experiment_spark.operators.dedup import content_digest, tokens_frame
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, text_col: str, ngram_size: int, hash_grams: bool = True
+) -> DataFrame:
+    """Distinct n-gram frame of the evaluation benchmark — the broadcast side.
+
+    One column ``gram`` (string, or 32-bit portable hash when
+    ``hash_grams``). Dedup via ``distinct`` keeps the broadcast minimal.
+    """
+    grams = tokens_frame(
+        benchmark.select(F.monotonically_increasing_id().alias("__bid"), text_col),
+        "__bid",
+        text_col,
+        shingle_size=ngram_size,
+    ).select(F.col("token").alias("gram"))
+    if hash_grams:
+        grams = grams.select(portable_token_hash_int(F.col("gram")).alias("gram"))
+    return grams.distinct()
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_size: int = 5,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """(id, n_hit_grams) for corpus docs sharing >= 1 n-gram with the benchmark.
+
+    Plan shape: corpus grams are generated map-side (explode, no shuffle),
+    inner-joined against the **broadcast** benchmark gram set, and only the
+    matches are aggregated per document. At 100 TB the corpus never
+    shuffles; the aggregation input is proportional to contamination, not
+    corpus size.
+
+    ``n_hit_grams`` counts *distinct* corpus grams that appear in the
+    benchmark (tokens_frame already dedups (id, gram) pairs), so a gram
+    repeated within one document counts once — the standard overlap
+    statistic.
+    """
+    cg = tokens_frame(corpus, id_col, text_col, shingle_size=ngram_size)
+    if hash_grams:
+        cg = cg.select("id", portable_token_hash_int(F.col("token")).alias("gram"))
+    else:
+        cg = cg.select("id", F.col("token").alias("gram"))
+    bg = benchmark_ngrams(benchmark, text_col, ngram_size, hash_grams=hash_grams)
+    return (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_size: int = 5,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Corpus rows with every contaminated document removed.
+
+    Left-anti join against the contaminated id set — the id set is tiny
+    (contamination is rare), so AQE turns the anti-join into a broadcast;
+    corpus payload columns never shuffle.
+    """
+    hits = contamination_report(
+        corpus, benchmark, id_col, text_col, ngram_size, hash_grams
+    ).select(F.col("id").alias(id_col))
+    return corpus.join(hits, on=id_col, how="left_anti")
+
+
+def contamination_grams_sql(
+    base: str, ngram_size: int, hash_grams: bool = True
+) -> str:
+    """DuckDB twin of ``tokens_frame`` + optional gram hashing, as a SELECT
+    producing (id, gram) from relation ``base`` exposing
+    (id, t := regexp_split_to_array(trim(text), '\\s+')).
+
+    Mirrors the short-document rule: docs with fewer than ``ngram_size``
+    words emit their whole whitespace-normalized text as one gram.
+    """
+    n = ngram_size
+    concat = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    gram = f"unnest(list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1), i -> {concat}))"
+    whole = "array_to_string(t, ' ')"
+    g = portable_token_hash_int_sql("gram") if hash_grams else "gram"
+    return f"""
+  SELECT id, {g} AS gram FROM (
+    SELECT DISTINCT id, gram FROM (
+      SELECT id, {gram} AS gram
+      FROM {base} WHERE len(t) >= {n}
+      UNION ALL
+      SELECT id, {whole} AS gram
+      FROM {base} WHERE len(t) < {n}
+    )
+  )"""
+
+
+# --------------------------------------------------------------------------
+# Normalized dedup
+# --------------------------------------------------------------------------
+
+
+def normalize_text(col) -> "F.Column":
+    """Canonical text form: lowercase, strip non-alphanumerics to spaces,
+    collapse runs of whitespace, trim. Pure codegen — one map, no Python."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def normalize_text_sql(expr: str) -> str:
+    """DuckDB twin of ``normalize_text`` (the 'g' flag matches Spark's
+    replace-all default)."""
+    return f"trim(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def dedup_normalized(
+    df: DataFrame, id_col: str, text_col: str, keep: str = "min"
+) -> DataFrame:
+    """Keep one row per *normalized-text* digest (smallest ``id_col`` wins).
+
+    Same plan as ``dedup_exact``: one shuffle keyed by the 16-byte digest
+    of the canonical form, window keep-first; payload columns ride the
+    single exchange. ``keep='min'`` is the deterministic survivor rule.
+    """
+    from pyspark.sql import Window
+
+    assert keep == "min", "only keep='min' is defined"
+    digest = content_digest([normalize_text(F.col(text_col))])
+    w = Window.partitionBy(digest).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+__all__: List[str] = [
+    "benchmark_ngrams",
+    "contamination_report",
+    "decontaminate",
+    "contamination_grams_sql",
+    "normalize_text",
+    "normalize_text_sql",
+    "dedup_normalized",
+]

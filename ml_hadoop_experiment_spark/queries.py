@@ -2062,6 +2062,76 @@ SQL_ANN_TOPK_BATCH = SQL_ANN_TOPK_BATCH.format(
 )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C recipe): flag corpus
+    documents sharing any word 5-gram with the held-out benchmark split.
+
+    Benchmark = doc_id % 10 == 0 (the stand-in for a tiny eval set),
+    corpus = the rest. The benchmark's distinct hashed grams are
+    broadcast; the corpus never shuffles — the only exchange carries
+    matching (id, gram) pairs, proportional to contamination, not corpus
+    size. See operators/curation.py for the 100 TB plan shape."""
+    from ml_hadoop_experiment_spark.operators.curation import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    return contamination_report(
+        corpus, bench, "doc_id", "text", ngram_size=5, hash_grams=True
+    ).select(F.col("id").alias("doc_id"), "n_hit_grams")
+
+
+def _sql_decontaminate() -> str:
+    from ml_hadoop_experiment_spark.operators.curation import contamination_grams_sql
+
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+cbase AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM corpus),
+bbase AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM bench),
+cg AS ({contamination_grams_sql('cbase', 5)}),
+bg AS (SELECT DISTINCT gram FROM ({contamination_grams_sql('bbase', 5)}))
+SELECT cg.id AS doc_id, count(*) AS n_hit_grams
+FROM cg JOIN bg ON cg.gram = bg.gram
+GROUP BY cg.id
+"""
+
+
+SQL_DECONTAMINATE = _sql_decontaminate()
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after text canonicalization (lowercase, punctuation
+    strip, whitespace collapse) — catches reformatted copies byte-exact
+    digests miss. Same single-shuffle plan as dedup_exact."""
+    from ml_hadoop_experiment_spark.operators.curation import dedup_normalized
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_normalized(docs, "doc_id", "text").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _sql_dedup_normalized() -> str:
+    from ml_hadoop_experiment_spark.operators.curation import normalize_text_sql
+
+    return f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY md5({normalize_text_sql('text')})
+           ORDER BY doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+SQL_DEDUP_NORMALIZED = _sql_dedup_normalized()
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -2079,6 +2149,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_normalized": q_dedup_normalized,
+    "decontaminate": q_decontaminate,
     "dup_stats": q_dup_stats,
     "simhash_pairs": q_simhash_pairs,
     "dup_clusters": q_dup_clusters,
@@ -2143,6 +2215,8 @@ ORACLE_SQL = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "dedup_normalized": SQL_DEDUP_NORMALIZED,
+    "decontaminate": SQL_DECONTAMINATE,
     "dup_stats": SQL_DUP_STATS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,

@@ -1,0 +1,108 @@
+"""Curation operators: benchmark decontamination + normalized dedup.
+
+Covers semantics the oracle gate can't see: plan shape (broadcast on the
+benchmark side, no corpus shuffle of payload columns), the conservative
+hash-collision direction, and the anti-join filter form.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ml_hadoop_experiment_spark.operators.curation import (
+    contamination_report,
+    decontaminate,
+    dedup_normalized,
+    normalize_text,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+class TestContamination:
+    def test_exact_overlap_flagged(self, spark):
+        corpus = _docs(
+            spark,
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated words with no overlap at all"),
+                (3, "quick brown fox jumps over everything else entirely"),
+            ],
+        )
+        bench = _docs(spark, [(100, "a quick brown fox jumps over a fence")])
+        out = contamination_report(
+            corpus, bench, "doc_id", "text", ngram_size=5
+        ).toPandas().set_index("id")
+        # docs 1 and 3 share the 5-gram "quick brown fox jumps over"
+        assert set(out.index) == {1, 3}
+        assert (out["n_hit_grams"] >= 1).all()
+
+    def test_short_doc_whole_text_gram(self, spark):
+        corpus = _docs(spark, [(1, "tiny doc"), (2, "other words")])
+        bench = _docs(spark, [(100, "tiny doc")])
+        out = contamination_report(
+            corpus, bench, "doc_id", "text", ngram_size=5
+        ).toPandas()
+        assert out["id"].tolist() == [1]
+
+    def test_decontaminate_removes_only_hits(self, spark):
+        corpus = _docs(
+            spark,
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated words with no overlap at all"),
+            ],
+        )
+        bench = _docs(spark, [(100, "the quick brown fox jumps far")])
+        kept = decontaminate(corpus, bench, "doc_id", "text", ngram_size=5)
+        assert kept.select("doc_id").toPandas()["doc_id"].tolist() == [2]
+
+    def test_unhashed_grams_equal_hashed_on_clean_data(self, spark):
+        corpus = _docs(
+            spark,
+            [(i, f"sentence number {i} with shared suffix tail words here") for i in range(6)],
+        )
+        bench = _docs(spark, [(100, "shared suffix tail words here and more")])
+        a = contamination_report(
+            corpus, bench, "doc_id", "text", ngram_size=5, hash_grams=True
+        ).toPandas().sort_values("id", ignore_index=True)
+        b = contamination_report(
+            corpus, bench, "doc_id", "text", ngram_size=5, hash_grams=False
+        ).toPandas().sort_values("id", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_benchmark_side_is_broadcast(self, spark):
+        corpus = _docs(spark, [(1, "one two three four five six")])
+        bench = _docs(spark, [(100, "one two three four five")])
+        plan = contamination_report(
+            corpus, bench, "doc_id", "text"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestDedupNormalized:
+    def test_reformatted_copies_collapse(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "Hello, World!"),
+                (2, "hello   world"),
+                (3, "HELLO WORLD."),
+                (4, "goodbye world"),
+            ],
+        )
+        out = dedup_normalized(df, "doc_id", "text").toPandas()
+        assert sorted(out["doc_id"].tolist()) == [1, 4]
+
+    def test_distinct_texts_survive(self, spark):
+        df = _docs(spark, [(1, "alpha beta"), (2, "alpha gamma")])
+        out = dedup_normalized(df, "doc_id", "text")
+        assert out.count() == 2
+
+    def test_normalize_text_expression(self, spark):
+        df = _docs(spark, [(1, "  A-B  c!! 9 ")])
+        v = df.select(normalize_text(F.col("text")).alias("n")).head()["n"]
+        assert v == "a b c 9"
