@@ -263,6 +263,107 @@ def assign_split_sql(
     return "CASE " + " ".join(parts) + f" ELSE '{last_name}' END"
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    key_expr: Column,
+    weight_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``k`` rows —
+    priority sampling (Duffield, Lund, Thorup, JACM 2007).
+
+    Each row gets priority ``q = w / u`` with ``u`` a deterministic unit
+    hash of ``key_expr`` (non-negative integral row key); the sample is
+    the ``k`` largest priorities, taken here as the ``k`` smallest
+    ``s = u / w``. Output adds:
+
+    - ``priority_key`` — the row's ``s`` (audit/replay);
+    - ``est_weight``  — ``max(w, tau)`` where ``tau = 1/s*`` and ``s*``
+      is the (k+1)-th smallest key. ``SUM(est_weight)`` over the sample
+      is an unbiased estimator of ``SUM(w)`` over the population — the
+      property that makes this the production scheme for weighted
+      subsampling with totals preserved in expectation.
+
+    Determinism & portability: ``u`` is the md5-free multiplicative
+    portable hash and ``s``/``tau`` are single IEEE divisions, so the
+    sampled set and both output columns are bit-identical in DuckDB
+    (oracle query ``weighted_sample``).
+
+    Scale: ``orderBy(s).limit(k+1)`` compiles to TakeOrderedAndProject —
+    per-partition top-(k+1) heaps, only ``(k+1) x partitions`` rows move,
+    no global sort. The single-partition window that ranks the k+1
+    finalists is k-bounded (k is a sample size, thousands at most), not
+    data-bounded. Rows with ``w <= 0`` or null are excluded (zero weight
+    means zero inclusion probability).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w_col = F.col(weight_col).cast("double")
+    s = portable_unit_hash(key_expr, salt=salt) / w_col
+    # The row key is the total-order tiebreaker: the unit hash wraps at the
+    # portable modulus, so distinct rows can share a priority — without a
+    # tiebreak the k-th/k+1-th choice would be engine-dependent.
+    finalists = (
+        df.where(w_col > 0)
+        .withColumn("priority_key", s)
+        .withColumn("__tb", key_expr)
+        .orderBy(F.col("priority_key").asc(), F.col("__tb").asc())
+        .limit(k + 1)
+    )
+    win = Window.orderBy(
+        F.col("priority_key").asc(), F.col("__tb").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rn_win = Window.orderBy(F.col("priority_key").asc(), F.col("__tb").asc())
+    return (
+        finalists.withColumn("__n", F.count(F.lit(1)).over(win))
+        .withColumn("__smax", F.max("priority_key").over(win))
+        .withColumn("__rn", F.row_number().over(rn_win))
+        .where(F.col("__rn") <= k)
+        .withColumn(
+            "est_weight",
+            F.when(
+                F.col("__n") == k + 1,
+                F.greatest(w_col, F.lit(1.0) / F.col("__smax")),
+            ).otherwise(w_col),
+        )
+        .drop("__n", "__smax", "__rn", "__tb")
+    )
+
+
+def weighted_priority_sample_sql(
+    relation: str,
+    key_expr: str,
+    weight_expr: str,
+    cols: str,
+    k: int,
+    salt: int = 0,
+) -> str:
+    """DuckDB twin of ``weighted_priority_sample``: same hash, same
+    divisions, same threshold rule, bit-identical rows."""
+    u = portable_unit_hash_sql(key_expr, salt=salt)
+    return f"""
+WITH finalists AS (
+  SELECT {cols}, CAST({weight_expr} AS DOUBLE) AS __w,
+         {u} / CAST({weight_expr} AS DOUBLE) AS priority_key,
+         {key_expr} AS __tb
+  FROM {relation}
+  WHERE CAST({weight_expr} AS DOUBLE) > 0
+  ORDER BY priority_key ASC, __tb ASC
+  LIMIT {k + 1}
+),
+stats AS (SELECT max(priority_key) AS smax, count(*) AS n FROM finalists)
+SELECT {cols}, __w, priority_key,
+       CASE WHEN stats.n = {k + 1}
+            THEN greatest(__w, 1.0 / stats.smax)
+            ELSE __w END AS est_weight
+FROM finalists, stats
+QUALIFY row_number() OVER (ORDER BY priority_key ASC, __tb ASC) <= {k}
+"""
+
+
 def cap_per_key(
     df: DataFrame,
     key_cols: List[str],

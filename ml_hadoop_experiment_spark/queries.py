@@ -2132,6 +2132,51 @@ SELECT doc_id, lang, source FROM (
 SQL_DEDUP_NORMALIZED = _sql_dedup_normalized()
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (priority
+    sampling, Duffield-Lund-Thorup): 200 lineitem rows weighted by
+    l_extendedprice, plus the est_weight column whose sample-sum is an
+    unbiased estimator of the population weight total. Distributed as
+    TakeOrderedAndProject (per-partition heaps); the row key
+    l_orderkey*10+l_linenumber seeds the portable hash."""
+    from ml_hadoop_experiment_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    return weighted_priority_sample(
+        li, key, "l_extendedprice", k=200
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("weight"),
+        "priority_key",
+        "est_weight",
+    )
+
+
+def _sql_weighted_sample() -> str:
+    from ml_hadoop_experiment_spark.operators.sampling import (
+        weighted_priority_sample_sql,
+    )
+
+    inner = weighted_priority_sample_sql(
+        "lineitem",
+        "(l_orderkey * 10 + l_linenumber)",
+        "l_extendedprice",
+        "l_orderkey, l_linenumber",
+        k=200,
+    )
+    return f"""
+SELECT l_orderkey, l_linenumber, __w AS weight, priority_key, est_weight
+FROM ({inner})
+"""
+
+
+SQL_WEIGHTED_SAMPLE = _sql_weighted_sample()
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -2151,6 +2196,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_normalized": q_dedup_normalized,
     "decontaminate": q_decontaminate,
+    "weighted_sample": q_weighted_sample,
     "dup_stats": q_dup_stats,
     "simhash_pairs": q_simhash_pairs,
     "dup_clusters": q_dup_clusters,
@@ -2217,6 +2263,7 @@ ORACLE_SQL = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "decontaminate": SQL_DECONTAMINATE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "dup_stats": SQL_DUP_STATS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,

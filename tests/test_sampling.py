@@ -2,6 +2,7 @@
 tables (tests/tensorflow/test_sampling.py:11-111): counts over a hand-built
 ``sampling_hash`` column, null-predicate handling, and weight goldens."""
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -292,3 +293,87 @@ def test_split_boundaries_exact():
     b3, _ = _split_boundaries({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
     s3 = assign_split_sql("doc_id", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
     assert f"< {b3[1][1]!r} " in s3
+
+
+class TestWeightedPrioritySample:
+    """Priority sampling: deterministic weighted sample without replacement."""
+
+    def _pop(self, spark, n=2000, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        pdf = pd.DataFrame(
+            {"rid": np.arange(n), "w": rng.exponential(10.0, n) + 0.1}
+        )
+        return spark.createDataFrame(pdf), pdf
+
+    def test_exact_k_and_deterministic(self, spark):
+        from ml_hadoop_experiment_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        df, _ = self._pop(spark)
+        a = weighted_priority_sample(df, F.col("rid"), "w", k=100)
+        b = weighted_priority_sample(df, F.col("rid"), "w", k=100)
+        pa = a.toPandas().sort_values("rid", ignore_index=True)
+        pb = b.toPandas().sort_values("rid", ignore_index=True)
+        assert len(pa) == 100
+        pd.testing.assert_frame_equal(pa, pb)
+
+    def test_estimator_recovers_total_weight(self, spark):
+        """SUM(est_weight) over the sample estimates SUM(w) over the
+        population (unbiased across seeds; per-draw tolerance is loose)."""
+        from ml_hadoop_experiment_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        df, pdf = self._pop(spark, n=3000)
+        total = pdf["w"].sum()
+        ests = []
+        for salt in range(5):
+            out = weighted_priority_sample(df, F.col("rid"), "w", k=300, salt=salt)
+            ests.append(out.agg(F.sum("est_weight")).head()[0])
+        mean_est = sum(ests) / len(ests)
+        assert abs(mean_est - total) / total < 0.15, (mean_est, total)
+
+    def test_heavy_rows_always_sampled(self, spark):
+        """A row carrying most of the total weight has priority ~w/u >> rest
+        and must appear in any reasonable-k sample."""
+        from ml_hadoop_experiment_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        pdf = pd.DataFrame({"rid": range(500), "w": [1.0] * 500})
+        pdf.loc[250, "w"] = 1e7
+        df = spark.createDataFrame(pdf)
+        out = weighted_priority_sample(df, F.col("rid"), "w", k=20).toPandas()
+        assert 250 in set(out["rid"])
+        # the dominant row's estimator weight stays its own weight
+        assert out.set_index("rid").loc[250, "est_weight"] == 1e7
+
+    def test_small_population_returns_all_with_exact_weights(self, spark):
+        from ml_hadoop_experiment_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        pdf = pd.DataFrame({"rid": range(5), "w": [1.0, 2.0, 3.0, 4.0, 0.0]})
+        out = weighted_priority_sample(
+            spark.createDataFrame(pdf), F.col("rid"), "w", k=10
+        ).toPandas()
+        # w=0 excluded; population < k -> everyone kept, est_weight == w
+        assert sorted(out["rid"]) == [0, 1, 2, 3]
+        assert (out["est_weight"] == out["w"]).all()
+
+    def test_plan_is_take_ordered(self, spark):
+        from ml_hadoop_experiment_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        df, _ = self._pop(spark)
+        plan = (
+            weighted_priority_sample(df, F.col("rid"), "w", k=50)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan, plan
