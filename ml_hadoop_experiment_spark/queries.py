@@ -2177,6 +2177,47 @@ FROM ({inner})
 SQL_WEIGHTED_SAMPLE = _sql_weighted_sample()
 
 
+def q_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier summary: exact median, MAD, and the
+    count of values beyond 3 MADs — the data-quality monitor that is
+    immune to the outliers it hunts. Value data never shuffles: two
+    map-combined key aggregations plus broadcast joins of the per-key
+    stats tables (KB-sized at any corpus scale)."""
+    from ml_hadoop_experiment_spark.operators.stats import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outliers(ev, ["event_type"], "value", n_mads=3.0)
+
+
+def _sql_outlier_stats() -> str:
+    from ml_hadoop_experiment_spark.operators.stats import mad_outliers_sql
+
+    return mad_outliers_sql("events", "event_type", "value", n_mads=3.0)
+
+
+SQL_OUTLIER_STATS = _sql_outlier_stats()
+
+
+def q_segment_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time (slope per day +
+    intercept at the 2024-01-01 centering epoch) from decimal-exact
+    sufficient statistics — regr_slope semantics but bit-reproducible
+    under any partitioning, one map-combined shuffle."""
+    from ml_hadoop_experiment_spark.operators.stats import group_ols_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return group_ols_trend(ev, ["event_type"], "ts", "value")
+
+
+def _sql_segment_trend() -> str:
+    from ml_hadoop_experiment_spark.operators.stats import group_ols_trend_sql
+
+    return group_ols_trend_sql("events", "event_type", "ts", "value")
+
+
+SQL_SEGMENT_TREND = _sql_segment_trend()
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -2197,6 +2238,8 @@ QUERIES = {
     "dedup_normalized": q_dedup_normalized,
     "decontaminate": q_decontaminate,
     "weighted_sample": q_weighted_sample,
+    "outlier_stats": q_outlier_stats,
+    "segment_trend": q_segment_trend,
     "dup_stats": q_dup_stats,
     "simhash_pairs": q_simhash_pairs,
     "dup_clusters": q_dup_clusters,
@@ -2264,6 +2307,8 @@ ORACLE_SQL = {
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "decontaminate": SQL_DECONTAMINATE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "outlier_stats": SQL_OUTLIER_STATS,
+    "segment_trend": SQL_SEGMENT_TREND,
     "dup_stats": SQL_DUP_STATS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,

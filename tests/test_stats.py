@@ -1,0 +1,114 @@
+"""Robust stats operators: MAD outliers + decimal-exact group OLS trend."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ml_hadoop_experiment_spark.operators.stats import (
+    TREND_EPOCH_S,
+    group_ols_trend,
+    mad_outliers,
+)
+
+
+class TestMadOutliers:
+    def test_golden_small(self, spark):
+        # key 'a': values 1..5 plus a wild 100 -> med 4.5 of [1,2,3,4,5,100]?
+        # use odd count for a crisp median: [1,2,3,4,100] -> med 3, adev
+        # [2,1,0,1,97] -> mad 1, outliers = |x-3| > 3 -> {100}
+        pdf = pd.DataFrame(
+            {"k": ["a"] * 5 + ["b"] * 3, "v": [1, 2, 3, 4, 100, 7, 7, 7]}
+        )
+        out = (
+            mad_outliers(spark.createDataFrame(pdf), ["k"], "v")
+            .toPandas()
+            .set_index("k")
+        )
+        assert out.loc["a", "med"] == 3.0
+        assert out.loc["a", "mad"] == 1.0
+        assert out.loc["a", "n_outliers"] == 1
+        # constant key: mad 0 -> nothing beats the strict > threshold
+        assert out.loc["b", "mad"] == 0.0
+        assert out.loc["b", "n_outliers"] == 0
+
+    def test_outliers_do_not_move_the_fence(self, spark):
+        """Robustness: inflating the single outlier by 100x leaves med/mad
+        (and therefore the flag set) unchanged — the property stddev-based
+        fences lack."""
+        base = pd.DataFrame({"k": ["a"] * 101, "v": np.r_[np.arange(100), 5000.0]})
+        big = base.copy()
+        big.loc[100, "v"] = 500000.0
+        a = mad_outliers(spark.createDataFrame(base), ["k"], "v").toPandas()
+        b = mad_outliers(spark.createDataFrame(big), ["k"], "v").toPandas()
+        assert a.loc[0, "med"] == b.loc[0, "med"]
+        assert a.loc[0, "mad"] == b.loc[0, "mad"]
+        assert a.loc[0, "n_outliers"] == b.loc[0, "n_outliers"] == 1
+
+    def test_stats_tables_broadcast(self, spark):
+        pdf = pd.DataFrame({"k": ["a", "b"] * 50, "v": np.arange(100.0)})
+        plan = (
+            mad_outliers(spark.createDataFrame(pdf), ["k"], "v")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+
+
+class TestGroupOlsTrend:
+    def _frame(self, spark, slope_per_s, intercept, n=500, noise=0.0, seed=1):
+        rng = np.random.default_rng(seed)
+        xs = rng.integers(0, 3_000_000, n)
+        ts = [
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(s)) for s in xs
+        ]
+        y = intercept + slope_per_s * xs + (
+            rng.normal(0, noise, n) if noise else 0.0
+        )
+        return spark.createDataFrame(
+            pd.DataFrame({"k": "a", "ts": ts, "value": y})
+        )
+
+    def test_recovers_exact_line(self, spark):
+        df = self._frame(spark, slope_per_s=2e-5, intercept=10.0)
+        row = group_ols_trend(df, ["k"], "ts", "value").head()
+        assert row["slope_per_day"] == pytest.approx(2e-5 * 86400, rel=1e-9)
+        assert row["intercept"] == pytest.approx(10.0, rel=1e-9)
+
+    def test_partitioning_invariance(self, spark):
+        """Decimal-exact sums: the fit is bit-identical regardless of how
+        rows are distributed — the reason not to use double-summing
+        regr_slope."""
+        df = self._frame(spark, 1e-5, 5.0, noise=3.0)
+        a = group_ols_trend(df.coalesce(1), ["k"], "ts", "value").head()
+        b = group_ols_trend(df.repartition(32), ["k"], "ts", "value").head()
+        assert a["slope_per_day"] == b["slope_per_day"]
+        assert a["intercept"] == b["intercept"]
+
+    def test_degenerate_key_yields_null(self, spark):
+        one_instant = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": ["a", "a"],
+                    "ts": [dt.datetime(2024, 1, 5)] * 2,
+                    "value": [1.0, 2.0],
+                }
+            )
+        )
+        row = group_ols_trend(one_instant, ["k"], "ts", "value").head()
+        assert row["slope_per_day"] is None and row["intercept"] is None
+
+    def test_single_shuffle_plan(self, spark):
+        df = self._frame(spark, 1e-5, 5.0)
+        plan = (
+            group_ols_trend(df, ["k"], "ts", "value")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") <= 1, plan
