@@ -2218,6 +2218,55 @@ def _sql_segment_trend() -> str:
 SQL_SEGMENT_TREND = _sql_segment_trend()
 
 
+#: Z-order dims for the orders layout query: generous fixed domains so the
+#: same query is meaningful at every scale factor (out-of-domain clamps).
+_ZDIMS = [("o_custkey", 0.0, 150_000.0), ("o_totalprice", 0.0, 600_000.0)]
+
+
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit: bucket orders by the top byte of
+    the 2x16-bit interleaved (o_custkey, o_totalprice) z-value and report
+    each bucket's bounding box. Tight per-bucket min/max on BOTH dims is
+    exactly what makes z-clustered files prunable on either predicate —
+    the data-skipping layout for 100 TB scans (plans/layout.py)."""
+    from ml_hadoop_experiment_spark.plans.layout import zorder_value
+
+    orders = _t(spark, sf_dir, "orders")
+    z = zorder_value(
+        [(F.col(c), lo, hi) for (c, lo, hi) in _ZDIMS], bits=16
+    )
+    return (
+        orders.withColumn("z_bucket", F.shiftright(z, 24))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+def _sql_zorder_stats() -> str:
+    from ml_hadoop_experiment_spark.plans.layout import zorder_value_sql
+
+    z = zorder_value_sql(_ZDIMS, bits=16)
+    return f"""
+SELECT ({z} >> 24) AS z_bucket,
+       count(*) AS n_rows,
+       min(o_custkey) AS min_custkey,
+       max(o_custkey) AS max_custkey,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1
+"""
+
+
+SQL_ZORDER_STATS = _sql_zorder_stats()
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -2240,6 +2289,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "outlier_stats": q_outlier_stats,
     "segment_trend": q_segment_trend,
+    "zorder_stats": q_zorder_stats,
     "dup_stats": q_dup_stats,
     "simhash_pairs": q_simhash_pairs,
     "dup_clusters": q_dup_clusters,
@@ -2309,6 +2359,7 @@ ORACLE_SQL = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "outlier_stats": SQL_OUTLIER_STATS,
     "segment_trend": SQL_SEGMENT_TREND,
+    "zorder_stats": SQL_ZORDER_STATS,
     "dup_stats": SQL_DUP_STATS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,
