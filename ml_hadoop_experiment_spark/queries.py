@@ -2267,6 +2267,66 @@ GROUP BY 1
 SQL_ZORDER_STATS = _sql_zorder_stats()
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join, drained availableNow: purchases
+    within 30 minutes after a click by the same user. Both sides are
+    state-store partitioned on user_id and watermarked so join state is
+    bounded by the time window — the canonical streaming correlation
+    shape the batch oracle mirrors with a plain interval join."""
+    import uuid
+
+    from ml_hadoop_experiment_spark.streaming.joins import interval_join
+
+    _ensure_confs(spark)
+    wire_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _normalize_event_time(
+        spark.readStream.schema(wire_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    joined = interval_join(
+        clicks, purchases, "user_id", "ts", upper="30 minutes", watermark="1 hour"
+    )
+    out = joined.select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        (
+            F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts"))
+        ).alias("gap_us"),
+        F.col("r_value").alias("purchase_value"),
+    )
+    sink = f"streaming_ij_{uuid.uuid4().hex}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+SQL_STREAMING_INTERVAL_JOIN = """
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+       p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -2309,6 +2369,7 @@ QUERIES = {
     "streaming_rollup": q_streaming_rollup,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_score": q_streaming_score,
+    "streaming_interval_join": q_streaming_interval_join,
     "user_similarity": q_user_similarity,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
@@ -2379,6 +2440,7 @@ ORACLE_SQL = {
     "streaming_rollup": SQL_STREAMING_ROLLUP,
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
     "streaming_score": SQL_STREAMING_SCORE,
+    "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "user_similarity": SQL_USER_SIMILARITY,
     "sessionize": SQL_SESSIONIZE,
     "session_stats": SQL_SESSION_STATS,

@@ -142,3 +142,49 @@ def test_session_window_aggregates_boundary_semantics(spark, tmp_path):
         (1, "2026-01-01 00:30:00"): 1,
         (2, "2026-01-01 00:00:00"): 1,
     }
+
+
+def test_interval_join_boundary_semantics(spark, tmp_path):
+    """Stream-stream interval join: inclusive at exactly the upper bound,
+    excluded one second past it, never across keys, never backwards."""
+    import datetime as dt
+
+    from ml_hadoop_experiment_spark.streaming.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # (event_id, ts, user_id, side)
+        (1, t0, 100, "L"),
+        (2, t0 + dt.timedelta(minutes=30), 100, "R"),      # exactly upper: in
+        (3, t0 + dt.timedelta(minutes=30, seconds=1), 100, "R"),  # past: out
+        (4, t0 - dt.timedelta(seconds=1), 100, "R"),       # before left: out
+        (5, t0 + dt.timedelta(minutes=5), 200, "R"),       # other key: out
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "side"])
+    path = str(tmp_path / "ij_src")
+    spark.createDataFrame(pdf).write.parquet(path)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, side string"
+    ).parquet(path)
+    joined = interval_join(
+        stream.where(F.col("side") == "L"),
+        stream.where(F.col("side") == "R"),
+        "user_id",
+        "ts",
+        upper="30 minutes",
+        watermark="1 hour",
+    )
+    q = (
+        joined.select("l_event_id", "r_event_id")
+        .writeStream.format("memory")
+        .queryName("ij_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM ij_sink").collect()
+    }
+    assert got == {(1, 2)}
