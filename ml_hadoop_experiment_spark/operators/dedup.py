@@ -529,11 +529,34 @@ def simhash_pairs_from_fingerprints(
     max_hamming grows, so degenerate-block fan-out is the cost of deeper
     radius — cap with an upstream filter if a segment value dominates.
     """
-    parts = None
-    for part, (start, width) in enumerate(simhash_block_bounds(bits, max_hamming)):
-        block = F.shiftright(F.col("fp"), start).bitwiseAND(F.lit((1 << width) - 1))
-        p = fp.select("id", "fp", F.lit(part).alias("part"), block.alias("block"))
-        parts = p if parts is None else parts.unionByName(p)
+    # Single-scan blocking (the round-3 minhash banding lesson): ONE
+    # explode of an array(struct(part, block)) column, not one union arm
+    # per segment — union arms re-evaluate the fingerprint expression per
+    # arm AND per join side (8x the 32 bit-vote scans at 4 blocks;
+    # measured 2.6x slower at sf0.1). The exploded frame auto-persists
+    # above the measured crossover so the fingerprint computes exactly
+    # once; toy inputs skip the materialization stage overhead.
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(part).alias("part"),
+                F.shiftright(F.col("fp"), start)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("block"),
+            )
+            for part, (start, width) in enumerate(
+                simhash_block_bounds(bits, max_hamming)
+            )
+        ]
+    )
+    parts = fp.select("id", "fp", F.explode(entries).alias("__e")).select(
+        "id",
+        "fp",
+        F.col("__e.part").alias("part"),
+        F.col("__e.block").alias("block"),
+    )
+    if _estimated_input_bytes(fp) > AUTO_PERSIST_BYTES:
+        parts = parts.persist()
     a, b = parts.alias("a"), parts.alias("b")
     cands = (
         a.join(
