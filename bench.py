@@ -62,6 +62,14 @@ BENCH_QUERIES = [
     "kmv_distinct",
     "quantiles",
     "image_dims",
+    # round-4 extensions: curation, weighted sampling, robust stats, layout
+    "decontaminate",
+    "dedup_normalized",
+    "weighted_sample",
+    "outlier_stats",
+    "segment_trend",
+    "zorder_stats",
+    "heavy_hitters",
     "pii_redaction",
     "simhash_pairs",
     # dup_clusters is deliberately NOT benched: ~8.6 s at sf0.1 (iterative
@@ -76,6 +84,7 @@ BENCH_QUERIES = [
     "streaming_rollup",
     "streaming_sessionize",
     "streaming_score",
+    "streaming_interval_join",
 ]
 
 
