@@ -191,10 +191,173 @@ FROM sums
 """
 
 
+def equi_depth_histogram(
+    df: DataFrame, value_col: str, num_bins: int
+) -> DataFrame:
+    """Equi-depth (quantile) histogram: bin boundaries at the exact
+    ``i/num_bins`` percentiles, rows assigned by boundary comparisons.
+
+    The feature-binning primitive (quantile bucketing for embeddings /
+    monotone feature transforms / drift monitors): unlike equi-WIDTH bins,
+    every bin holds ~the same row count regardless of skew. Output:
+    (bin, n_rows, lo, hi) per occupied bin.
+
+    Plan: one aggregation produces the boundary ARRAY in a single row,
+    broadcast to a map-side comparison (``bin = #{boundaries < v}``), then
+    a map-combined group count — two scans, no wide exchange of data rows.
+    Exact ``percentile`` is the oracle yardstick; swap
+    ``approx_percentile`` in at 100 TB for a one-pass mergeable sketch
+    (the quantiles/quantiles_approx pairing).
+    """
+    fracs = ", ".join(str(i / num_bins) for i in range(1, num_bins))
+    v = F.col(value_col).cast("double")
+    bnds = df.agg(
+        F.expr(f"percentile({value_col}, array({fracs}))").alias("__bnds")
+    )
+    binned = df.join(F.broadcast(bnds)).withColumn(
+        "bin",
+        F.size(F.filter(F.col("__bnds"), lambda b: v > b)).cast("int"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+    )
+
+
+def equi_depth_histogram_sql(
+    relation: str, value_expr: str, num_bins: int
+) -> str:
+    """DuckDB twin: quantile_cont boundaries (bit-identical interpolation
+    with Spark's percentile) + the same strict-greater bin rule."""
+    fracs = ", ".join(str(i / num_bins) for i in range(1, num_bins))
+    return f"""
+WITH b AS (SELECT quantile_cont({value_expr}, [{fracs}]) AS bnds FROM {relation})
+SELECT CAST(len(list_filter(b.bnds, x -> CAST({value_expr} AS DOUBLE) > x)) AS INTEGER) AS bin,
+       count(*) AS n_rows,
+       min(CAST({value_expr} AS DOUBLE)) AS lo,
+       max(CAST({value_expr} AS DOUBLE)) AS hi
+FROM {relation}, b
+GROUP BY 1
+"""
+
+
+def corr_matrix(
+    df: DataFrame, cols: List[str], decimals: str = "decimal(18,2)"
+) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` in long form
+    (col_x, col_y, corr, n_rows), decimal-exact sufficient statistics.
+
+    One map-combined aggregation computes every Σx and Σxy (k + k(k+1)/2
+    decimal sums for k columns — one row total); correlations derive from
+    the closed form in double with a fixed operation order, so results are
+    bit-stable under any partitioning and identical in DuckDB. The built-in
+    ``corr`` accumulates doubles partition-order-dependently and cannot
+    make that promise.
+
+    ``decimals`` carries two contracts: (1) x*y products must stay under
+    DECIMAL(38) in both engines; (2) the SUM's unscaled integer should
+    stay below 2^53 so the final decimal->double conversion is a single
+    correctly-rounded step on BOTH engines — above that, DuckDB's
+    value/10^scale conversion and the JVM's BigDecimal.doubleValue can
+    differ in the last ulp. The default (18,2) is exact for 2-dp measures
+    and keeps scale-4 product sums inside 2^53 up to ~1e11 magnitude;
+    raise the scale for finer-grained inputs and accept ulp-level
+    cross-engine drift, or keep sums small by pre-scaling.
+    """
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    d = [F.col(c).cast(decimals) for c in cols]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(d[i]).alias(f"s_{i}"))
+        for j in range(i, len(cols)):
+            aggs.append(F.sum(d[i] * d[j]).alias(f"p_{i}_{j}"))
+    sums = df.agg(*aggs)
+
+    def _corr(i: int, j: int):
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{i}").cast("double"), F.col(f"s_{j}").cast("double")
+        sxy = F.col(f"p_{i}_{j}").cast("double")
+        sxx, syy = F.col(f"p_{i}_{i}").cast("double"), F.col(f"p_{j}_{j}").cast("double")
+        num = n * sxy - sx * sy
+        return num / F.sqrt(n * sxx - sx * sx) / F.sqrt(n * syy - sy * sy)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(cols[i]).alias("col_x"),
+                F.lit(cols[j]).alias("col_y"),
+                _corr(i, j).alias("corr"),
+                F.col("n").alias("n_rows"),
+            )
+            for i in range(len(cols))
+            for j in range(i + 1, len(cols))
+        ]
+    )
+    return sums.select(F.explode(pairs).alias("__p")).select(
+        "__p.col_x", "__p.col_y", "__p.corr", "__p.n_rows"
+    )
+
+
+def corr_matrix_sql(
+    relation: str, cols: List[str], decimals: str = "DECIMAL(18,2)"
+) -> str:
+    """DuckDB twin of ``corr_matrix`` — same decimal sums, same double
+    operation order, same long-form output.
+
+    One multiplication operand is widened by a single digit: DuckDB
+    executes a (18,s)x(18,s) product in int64 physical storage and
+    overflows at runtime, while (19,s)x(18,s) promotes to int128 and
+    yields the same (37, 2s) result type Spark derives — identical exact
+    values on both sides."""
+    import re
+
+    m = re.match(r"DECIMAL\((\d+),(\d+)\)", decimals, re.IGNORECASE)
+    assert m, f"decimals must look like DECIMAL(p,s), got {decimals}"
+    wide = f"DECIMAL({int(m.group(1)) + 1},{m.group(2)})"
+    sums = ["count(*) AS n"]
+    for i, c in enumerate(cols):
+        sums.append(f"sum(CAST({c} AS {decimals})) AS s_{i}")
+        for j in range(i, len(cols)):
+            sums.append(
+                f"sum(CAST({c} AS {wide}) * CAST({cols[j]} AS {decimals}))"
+                f" AS p_{i}_{j}"
+            )
+    arms = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            num = (
+                f"(CAST(n AS DOUBLE) * CAST(p_{i}_{j} AS DOUBLE)"
+                f" - CAST(s_{i} AS DOUBLE) * CAST(s_{j} AS DOUBLE))"
+            )
+            dx = (
+                f"sqrt(CAST(n AS DOUBLE) * CAST(p_{i}_{i} AS DOUBLE)"
+                f" - CAST(s_{i} AS DOUBLE) * CAST(s_{i} AS DOUBLE))"
+            )
+            dy = (
+                f"sqrt(CAST(n AS DOUBLE) * CAST(p_{j}_{j} AS DOUBLE)"
+                f" - CAST(s_{j} AS DOUBLE) * CAST(s_{j} AS DOUBLE))"
+            )
+            arms.append(
+                f"SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y, "
+                f"{num} / {dx} / {dy} AS corr, n AS n_rows FROM sums"
+            )
+    arms_sql = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH sums AS (SELECT {', '.join(sums)} FROM {relation})
+{arms_sql}
+"""
+
+
 __all__ = [
     "mad_outliers",
     "mad_outliers_sql",
     "group_ols_trend",
     "group_ols_trend_sql",
     "TREND_EPOCH_S",
+    "equi_depth_histogram",
+    "equi_depth_histogram_sql",
+    "corr_matrix",
+    "corr_matrix_sql",
 ]

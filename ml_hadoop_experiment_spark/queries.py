@@ -2376,6 +2376,52 @@ def _sql_heavy_hitters() -> str:
 SQL_HEAVY_HITTERS = _sql_heavy_hitters()
 
 
+def q_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of l_extendedprice in 10 quantile bins — the
+    feature-bucketing primitive (every bin ~equal count regardless of
+    skew). Boundary array computed once, broadcast, map-side binning;
+    exact percentile as the oracle yardstick, approx_percentile as the
+    documented 100 TB path."""
+    from ml_hadoop_experiment_spark.operators.stats import equi_depth_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return equi_depth_histogram(li, "l_extendedprice", num_bins=10)
+
+
+def _sql_feature_hist() -> str:
+    from ml_hadoop_experiment_spark.operators.stats import (
+        equi_depth_histogram_sql,
+    )
+
+    return equi_depth_histogram_sql("lineitem", "l_extendedprice", num_bins=10)
+
+
+SQL_FEATURE_HIST = _sql_feature_hist()
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of four lineitem measures in long
+    form, from decimal-exact sufficient statistics in ONE map-combined
+    aggregation — bit-stable under any partitioning, unlike the
+    double-accumulating corr built-in."""
+    from ml_hadoop_experiment_spark.operators.stats import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(li, _CORR_COLS)
+
+
+def _sql_corr_matrix() -> str:
+    from ml_hadoop_experiment_spark.operators.stats import corr_matrix_sql
+
+    return corr_matrix_sql("lineitem", _CORR_COLS)
+
+
+SQL_CORR_MATRIX = _sql_corr_matrix()
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -2400,6 +2446,8 @@ QUERIES = {
     "segment_trend": q_segment_trend,
     "zorder_stats": q_zorder_stats,
     "heavy_hitters": q_heavy_hitters,
+    "feature_hist": q_feature_hist,
+    "corr_matrix": q_corr_matrix,
     "dup_stats": q_dup_stats,
     "simhash_pairs": q_simhash_pairs,
     "dup_clusters": q_dup_clusters,
@@ -2472,6 +2520,8 @@ ORACLE_SQL = {
     "segment_trend": SQL_SEGMENT_TREND,
     "zorder_stats": SQL_ZORDER_STATS,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "feature_hist": SQL_FEATURE_HIST,
+    "corr_matrix": SQL_CORR_MATRIX,
     "dup_stats": SQL_DUP_STATS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,

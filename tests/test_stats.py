@@ -112,3 +112,67 @@ class TestGroupOlsTrend:
             .toString()
         )
         assert plan.count("Exchange") <= 1, plan
+
+
+class TestEquiDepthHistogram:
+    def test_bins_near_equal_depth(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import equi_depth_histogram
+
+        rng = np.random.default_rng(2)
+        # heavy-tailed: equi-WIDTH bins would put ~everything in bin 0
+        pdf = pd.DataFrame({"v": rng.lognormal(0, 2, 10_000)})
+        out = equi_depth_histogram(
+            spark.createDataFrame(pdf), "v", num_bins=10
+        ).toPandas().sort_values("bin", ignore_index=True)
+        assert len(out) == 10
+        assert out["n_rows"].between(900, 1100).all()
+        # bins tile the domain: consecutive lo >= previous hi
+        assert (out["lo"].values[1:] >= out["hi"].values[:-1]).all()
+
+    def test_constant_column_single_bin(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import equi_depth_histogram
+
+        pdf = pd.DataFrame({"v": [7.0] * 50})
+        out = equi_depth_histogram(
+            spark.createDataFrame(pdf), "v", num_bins=4
+        ).toPandas()
+        assert len(out) == 1 and out.loc[0, "n_rows"] == 50
+
+
+class TestCorrMatrix:
+    def test_known_correlations(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import corr_matrix
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(10, 2, 4000)
+        pdf = pd.DataFrame({"x": x, "y": 3 * x + 1, "z": -x, "w": rng.normal(0, 1, 4000)})
+        out = corr_matrix(
+            spark.createDataFrame(pdf), ["x", "y", "z", "w"], decimals="decimal(18,9)"
+        ).toPandas()
+        got = {(r.col_x, r.col_y): r.corr for r in out.itertuples()}
+        assert got[("x", "y")] == pytest.approx(1.0, abs=1e-9)
+        assert got[("x", "z")] == pytest.approx(-1.0, abs=1e-9)
+        assert abs(got[("x", "w")]) < 0.1
+        assert len(out) == 6
+
+    def test_partitioning_invariance(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import corr_matrix
+
+        rng = np.random.default_rng(9)
+        pdf = pd.DataFrame({"a": rng.normal(size=3000), "b": rng.normal(size=3000)})
+        df = spark.createDataFrame(pdf)
+        a = corr_matrix(df.coalesce(1), ["a", "b"], decimals="decimal(18,9)").head()["corr"]
+        b = corr_matrix(df.repartition(32), ["a", "b"], decimals="decimal(18,9)").head()["corr"]
+        assert a == b
+
+    def test_single_aggregation_plan(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import corr_matrix
+
+        pdf = pd.DataFrame({"a": [1.0, 2.0], "b": [2.0, 1.0]})
+        plan = (
+            corr_matrix(spark.createDataFrame(pdf), ["a", "b"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") <= 1, plan
