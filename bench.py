@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "segment_trend",
     "zorder_stats",
     "heavy_hitters",
+    "feature_hist",
+    "corr_matrix",
     "pii_redaction",
     "simhash_pairs",
     # dup_clusters is deliberately NOT benched: ~8.6 s at sf0.1 (iterative

@@ -80,11 +80,16 @@ def contamination_report(
     corpus size.
 
     ``n_hit_grams`` counts *distinct* corpus grams that appear in the
-    benchmark (tokens_frame already dedups (id, gram) pairs), so a gram
-    repeated within one document counts once — the standard overlap
-    statistic.
+    benchmark, so a gram repeated within one document counts once — the
+    standard overlap statistic. The dedup happens AFTER the broadcast
+    join (``countDistinct`` with map-side partials), not before: a
+    pre-join ``distinct`` would shuffle the ENTIRE corpus gram set, while
+    post-join only the matching grams — proportional to contamination —
+    reach an exchange.
     """
-    cg = tokens_frame(corpus, id_col, text_col, shingle_size=ngram_size)
+    cg = tokens_frame(
+        corpus, id_col, text_col, shingle_size=ngram_size, distinct=False
+    )
     if hash_grams:
         cg = cg.select("id", portable_token_hash_int(F.col("token")).alias("gram"))
     else:
@@ -93,7 +98,7 @@ def contamination_report(
     return (
         cg.join(F.broadcast(bg), "gram")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+        .agg(F.countDistinct("gram").alias("n_hit_grams"))
     )
 
 

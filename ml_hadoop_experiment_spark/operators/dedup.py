@@ -114,7 +114,11 @@ def duplicate_stats(df: DataFrame, content_cols: List[str]) -> DataFrame:
 
 
 def tokens_frame(
-    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 1
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 1,
+    distinct: bool = True,
 ) -> DataFrame:
     """(id, token) distinct pairs; token = word or word-``shingle_size``-gram.
 
@@ -144,10 +148,10 @@ def tokens_frame(
         )
         whole_text = F.array(F.concat_ws(" ", tokens))
         tokens = F.when(n >= shingle_size, shingles).otherwise(whole_text)
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("token"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("token"))
+    # distinct=False keeps the frame map-only (no shuffle) for callers that
+    # dedup later in a cheaper place (e.g. after a selective semi-join)
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(

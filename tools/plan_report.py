@@ -23,6 +23,7 @@ STREAMING = {
     "streaming_rollup",
     "streaming_sessionize",
     "streaming_score",
+    "streaming_interval_join",
 }
 
 
