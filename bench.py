@@ -154,10 +154,37 @@ def _bench_kmv_sketch(spark) -> None:
     ).mode("overwrite").save()
 
 
+def _bench_feature_hist_approx(spark) -> None:
+    """The equi-depth histogram production plan: approx_percentile
+    boundaries (GK sketch, mergeable, bounded memory) instead of the
+    declared query's exact single-group percentile — the same
+    exact-vs-approx pairing as quantiles/quantiles_approx."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    fracs = ", ".join(str(i / 10) for i in range(1, 10))
+    bnds = li.agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, array({fracs}), 10000)"
+        ).alias("__bnds")
+    )
+    v = F.col("l_extendedprice").cast("double")
+    (
+        li.join(F.broadcast(bnds))
+        .withColumn("bin", F.size(F.filter(F.col("__bnds"), lambda b: v > b)))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.min(v).alias("lo"), F.max(v).alias("hi"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
 EXTRA_BENCHES = {
     "tfrecord_sink": _bench_shuffle_sink,
     "quantiles_approx": _bench_quantiles_approx,
     "kmv_sketch": _bench_kmv_sketch,
+    "feature_hist_approx": _bench_feature_hist_approx,
 }
 
 

@@ -2422,6 +2422,35 @@ def _sql_corr_matrix() -> str:
 SQL_CORR_MATRIX = _sql_corr_matrix()
 
 
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text featurization (HashingVectorizer semantics,
+    signed variant): token -> portable-hash bucket in a 256-dim space,
+    per-doc signed counts in COO layout. No vocabulary pass, no driver
+    state, one map-combined shuffle bounded by num_features per doc."""
+    from ml_hadoop_experiment_spark.operators.features import (
+        hashed_term_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_term_features(
+        docs, "doc_id", "text", num_features=256, signed=True
+    ).select(F.col("id").alias("doc_id"), "bucket", "value")
+
+
+def _sql_feature_hash() -> str:
+    from ml_hadoop_experiment_spark.operators.features import (
+        hashed_term_features_sql,
+    )
+
+    inner = hashed_term_features_sql(
+        "documents", "doc_id", "text", num_features=256, signed=True
+    )
+    return f"SELECT id AS doc_id, bucket, value FROM ({inner})"
+
+
+SQL_FEATURE_HASH = _sql_feature_hash()
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -2447,6 +2476,7 @@ QUERIES = {
     "zorder_stats": q_zorder_stats,
     "heavy_hitters": q_heavy_hitters,
     "feature_hist": q_feature_hist,
+    "feature_hash": q_feature_hash,
     "corr_matrix": q_corr_matrix,
     "dup_stats": q_dup_stats,
     "simhash_pairs": q_simhash_pairs,
@@ -2521,6 +2551,7 @@ ORACLE_SQL = {
     "zorder_stats": SQL_ZORDER_STATS,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "feature_hist": SQL_FEATURE_HIST,
+    "feature_hash": SQL_FEATURE_HASH,
     "corr_matrix": SQL_CORR_MATRIX,
     "dup_stats": SQL_DUP_STATS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
