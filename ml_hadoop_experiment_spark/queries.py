@@ -2451,6 +2451,63 @@ def _sql_feature_hash() -> str:
 SQL_FEATURE_HASH = _sql_feature_hash()
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding near-dup pairs (LSH sign-bit
+    buckets + exact cosine >= 0.3) feed connected components, labeling
+    every vector with its semantic cluster = smallest reachable vec_id.
+    Keeping min(vec_id)==vec_id rows then dedups by MEANING rather than
+    by bytes — the embedding-space counterpart of dup_clusters, sharing
+    the same min-label-propagation engine and oracle-checked against a
+    DuckDB recursive-CTE closure over an independently computed pair
+    set."""
+    from ml_hadoop_experiment_spark.operators.dedup import dedup_clusters
+    from ml_hadoop_experiment_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", num_planes=4, dim=64,
+        threshold=0.3,
+    )
+    out = dedup_clusters(emb, pairs, "vec_id")
+    return out.withColumnRenamed("id", "vec_id")
+
+
+def _sql_semantic_dedup() -> str:
+    return f"""
+WITH RECURSIVE
+buckets AS (
+  SELECT vec_id,
+         {lsh_bucket_sql('embedding', 4, 64)} AS bucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / {_ROW_NORM}) AS vnorm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({_PAIR_DOT_NORMED}, 6) >= 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id AS vec_id, min(comp) AS cluster
+FROM reach
+GROUP BY id
+"""
+
+
+SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -2478,6 +2535,7 @@ QUERIES = {
     "feature_hist": q_feature_hist,
     "feature_hash": q_feature_hash,
     "corr_matrix": q_corr_matrix,
+    "semantic_dedup": q_semantic_dedup,
     "dup_stats": q_dup_stats,
     "simhash_pairs": q_simhash_pairs,
     "dup_clusters": q_dup_clusters,
@@ -2553,6 +2611,7 @@ ORACLE_SQL = {
     "feature_hist": SQL_FEATURE_HIST,
     "feature_hash": SQL_FEATURE_HASH,
     "corr_matrix": SQL_CORR_MATRIX,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "dup_stats": SQL_DUP_STATS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,
