@@ -1,0 +1,82 @@
+"""Exact global prefix sums without a single-partition window.
+
+``Window.orderBy(...)`` with no partition key moves EVERY row through one
+task — the canonical scalability cliff for running totals, cumulative
+token counts, and rank assignment. This module implements the standard
+two-phase alternative:
+
+1. range-partition + sort by the order key (one shuffle — the same
+   exchange a global sort pays, split across the cluster);
+2. per-partition totals (tiny: one row per partition) are collected and
+   turned into partition prefix OFFSETS on the driver — KB-sized
+   metadata, not data;
+3. a map-only pass adds ``offset + within-partition cumsum`` via Arrow
+   batches.
+
+The result equals the single-partition window bit-for-bit for integer
+values (exact addition), at cluster parallelism. Used by
+``operators/packing.py`` for sequence packing; the DuckDB oracle is the
+plain ``SUM() OVER (ORDER BY ...)`` window.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_global_running_sum(
+    df: DataFrame,
+    order_cols: List[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Add ``out_col`` = inclusive prefix sum of ``value_col`` in the
+    total order of ``order_cols`` (which must be a total order — add a
+    unique id as the last key).
+
+    Values are summed as int64 (exact, associative); floats would make
+    the two-phase result differ from a sequential sum in the last ulp.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+    ordered = ordered.sortWithinPartitions(*order_cols)
+    # persist BEFORE the totals job: the offsets pass and the cumsum pass
+    # must observe the SAME range boundaries (a re-executed range exchange
+    # re-samples; persisting pins one materialization for both jobs).
+    # Lifetime is caller-owned, like the dedup auto-persist frames.
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id()).persist()
+    # one row per partition; collect is bounded by partition count
+    totals = (
+        with_pid.groupBy("__pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("t"))
+        .collect()
+    )
+    sums = {int(r["__pid"]): int(r["t"]) for r in totals}
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    schema = with_pid.drop("__pid").schema.add(out_col, "long")
+    cols = [f.name for f in schema.fields]
+
+    def add_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = None
+        for pdf in batches:
+            if run is None:
+                run = offsets.get(int(pdf["__pid"].iloc[0]), 0) if len(pdf) else 0
+            out = pdf.drop(columns=["__pid"])
+            out[out_col] = pdf[value_col].astype("int64").cumsum() + run
+            run = int(out[out_col].iloc[-1]) if len(out) else run
+            yield out[cols]
+
+    return with_pid.mapInPandas(add_cumsum, schema)
+
+
+__all__ = ["with_global_running_sum"]

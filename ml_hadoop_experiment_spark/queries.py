@@ -2508,6 +2508,67 @@ GROUP BY id
 SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: 64-token windows with 8-token overlap per
+    document (pretraining/RAG splitter). Pure codegen sequence+slice —
+    zero Python, zero shuffle."""
+    from ml_hadoop_experiment_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=8
+    ).select(F.col("id").alias("doc_id"), "chunk_id", "chunk_text", "n_tokens")
+
+
+def _sql_doc_chunks() -> str:
+    from ml_hadoop_experiment_spark.operators.packing import chunk_documents_sql
+
+    inner = chunk_documents_sql(
+        "documents", "doc_id", "text", chunk_tokens=64, overlap=8
+    )
+    return f"SELECT id AS doc_id, chunk_id, chunk_text, n_tokens FROM ({inner})"
+
+
+SQL_DOC_CHUNKS = _sql_doc_chunks()
+
+
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-packing: documents laid out in id order and cut
+    into 2048-token bins via the exact TWO-PHASE distributed prefix sum
+    (plans/prefix.py) — no single-partition window anywhere; the DuckDB
+    oracle is the plain window cumsum the two-phase plan must equal."""
+    from ml_hadoop_experiment_spark.operators.packing import concat_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+    )
+    return concat_pack(with_counts, "doc_id", "n_toks", budget=2048).select(
+        F.col("id").alias("doc_id"), "n_tokens", "bin", "bin_offset",
+        "spans_boundary",
+    )
+
+
+def _sql_pack_bins() -> str:
+    from ml_hadoop_experiment_spark.operators.packing import concat_pack_sql
+
+    inner = concat_pack_sql(
+        "(SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks"
+        " FROM documents)",
+        "doc_id",
+        "n_toks",
+        budget=2048,
+    )
+    return (
+        "SELECT id AS doc_id, n_tokens, bin, bin_offset, spans_boundary "
+        f"FROM ({inner})"
+    )
+
+
+SQL_PACK_BINS = _sql_pack_bins()
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -2536,6 +2597,8 @@ QUERIES = {
     "feature_hash": q_feature_hash,
     "corr_matrix": q_corr_matrix,
     "semantic_dedup": q_semantic_dedup,
+    "doc_chunks": q_doc_chunks,
+    "pack_bins": q_pack_bins,
     "dup_stats": q_dup_stats,
     "simhash_pairs": q_simhash_pairs,
     "dup_clusters": q_dup_clusters,
@@ -2612,6 +2675,8 @@ ORACLE_SQL = {
     "feature_hash": SQL_FEATURE_HASH,
     "corr_matrix": SQL_CORR_MATRIX,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "pack_bins": SQL_PACK_BINS,
     "dup_stats": SQL_DUP_STATS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,
