@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "feature_hist",
     "corr_matrix",
+    "feature_hash",
+    "doc_chunks",
+    "pack_bins",
     "pii_redaction",
     "simhash_pairs",
     # dup_clusters is deliberately NOT benched: ~8.6 s at sf0.1 (iterative

@@ -79,4 +79,24 @@ def with_global_running_sum(
     return with_pid.mapInPandas(add_cumsum, schema)
 
 
-__all__ = ["with_global_running_sum"]
+def with_global_rank(
+    df: DataFrame,
+    order_cols: List[str],
+    out_col: str = "rank",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Dense 1-based ``row_number`` in the total order of ``order_cols``
+    WITHOUT a single-partition window: the prefix sum of ones.
+
+    ``order_cols`` must be a total order (append a unique id); equal-key
+    ties would otherwise get arbitrary-but-stable ranks from the range
+    partitioner's internal order.
+    """
+    tagged = df.withColumn("__one", F.lit(1))
+    out = with_global_running_sum(
+        tagged, order_cols, "__one", out_col=out_col, num_partitions=num_partitions
+    )
+    return out.drop("__one")
+
+
+__all__ = ["with_global_running_sum", "with_global_rank"]

@@ -2569,6 +2569,33 @@ def _sql_pack_bins() -> str:
 SQL_PACK_BINS = _sql_pack_bins()
 
 
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order ranking of every order by (price, key) through the
+    two-phase distributed prefix sum — the scalable replacement for the
+    single-partition row_number() window. Returns the 100 lowest ranks
+    for a bounded result; the RANKING itself is computed over the full
+    table at cluster parallelism."""
+    from ml_hadoop_experiment_spark.plans.prefix import with_global_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    ranked = with_global_rank(
+        orders.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+    )
+    return ranked.where(F.col("rank") <= 100).select(
+        "rank", "o_orderkey", "o_totalprice"
+    )
+
+
+SQL_GLOBAL_RANK = """
+SELECT rank, o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 100
+"""
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -2599,6 +2626,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "doc_chunks": q_doc_chunks,
     "pack_bins": q_pack_bins,
+    "global_rank": q_global_rank,
     "dup_stats": q_dup_stats,
     "simhash_pairs": q_simhash_pairs,
     "dup_clusters": q_dup_clusters,
@@ -2677,6 +2705,7 @@ ORACLE_SQL = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "doc_chunks": SQL_DOC_CHUNKS,
     "pack_bins": SQL_PACK_BINS,
+    "global_rank": SQL_GLOBAL_RANK,
     "dup_stats": SQL_DUP_STATS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,

@@ -105,3 +105,23 @@ class TestConcatPack:
             if b < last_bin:
                 start_span = grp["bin_offset"].min()
                 assert start_span < 2048
+
+
+class TestGlobalRank:
+    def test_matches_window_row_number(self, spark):
+        from ml_hadoop_experiment_spark.plans.prefix import with_global_rank
+
+        rng = np.random.default_rng(12)
+        pdf = pd.DataFrame({"k": rng.permutation(5000), "v": rng.normal(size=5000)})
+        df = spark.createDataFrame(pdf).repartition(16)
+        out = (
+            with_global_rank(df, ["v", "k"], num_partitions=8)
+            .toPandas()
+            .sort_values("k", ignore_index=True)
+        )
+        expect = (
+            pdf.sort_values(["v", "k"])
+            .assign(rank=np.arange(1, 5001))
+            .sort_values("k", ignore_index=True)
+        )
+        assert (out["rank"].values == expect["rank"].values).all()
