@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "feature_hash",
     "doc_chunks",
     "pack_bins",
+    "global_rank",
     "pii_redaction",
     "simhash_pairs",
     # dup_clusters is deliberately NOT benched: ~8.6 s at sf0.1 (iterative
