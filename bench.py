@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "doc_chunks",
     "pack_bins",
     "global_rank",
+    "cohort_retention",
+    "funnel_counts",
+    "event_pivot",
     "pii_redaction",
     "simhash_pairs",
     # dup_clusters is deliberately NOT benched: ~8.6 s at sf0.1 (iterative

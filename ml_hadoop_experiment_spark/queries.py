@@ -2596,6 +2596,130 @@ SELECT rank, o_orderkey, o_totalprice FROM (
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted distinct on each later activity-day offset — the standard
+    product-analytics table. Two map-combined aggregations + one join on
+    user_id (the per-user firsts table is small relative to events and
+    co-partitions with the event scan's natural key). Day indexes are
+    integers relative to 2024-01-01 so the output is timestamp-free
+    (cross-engine date comparison semantics differ)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day")
+    days = ev.select("user_id", day)
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH days AS (
+  SELECT user_id, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+),
+firsts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+FROM days d JOIN firsts f ON d.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their first
+    view, then purchased AFTER that click — min-timestamp chaining, the
+    standard sequential-conversion query. One conditional aggregation per
+    user (map-combined) then a 3-row rollup; the ordering constraints are
+    plain column comparisons, no self-joins over the event log."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").join(per_user, "user_id")
+    first_click = clicks.where(F.col("ts") > F.col("t_view")).groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("t_click"), F.first("t_view").alias("t_view"))
+    purch = ev.where(F.col("event_type") == "purchase").join(
+        first_click, "user_id"
+    )
+    converted = purch.where(F.col("ts") > F.col("t_click")).select(
+        "user_id"
+    ).distinct()
+    n1 = per_user.where(F.col("t_view").isNotNull()).count()
+    n2 = first_click.count()
+    n3 = converted.count()
+    return spark.createDataFrame(
+        [("1_view", n1), ("2_click_after_view", n2), ("3_purchase_after_click", n3)],
+        "stage string, n_users long",
+    )
+
+
+SQL_FUNNEL_COUNTS = """
+WITH v AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY 1
+),
+p AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+)
+SELECT '1_view' AS stage,
+       CAST((SELECT count(*) FROM v WHERE t_view IS NOT NULL) AS BIGINT) AS n_users
+UNION ALL
+SELECT '2_click_after_view', CAST((SELECT count(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT '3_purchase_after_click', CAST((SELECT count(*) FROM p) AS BIGINT)
+"""
+
+
+#: fixed pivot domain: an explicit value list keeps the pivot a one-pass
+#: map-side CASE expansion (Spark's auto-discovery pivot runs an extra
+#: distinct job AND makes the schema data-dependent)
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide activity matrix: events pivoted to one column per event type
+    with per-user counts. The explicit value list keeps the plan a
+    single map-combined aggregation (no distinct-discovery job, schema
+    stable at any scale); absent combinations are zero-filled."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return out.select(
+        "user_id", *[F.col(c).cast("long").alias(c) for c in _EVENT_TYPES]
+    )
+
+
+SQL_EVENT_PIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "udf_linear_score": q_udf_linear_score,
     "sample_stratified": q_sample_stratified,
@@ -2627,6 +2751,9 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "pack_bins": q_pack_bins,
     "global_rank": q_global_rank,
+    "cohort_retention": q_cohort_retention,
+    "funnel_counts": q_funnel_counts,
+    "event_pivot": q_event_pivot,
     "dup_stats": q_dup_stats,
     "simhash_pairs": q_simhash_pairs,
     "dup_clusters": q_dup_clusters,
@@ -2706,6 +2833,9 @@ ORACLE_SQL = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "pack_bins": SQL_PACK_BINS,
     "global_rank": SQL_GLOBAL_RANK,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "funnel_counts": SQL_FUNNEL_COUNTS,
+    "event_pivot": SQL_EVENT_PIVOT,
     "dup_stats": SQL_DUP_STATS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dup_clusters": SQL_DUP_CLUSTERS,
