@@ -114,3 +114,29 @@ def test_time_bucket_scale_invariance(ns: int, width_s: int):
     # a parquet timestamp[us] instant has ns = us * 1000 exactly
     ns_exact = us * 1000
     assert us // (width_s * 1_000_000) == ns_exact // (width_s * 1_000_000_000)
+
+
+@settings(max_examples=300)
+@given(
+    fp=st.integers(min_value=0, max_value=2**32 - 1),
+    flips=st.lists(st.integers(0, 31), min_size=0, max_size=3),
+    max_hamming=st.integers(1, 4),
+)
+def test_simhash_pigeonhole_blocking(fp: int, flips, max_hamming: int):
+    """Any pair within `max_hamming` bit flips shares at least one of the
+    max_hamming+1 disjoint blocks EXACTLY — the recall guarantee of the
+    round-4 blocking fix, checked over generated fingerprints with flips
+    deliberately allowed to land in the same or different blocks."""
+    from ml_hadoop_experiment_spark.operators.dedup import simhash_block_bounds
+
+    other = fp
+    for b in set(flips[:max_hamming]):
+        other ^= 1 << b
+    bounds = simhash_block_bounds(32, max_hamming)
+    assert len(bounds) == max_hamming + 1
+    assert sum(w for _, w in bounds) == 32
+    shares = any(
+        (fp >> s) & ((1 << w) - 1) == (other >> s) & ((1 << w) - 1)
+        for s, w in bounds
+    )
+    assert shares
