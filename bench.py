@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "pack_bins",
     "global_rank",
+    "trailing_window",
     "cohort_retention",
     "funnel_counts",
     "event_pivot",

@@ -279,3 +279,70 @@ def range_join(
     ev_cols = [F.col(f"__ev.{c}") for c in events.columns]
     iv_cols = [F.col(f"__iv.{c}") for c in intervals.columns if c not in on]
     return ev.join(iv, cond, how).select(*ev_cols, *iv_cols)
+
+
+def trailing_aggregates(
+    df: DataFrame,
+    key_cols: List[str],
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    decimals: str = "decimal(18,2)",
+) -> DataFrame:
+    """Trailing time-RANGE window per key: count and exact sum of
+    ``value_col`` over the last ``window_seconds`` (inclusive of both
+    the current instant and the window edge) — the rolling-feature /
+    rate-limit / velocity primitive.
+
+    A rows-based frame would be wrong under irregular event spacing; the
+    RANGE frame on epoch seconds admits exactly the events inside the
+    time window, ties included. One shuffle (the window's hash
+    partitioning on the key). The sum accumulates in DECIMAL so the
+    result is identical whatever order the frame internally adds in —
+    double accumulation would differ between engines at the last ulp.
+
+    Output adds ``epoch_s``, ``trail_cnt``, ``trail_sum`` (double, cast
+    from the exact decimal; keep ``decimals`` scaled so frame sums stay
+    under 2^53 — see corr_matrix for the conversion-portability rule).
+    """
+    epoch, scale = epoch_and_scale(F.col(ts_col), df.schema[ts_col].dataType)
+    # subtract the remainder before dividing: the quotient is then an exact
+    # integer in double, immune to the round-up-then-truncate hazard a
+    # direct epoch/scale cast has at nanosecond granularity
+    secs = ((epoch - epoch % F.lit(scale)) / F.lit(scale)).cast("long")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__epoch_s").asc())
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    return (
+        df.withColumn("__epoch_s", secs)
+        .withColumn("trail_cnt", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "trail_sum",
+            F.sum(F.col(value_col).cast(decimals)).over(w).cast("double"),
+        )
+        .withColumnRenamed("__epoch_s", "epoch_s")
+    )
+
+
+def trailing_aggregates_sql(
+    relation: str,
+    key_expr: str,
+    ts_expr: str,
+    value_expr: str,
+    window_seconds: int,
+    decimals: str = "DECIMAL(18,2)",
+) -> str:
+    """DuckDB twin of ``trailing_aggregates`` (integer RANGE frame)."""
+    return f"""
+SELECT *,
+       count(*) OVER w AS trail_cnt,
+       CAST(sum(CAST({value_expr} AS {decimals})) OVER w AS DOUBLE) AS trail_sum
+FROM (
+  SELECT *, CAST(epoch_us({ts_expr}) // 1000000 AS BIGINT) AS epoch_s
+  FROM {relation}
+)
+WINDOW w AS (PARTITION BY {key_expr} ORDER BY epoch_s
+             RANGE BETWEEN {int(window_seconds)} PRECEDING AND CURRENT ROW)
+"""

@@ -2596,6 +2596,34 @@ SELECT rank, o_orderkey, o_totalprice FROM (
 """
 
 
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE window per user: event count and exact value
+    sum over the last hour at every event — the rolling-feature /
+    velocity primitive. Decimal accumulation makes the sums identical in
+    both engines regardless of internal frame-add order."""
+    from ml_hadoop_experiment_spark.operators.temporal import trailing_aggregates
+
+    ev = _t(spark, sf_dir, "events")
+    out = trailing_aggregates(
+        ev, ["user_id"], "ts", "value", window_seconds=3600
+    )
+    return out.select("event_id", "user_id", "epoch_s", "trail_cnt", "trail_sum")
+
+
+def _sql_trailing_window() -> str:
+    from ml_hadoop_experiment_spark.operators.temporal import (
+        trailing_aggregates_sql,
+    )
+
+    inner = trailing_aggregates_sql(
+        "events", "user_id", "ts", "value", window_seconds=3600
+    )
+    return f"SELECT event_id, user_id, epoch_s, trail_cnt, trail_sum FROM ({inner})"
+
+
+SQL_TRAILING_WINDOW = _sql_trailing_window()
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity day,
     counted distinct on each later activity-day offset — the standard
@@ -2751,6 +2779,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "pack_bins": q_pack_bins,
     "global_rank": q_global_rank,
+    "trailing_window": q_trailing_window,
     "cohort_retention": q_cohort_retention,
     "funnel_counts": q_funnel_counts,
     "event_pivot": q_event_pivot,
@@ -2833,6 +2862,7 @@ ORACLE_SQL = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "pack_bins": SQL_PACK_BINS,
     "global_rank": SQL_GLOBAL_RANK,
+    "trailing_window": SQL_TRAILING_WINDOW,
     "cohort_retention": SQL_COHORT_RETENTION,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "event_pivot": SQL_EVENT_PIVOT,

@@ -205,3 +205,40 @@ def test_asof_join_timestamp_and_bigint_mixed_scales(spark):
     )
     out = asof_join(left, right, on=["k"], left_time="t", right_time="t").collect()
     assert out[0]["v_asof"] == 100.0
+
+
+class TestTrailingAggregates:
+    def test_range_frame_boundaries(self, spark):
+        """Events exactly window_seconds old are IN; one second older is
+        OUT; ties at the same instant are all in each other's frames."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from ml_hadoop_experiment_spark.operators.temporal import (
+            trailing_aggregates,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            (1, "u", t0 - dt.timedelta(seconds=3601), 1.0),  # out of frame of r4
+            (2, "u", t0 - dt.timedelta(seconds=3600), 2.0),  # edge: in
+            (3, "u", t0, 4.0),                               # tie with 4
+            (4, "u", t0, 8.0),
+            (5, "v", t0, 16.0),                              # other key
+        ]
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+        out = (
+            trailing_aggregates(
+                spark.createDataFrame(pdf), ["user_id"], "ts", "value", 3600
+            )
+            .toPandas()
+            .set_index("event_id")
+        )
+        # rows 3/4 (t0): frame = {2,3,4} (1 is 3601s old), ties both included
+        assert out.loc[3, "trail_cnt"] == 3 and out.loc[4, "trail_cnt"] == 3
+        assert out.loc[3, "trail_sum"] == 2.0 + 4.0 + 8.0
+        # row 2's frame = {1, 2}: row 1 is exactly 1s before within 3600
+        assert out.loc[2, "trail_cnt"] == 2
+        # keys don't leak
+        assert out.loc[5, "trail_cnt"] == 1 and out.loc[5, "trail_sum"] == 16.0
