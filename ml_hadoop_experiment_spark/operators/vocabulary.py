@@ -129,3 +129,83 @@ def write_vocab_files(
         .text(path)
     )
     return path
+
+
+def vocab_id_table(
+    vocab_counts: DataFrame,
+    value_col: str = "value",
+    count_col: str = "count",
+    id_col: str = "token_id",
+    num_partitions: int = None,
+) -> DataFrame:
+    """Assign dense 1-based integer ids to vocabulary entries, most
+    frequent first (ties broken by value) — the id table every
+    token-to-id encoder needs.
+
+    The reference stops at writing vocab VALUES to text files
+    (``tensorflow/vocabulary.py:58-79``) and leaves id assignment to
+    TF's lookup tables; here the assignment is part of the engine so a
+    Spark pipeline can produce training-ready id sequences directly.
+
+    Scale: rank-by-frequency is a global total order. A bare
+    ``row_number() OVER (ORDER BY count DESC)`` drags the whole vocab
+    through ONE task; this uses the two-phase distributed prefix sum
+    (``plans/prefix.py``) — same bit-exact result, cluster parallelism.
+    Output: ``value_col, count_col, id_col`` (ids 1..V; 0 is reserved
+    for OOV by convention).
+    """
+    from ml_hadoop_experiment_spark.plans.prefix import with_global_rank
+
+    neg = vocab_counts.withColumn("__neg", -F.col(count_col).cast("long"))
+    ranked = with_global_rank(
+        neg, ["__neg", value_col], out_col=id_col, num_partitions=num_partitions
+    )
+    return ranked.drop("__neg")
+
+
+def encode_tokens_to_ids(
+    df: DataFrame,
+    doc_col: str,
+    text_col: str,
+    vocab_ids: DataFrame,
+    value_col: str = "value",
+    id_col: str = "token_id",
+    oov_id: int = 0,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Whitespace-tokenize ``text_col`` and map every token to its
+    integer id, preserving order — text → training-ready id arrays.
+
+    Returns ``doc_col, ids array<long>, n_tokens``. Unknown tokens map
+    to ``oov_id``.
+
+    Plan shape (100 TB posture): ``posexplode`` is a map-side generate
+    (no shuffle); the vocab join broadcasts when ``broadcast_vocab``
+    (thresholded vocabularies are MBs — if yours is not, pass False and
+    the join degrades to a hash shuffle on the token, still no driver
+    involvement); reassembly is ONE shuffle on the document key carrying
+    only ``(pos, id)`` int pairs — the text itself never shuffles.
+    Ordering is restored by ``array_sort`` over ``(pos, id)`` structs,
+    deterministic because ``pos`` is unique within a document.
+    """
+    tok_df = df.select(
+        F.col(doc_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "__tok"),
+    )
+    ids = vocab_ids.select(
+        F.col(value_col).alias("__tok"), F.col(id_col).cast("long").alias("__tid")
+    )
+    if broadcast_vocab:
+        ids = F.broadcast(ids)
+    joined = tok_df.join(ids, "__tok", "left").select(
+        doc_col,
+        "pos",
+        F.coalesce(F.col("__tid"), F.lit(oov_id).cast("long")).alias("__tid"),
+    )
+    return joined.groupBy(doc_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "__tid"))),
+            lambda s: s["__tid"],
+        ).alias("ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

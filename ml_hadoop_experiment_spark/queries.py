@@ -231,6 +231,47 @@ HAVING count(*) >= 50
 """
 
 
+def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → ordered token-id sequences, the LLM-pipeline encode step:
+    vocabulary (count >= 50) gets dense ids most-frequent-first via the
+    TWO-PHASE distributed rank (no single-partition window), tokens map
+    through a broadcast join (OOV → 0), and per-document id arrays are
+    reassembled order-preserving. The result is re-exploded to
+    (doc_id, pos, token_id) so the oracle checks the exact ORDER the
+    array reassembly produced, not just the multiset."""
+    from ml_hadoop_experiment_spark.operators.vocabulary import (
+        encode_tokens_to_ids,
+        vocab_id_table,
+        vocabulary_dataframe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = vocabulary_dataframe(
+        docs.withColumn("tokens", F.split(F.col("text"), " ")),
+        ["tokens"],
+        threshold=50,
+    )
+    vocab = vocab_id_table(counts)
+    enc = encode_tokens_to_ids(docs, "doc_id", "text", vocab)
+    return enc.select("doc_id", F.posexplode("ids").alias("pos", "token_id"))
+
+
+SQL_TOKENS_TO_IDS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(range(len(string_split(text, ' ')))) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1 HAVING count(*) >= 50),
+vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS tid FROM cnt
+)
+SELECT t.doc_id, t.pos, CAST(coalesce(v.tid, 0) AS BIGINT) AS token_id
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+"""
+
+
 # --------------------------------------------------------------------------
 # U12 relational form: sparse COO via posexplode (SURVEY §2.8 — indices are
 # (row, pos), values are elements; dense_shape derivable via max(size)).
@@ -2754,6 +2795,7 @@ QUERIES = {
     "vocab_build": q_vocab_build,
     "vocab_merged_keys": q_vocab_merged_keys,
     "vocab_tokens": q_vocab_tokens,
+    "tokens_to_ids": q_tokens_to_ids,
     "sparse_coo": q_sparse_coo,
     "null_default_fill": q_null_default_fill,
     "events_long": q_events_long,
@@ -2837,6 +2879,7 @@ ORACLE_SQL = {
     "vocab_build": SQL_VOCAB_BUILD,
     "vocab_merged_keys": SQL_VOCAB_MERGED_KEYS,
     "vocab_tokens": SQL_VOCAB_TOKENS,
+    "tokens_to_ids": SQL_TOKENS_TO_IDS,
     "sparse_coo": SQL_SPARSE_COO,
     "null_default_fill": SQL_NULL_DEFAULT_FILL,
     "events_long": SQL_EVENTS_LONG,

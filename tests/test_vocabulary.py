@@ -86,3 +86,40 @@ def test_write_vocab_files(spark, tmp_path):
 def test_vocabulary_dataframe_schema(vocab_df):
     vdf = vocabulary_dataframe(vocab_df, ["feature1"])
     assert [f.name for f in vdf.schema.fields] == ["key", "value", "count"]
+
+
+def test_vocab_id_table_orders_by_frequency_then_value(spark):
+    from ml_hadoop_experiment_spark.operators.vocabulary import vocab_id_table
+
+    counts = spark.createDataFrame(
+        [("the", 100), ("cat", 7), ("ant", 7), ("zoo", 50)],
+        "value string, count long",
+    )
+    got = {r["value"]: r["token_id"] for r in vocab_id_table(counts).collect()}
+    # frequency desc, ties by value asc
+    assert got == {"the": 1, "zoo": 2, "ant": 3, "cat": 4}
+
+
+def test_encode_tokens_to_ids_preserves_order_and_maps_oov(spark):
+    from ml_hadoop_experiment_spark.operators.vocabulary import (
+        encode_tokens_to_ids,
+        vocab_id_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "unknownword the")],
+        "doc_id int, text string",
+    )
+    vocab = vocab_id_table(
+        spark.createDataFrame(
+            [("the", 10), ("cat", 5), ("sat", 5), ("on", 5), ("mat", 5)],
+            "value string, count long",
+        )
+    )
+    out = {
+        r["doc_id"]: (list(r["ids"]), r["n_tokens"])
+        for r in encode_tokens_to_ids(docs, "doc_id", "text", vocab).collect()
+    }
+    # ids: the=1, then cat/mat/on/sat alphabetical at count 5 -> 2,3,4,5
+    assert out[1] == ([1, 2, 5, 4, 1, 3], 6)
+    assert out[2] == ([0, 1], 2)  # OOV -> 0, order preserved
