@@ -346,3 +346,107 @@ FROM (
 WINDOW w AS (PARTITION BY {key_expr} ORDER BY epoch_s
              RANGE BETWEEN {int(window_seconds)} PRECEDING AND CURRENT ROW)
 """
+
+
+def gap_fill(
+    df: DataFrame,
+    key_cols: List[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    max_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Resample an irregular per-key series onto a regular time grid and
+    forward-fill gaps — the feature-store / monitoring "as-of every N
+    seconds" primitive.
+
+    Per key: bucket observations to ``floor(epoch_s / step)``, keep the
+    LAST observation per bucket (latest timestamp, source row order as
+    the final tiebreak via a deterministic max over a (epoch, value)
+    struct), generate the dense bucket range min..max from a one-row-
+    per-key span table, left-join observations back, and forward-fill
+    ``value`` with ``last(..., ignorenulls=True)``.
+
+    Output: ``key_cols..., bucket, value (filled), n_obs, filled`` —
+    ``n_obs`` is 0 and ``filled`` true on generated rows.
+
+    Scale posture: the span table is ONE row per key (map-combined agg);
+    the grid ``sequence()+explode`` is map-side from that tiny table, so
+    the dense grid never shuffles as a whole — the join partitions it by
+    (key, bucket) alongside the (equally partitioned) per-bucket
+    observations. The forward-fill window is one shuffle on the key.
+    The hazard is a key whose span/step is huge (one sensor, ten years,
+    1-second grid): ``max_buckets`` drops such keys (count them with a
+    prior span query) rather than letting one key explode to billions of
+    rows inside a single task.
+    """
+    epoch, scale = epoch_and_scale(F.col(ts_col), df.schema[ts_col].dataType)
+    secs = ((epoch - epoch % F.lit(scale)) / F.lit(scale)).cast("long")
+    bucket = F.floor(secs / F.lit(int(step_seconds))).cast("long")
+
+    obs = (
+        df.withColumn("__b", bucket)
+        .withColumn("__e", secs)
+        .groupBy(*key_cols, "__b")
+        .agg(
+            F.max(F.struct(F.col("__e"), F.col(value_col).alias("v")))["v"].alias(
+                "__v"
+            ),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    spans = (
+        obs.groupBy(*key_cols)
+        .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+        .where((F.col("__hi") - F.col("__lo")) < F.lit(int(max_buckets)))
+    )
+    grid = spans.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__b"),
+    )
+    joined = grid.join(obs, [*key_cols, "__b"], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn("value", F.last("__v", ignorenulls=True).over(w))
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)))
+        .withColumn("filled", F.col("__v").isNull())
+        .withColumnRenamed("__b", "bucket")
+        .drop("__v")
+    )
+
+
+def gap_fill_sql(
+    relation: str,
+    key_expr: str,
+    ts_expr: str,
+    value_expr: str,
+    step_seconds: int,
+) -> str:
+    """DuckDB twin of ``gap_fill`` (dense grid via range-unnest, forward
+    fill via ``last_value IGNORE NULLS``)."""
+    step = int(step_seconds)
+    return f"""
+WITH obs AS (
+  SELECT {key_expr} AS k,
+         CAST(epoch_us({ts_expr}) // 1000000 // {step} AS BIGINT) AS bucket,
+         max(struct_pack(
+           e := CAST(epoch_us({ts_expr}) // 1000000 AS BIGINT),
+           v := {value_expr})).v AS obs_v,
+         count(*) AS n_obs
+  FROM {relation}
+  GROUP BY 1, 2
+),
+spans AS (SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+grid AS (SELECT k, unnest(range(lo, hi + 1)) AS bucket FROM spans)
+SELECT g.k, g.bucket,
+       last_value(o.obs_v IGNORE NULLS)
+         OVER (PARTITION BY g.k ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       coalesce(o.n_obs, 0) AS n_obs,
+       o.obs_v IS NULL AS filled
+FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.bucket = o.bucket
+"""

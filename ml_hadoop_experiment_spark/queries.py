@@ -2665,6 +2665,32 @@ def _sql_trailing_window() -> str:
 SQL_TRAILING_WINDOW = _sql_trailing_window()
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular hourly resample of each user's event-value series with
+    forward fill — the feature-store "as-of every hour" primitive. The
+    dense grid is generated map-side from a one-row-per-key span table
+    (never shuffled whole); fill is a copy, not arithmetic, so values
+    are engine-exact."""
+    from ml_hadoop_experiment_spark.operators.temporal import gap_fill
+
+    ev = _t(spark, sf_dir, "events")
+    out = gap_fill(ev, ["user_id"], "ts", "value", step_seconds=3600)
+    return out.select("user_id", "bucket", "value", "n_obs", "filled")
+
+
+def _sql_gap_fill() -> str:
+    from ml_hadoop_experiment_spark.operators.temporal import gap_fill_sql
+
+    inner = gap_fill_sql("events", "user_id", "ts", "value", step_seconds=3600)
+    return (
+        "SELECT k AS user_id, bucket, value, CAST(n_obs AS BIGINT) AS n_obs, "
+        f"filled FROM ({inner})"
+    )
+
+
+SQL_GAP_FILL = _sql_gap_fill()
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity day,
     counted distinct on each later activity-day offset — the standard
@@ -2822,6 +2848,7 @@ QUERIES = {
     "pack_bins": q_pack_bins,
     "global_rank": q_global_rank,
     "trailing_window": q_trailing_window,
+    "gap_fill": q_gap_fill,
     "cohort_retention": q_cohort_retention,
     "funnel_counts": q_funnel_counts,
     "event_pivot": q_event_pivot,
@@ -2906,6 +2933,7 @@ ORACLE_SQL = {
     "pack_bins": SQL_PACK_BINS,
     "global_rank": SQL_GLOBAL_RANK,
     "trailing_window": SQL_TRAILING_WINDOW,
+    "gap_fill": SQL_GAP_FILL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "event_pivot": SQL_EVENT_PIVOT,

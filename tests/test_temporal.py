@@ -242,3 +242,62 @@ class TestTrailingAggregates:
         assert out.loc[2, "trail_cnt"] == 2
         # keys don't leak
         assert out.loc[5, "trail_cnt"] == 1 and out.loc[5, "trail_sum"] == 16.0
+
+
+class TestGapFill:
+    def test_forward_fill_and_flags(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        from ml_hadoop_experiment_spark.operators.temporal import gap_fill
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def at(minutes):
+            return t0 + dt.timedelta(minutes=minutes)
+
+        rows = [
+            # key "u": observations in buckets 0, 0, 3 (step = 60 s)
+            ("u", at(0), 1.0),
+            ("u", at(0) + dt.timedelta(seconds=30), 2.0),  # later in bucket 0
+            ("u", at(3), 9.0),
+            # key "v": single observation
+            ("v", at(10), 5.0),
+        ]
+        pdf = pd.DataFrame(rows, columns=["k", "ts", "value"])
+        out = (
+            gap_fill(spark.createDataFrame(pdf), ["k"], "ts", "value", 60)
+            .toPandas()
+            .set_index(["k", "bucket"])
+            .sort_index()
+        )
+        u = out.loc["u"]
+        base = u.index.min()
+        # dense grid: buckets base..base+3, gaps forward-filled from the
+        # LAST observation of bucket 0 (value 2.0, not 1.0)
+        assert list(u.index) == [base, base + 1, base + 2, base + 3]
+        assert list(u["value"]) == [2.0, 2.0, 2.0, 9.0]
+        assert list(u["n_obs"]) == [2, 0, 0, 1]
+        assert list(u["filled"]) == [False, True, True, False]
+        # single-observation key: one bucket, nothing generated
+        assert len(out.loc["v"]) == 1
+
+    def test_max_buckets_drops_wide_keys(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        from ml_hadoop_experiment_spark.operators.temporal import gap_fill
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("wide", t0, 1.0),
+            ("wide", t0 + dt.timedelta(hours=100), 2.0),  # span 100 buckets
+            ("ok", t0, 3.0),
+        ]
+        pdf = pd.DataFrame(rows, columns=["k", "ts", "value"])
+        out = gap_fill(
+            spark.createDataFrame(pdf), ["k"], "ts", "value", 3600, max_buckets=10
+        ).toPandas()
+        assert set(out["k"]) == {"ok"}
