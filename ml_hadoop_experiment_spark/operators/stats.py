@@ -361,3 +361,78 @@ __all__ = [
     "corr_matrix",
     "corr_matrix_sql",
 ]
+
+
+def trimmed_stats(
+    df: DataFrame,
+    key_cols: List[str],
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    decimals: str = "decimal(18,2)",
+) -> DataFrame:
+    """Per-key trimmed statistics: exact percentile fences at ``lo``/``hi``
+    and the mean of only the values inside them — the robust-mean
+    monitor that a handful of corrupt readings cannot move.
+
+    Plan (100 TB posture): one key-aggregation for the fences (the per-key
+    table is segments-sized, KB), broadcast it back, then one map-combined
+    aggregation over the fenced scan — the value data itself never
+    shuffles. The trimmed sum accumulates in DECIMAL (order-independent,
+    engine-exact); the single mean division happens once per key in
+    double. Exact ``percentile`` buffers per-group values and is the
+    oracle yardstick — swap ``approx_percentile`` fences in at 100 TB
+    (see equi_depth_histogram for the same exact-vs-approx posture).
+
+    Output: ``key_cols..., p_lo, p_hi, trimmed_mean, n_kept, n_clipped``.
+    """
+    fences = df.groupBy(*key_cols).agg(
+        F.expr(f"percentile({value_col}, {lo!r})").alias("p_lo"),
+        F.expr(f"percentile({value_col}, {hi!r})").alias("p_hi"),
+    )
+    v = F.col(value_col)
+    inside = (v >= F.col("p_lo")) & (v <= F.col("p_hi"))
+    return (
+        df.join(F.broadcast(fences), on=key_cols)
+        .groupBy(*key_cols)
+        .agg(
+            F.first("p_lo").alias("p_lo"),
+            F.first("p_hi").alias("p_hi"),
+            (
+                F.sum(F.when(inside, v.cast(decimals))).cast("double")
+                / F.sum(F.when(inside, F.lit(1)))
+            ).alias("trimmed_mean"),
+            F.sum(F.when(inside, F.lit(1)).otherwise(F.lit(0))).alias("n_kept"),
+            F.sum(F.when(inside, F.lit(0)).otherwise(F.lit(1))).alias("n_clipped"),
+        )
+    )
+
+
+def trimmed_stats_sql(
+    relation: str,
+    key_expr: str,
+    value_expr: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    decimals: str = "DECIMAL(18,2)",
+) -> str:
+    """DuckDB twin of ``trimmed_stats`` (quantile_cont fences, decimal sum)."""
+    return f"""
+WITH fences AS (
+  SELECT {key_expr} AS k,
+         quantile_cont({value_expr}, {lo!r}) AS p_lo,
+         quantile_cont({value_expr}, {hi!r}) AS p_hi
+  FROM {relation} GROUP BY 1
+)
+SELECT {key_expr} AS k, f.p_lo, f.p_hi,
+       CAST(sum(CASE WHEN {value_expr} BETWEEN f.p_lo AND f.p_hi
+                     THEN CAST({value_expr} AS {decimals}) END) AS DOUBLE)
+         / sum(CASE WHEN {value_expr} BETWEEN f.p_lo AND f.p_hi
+               THEN 1 END) AS trimmed_mean,
+       CAST(sum(CASE WHEN {value_expr} BETWEEN f.p_lo AND f.p_hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN {value_expr} BETWEEN f.p_lo AND f.p_hi
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_clipped
+FROM {relation} t JOIN fences f ON {key_expr} = f.k
+GROUP BY 1, f.p_lo, f.p_hi
+"""

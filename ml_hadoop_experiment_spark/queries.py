@@ -2665,6 +2665,32 @@ def _sql_trailing_window() -> str:
 SQL_TRAILING_WINDOW = _sql_trailing_window()
 
 
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority robust mean of order totals: exact p05/p95 fences
+    (broadcast back, KB-sized) and the decimal-exact mean of only the
+    values inside them — the outlier-immune segment monitor."""
+    from ml_hadoop_experiment_spark.operators.stats import trimmed_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    out = trimmed_stats(orders, ["o_orderpriority"], "o_totalprice")
+    return out.select(
+        "o_orderpriority", "p_lo", "p_hi", "trimmed_mean", "n_kept", "n_clipped"
+    )
+
+
+def _sql_trimmed_stats() -> str:
+    from ml_hadoop_experiment_spark.operators.stats import trimmed_stats_sql
+
+    inner = trimmed_stats_sql("orders", "o_orderpriority", "o_totalprice")
+    return (
+        "SELECT k AS o_orderpriority, p_lo, p_hi, trimmed_mean, n_kept, "
+        f"n_clipped FROM ({inner})"
+    )
+
+
+SQL_TRIMMED_STATS = _sql_trimmed_stats()
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular hourly resample of each user's event-value series with
     forward fill — the feature-store "as-of every hour" primitive. The
@@ -2849,6 +2875,7 @@ QUERIES = {
     "global_rank": q_global_rank,
     "trailing_window": q_trailing_window,
     "gap_fill": q_gap_fill,
+    "trimmed_stats": q_trimmed_stats,
     "cohort_retention": q_cohort_retention,
     "funnel_counts": q_funnel_counts,
     "event_pivot": q_event_pivot,
@@ -2934,6 +2961,7 @@ ORACLE_SQL = {
     "global_rank": SQL_GLOBAL_RANK,
     "trailing_window": SQL_TRAILING_WINDOW,
     "gap_fill": SQL_GAP_FILL,
+    "trimmed_stats": SQL_TRIMMED_STATS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "event_pivot": SQL_EVENT_PIVOT,

@@ -176,3 +176,29 @@ class TestCorrMatrix:
             .toString()
         )
         assert plan.count("Exchange") <= 1, plan
+
+
+class TestTrimmedStats:
+    def test_fences_and_mean(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import trimmed_stats
+
+        # values 1..10 for key "a" plus one gross outlier; fences at
+        # p10/p90 clip both tails
+        rows = [("a", float(v)) for v in range(1, 11)] + [("a", 1000.0)]
+        df = spark.createDataFrame(rows, "k string, v double")
+        out = trimmed_stats(df, ["k"], "v", lo=0.10, hi=0.90).collect()[0]
+        assert out["n_kept"] + out["n_clipped"] == 11
+        assert out["n_clipped"] >= 2  # the outlier and at least the low tail
+        # the trimmed mean is immune to the 1000.0 outlier
+        assert 2.0 < out["trimmed_mean"] < 9.0
+        assert out["p_hi"] < 1000.0
+
+    def test_keys_independent(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import trimmed_stats
+
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 100.0), ("b", 200.0)]
+        df = spark.createDataFrame(rows, "k string, v double")
+        out = {r["k"]: r for r in trimmed_stats(df, ["k"], "v", 0.0, 1.0).collect()}
+        assert out["a"]["trimmed_mean"] == 2.0
+        assert out["b"]["trimmed_mean"] == 150.0
+        assert out["a"]["n_clipped"] == 0 and out["b"]["n_clipped"] == 0
