@@ -43,6 +43,20 @@ def portable_unit_hash(col: Column, salt: int = 0) -> Column:
     return (h.cast("double") / F.lit(float(_TWO32))).alias("portable_unit_hash")
 
 
+def portable_int_hash(col: Column, salt: int = 0) -> Column:
+    """The 32-bit integer stage of ``portable_unit_hash`` (before the
+    unit-interval division) — use when an exact integer (mod-k fold
+    assignment, bucketing) beats a float in [0,1)."""
+    return (
+        (col % PORTABLE_HASH_MOD) * F.lit(_KNUTH) + F.lit(_OFFSET + salt)
+    ) % F.lit(_TWO32)
+
+
+def portable_int_hash_sql(expr: str, salt: int = 0) -> str:
+    """ANSI-SQL text of ``portable_int_hash`` for DuckDB oracles."""
+    return f"((({expr} % {PORTABLE_HASH_MOD}) * {_KNUTH} + {_OFFSET + salt}) % {_TWO32})"
+
+
 def portable_unit_hash_sql(expr: str, salt: int = 0) -> str:
     """ANSI-SQL text of ``portable_unit_hash`` for DuckDB oracles."""
     return (

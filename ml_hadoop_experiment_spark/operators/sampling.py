@@ -395,3 +395,76 @@ def cap_per_key(
         .where(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+def assign_fold(
+    df: DataFrame,
+    key_cols: List[str],
+    k: int,
+    fold_col: str = "fold",
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment by stable key hash.
+
+    ``fold`` in 0..k-1. Like ``assign_split``, hashing the ENTITY key (not
+    ``rand()``) makes folds reproducible across reruns and across tables:
+    every row of the same entity lands in the same fold, so cross-
+    validation never leaks an entity between train and holdout even when
+    features and labels live in different tables.
+
+    Pure expression, no shuffle, fuses into the scan. Fold sizes are
+    hash-uniform (± binomial noise), not exactly equal — use
+    ``assign_fold_stratified`` when exact per-stratum balance matters
+    more than scan-fusion. ``portable=True`` uses the DuckDB-identical
+    integer hash (single integral key) for the oracle gate.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not key_cols:
+        raise ValueError("key_cols is required: the fold must hash a stable key")
+    if portable:
+        if len(key_cols) != 1:
+            raise ValueError("portable mode requires exactly one integral key column")
+        from ml_hadoop_experiment_spark.functions.hashing import portable_int_hash
+
+        fold = (portable_int_hash(F.col(key_cols[0]), salt=seed) % F.lit(int(k))).cast(
+            "int"
+        )
+    else:
+        fold = F.pmod(F.hash(*[F.col(c) for c in key_cols], F.lit(seed)), F.lit(int(k)))
+    return df.withColumn(fold_col, fold)
+
+
+def assign_fold_sql(key_expr: str, k: int, seed: int = 0) -> str:
+    """DuckDB twin of ``assign_fold(portable=True)``."""
+    from ml_hadoop_experiment_spark.functions.hashing import portable_int_hash_sql
+
+    return f"CAST({portable_int_hash_sql(key_expr, salt=seed)} % {int(k)} AS INT)"
+
+
+def assign_fold_stratified(
+    df: DataFrame,
+    strata_cols: List[str],
+    order_cols: List[str],
+    k: int,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Exactly balanced k-fold per stratum: rows are numbered within each
+    stratum in ``order_cols`` order (must be a total order for
+    determinism) and dealt round-robin — fold sizes per stratum differ by
+    at most one.
+
+    One shuffle (the per-stratum window). The skew caveat of any
+    per-group window applies: a stratum's rows pass through one task, so
+    at 100 TB use this for bounded strata (labels, languages) and
+    ``assign_fold`` for entity-level assignment.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy(*strata_cols).orderBy(*[F.col(c).asc() for c in order_cols])
+    return df.withColumn(
+        fold_col, ((F.row_number().over(w) - F.lit(1)) % F.lit(int(k))).cast("int")
+    )

@@ -2665,6 +2665,28 @@ def _sql_trailing_window() -> str:
 SQL_TRAILING_WINDOW = _sql_trailing_window()
 
 
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-level 5-fold cross-validation assignment: every order of
+    the same CUSTOMER lands in the same fold (hash of o_custkey, not
+    rand()), so CV never leaks a customer between train and holdout.
+    Pure expression — fuses into the scan, zero shuffle."""
+    from ml_hadoop_experiment_spark.operators.sampling import assign_fold
+
+    orders = _t(spark, sf_dir, "orders")
+    out = assign_fold(orders, ["o_custkey"], k=5, seed=11, portable=True)
+    return out.select("o_orderkey", "o_custkey", "fold")
+
+
+def _sql_kfold_assign() -> str:
+    from ml_hadoop_experiment_spark.operators.sampling import assign_fold_sql
+
+    fold = assign_fold_sql("o_custkey", k=5, seed=11)
+    return f"SELECT o_orderkey, o_custkey, {fold} AS fold FROM orders"
+
+
+SQL_KFOLD_ASSIGN = _sql_kfold_assign()
+
+
 def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority robust mean of order totals: exact p05/p95 fences
     (broadcast back, KB-sized) and the decimal-exact mean of only the
@@ -2876,6 +2898,7 @@ QUERIES = {
     "trailing_window": q_trailing_window,
     "gap_fill": q_gap_fill,
     "trimmed_stats": q_trimmed_stats,
+    "kfold_assign": q_kfold_assign,
     "cohort_retention": q_cohort_retention,
     "funnel_counts": q_funnel_counts,
     "event_pivot": q_event_pivot,
@@ -2962,6 +2985,7 @@ ORACLE_SQL = {
     "trailing_window": SQL_TRAILING_WINDOW,
     "gap_fill": SQL_GAP_FILL,
     "trimmed_stats": SQL_TRIMMED_STATS,
+    "kfold_assign": SQL_KFOLD_ASSIGN,
     "cohort_retention": SQL_COHORT_RETENTION,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "event_pivot": SQL_EVENT_PIVOT,

@@ -377,3 +377,59 @@ class TestWeightedPrioritySample:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan, plan
+
+
+class TestAssignFold:
+    def test_entity_consistency_and_range(self, spark):
+        from ml_hadoop_experiment_spark.operators.sampling import assign_fold
+
+        df = spark.createDataFrame(
+            [(i, i % 17) for i in range(200)], "row_id long, entity long"
+        )
+        out = assign_fold(df, ["entity"], k=5, seed=3).toPandas()
+        assert set(out["fold"]) <= set(range(5))
+        # all rows of one entity share a fold
+        assert (out.groupby("entity")["fold"].nunique() == 1).all()
+        # deterministic across invocations
+        again = assign_fold(df, ["entity"], k=5, seed=3).toPandas()
+        assert out.sort_values("row_id")["fold"].tolist() == (
+            again.sort_values("row_id")["fold"].tolist()
+        )
+
+    def test_portable_matches_duckdb(self, spark):
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.sampling import (
+            assign_fold,
+            assign_fold_sql,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+        got = (
+            assign_fold(df, ["k"], k=7, seed=2, portable=True)
+            .toPandas()
+            .sort_values("k")["fold"]
+            .tolist()
+        )
+        exp = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT {assign_fold_sql('k', 7, seed=2)} FROM range(500) t(k) ORDER BY k"
+            ).fetchall()
+        ]
+        assert got == exp
+
+    def test_stratified_exact_balance(self, spark):
+        from ml_hadoop_experiment_spark.operators.sampling import (
+            assign_fold_stratified,
+        )
+
+        rows = [(i, "a" if i < 10 else "b") for i in range(25)]
+        df = spark.createDataFrame(rows, "row_id long, label string")
+        out = assign_fold_stratified(df, ["label"], ["row_id"], k=3).toPandas()
+        sizes = out.groupby(["label", "fold"]).size()
+        # per stratum, fold sizes differ by at most one
+        for label in ("a", "b"):
+            s = sizes[label]
+            assert s.max() - s.min() <= 1
+        assert set(out["fold"]) == {0, 1, 2}
