@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     "event_pivot",
     "pii_redaction",
     "simhash_pairs",
+    "tokens_to_ids",
+    "gap_fill",
+    "trimmed_stats",
+    "kfold_assign",
+    "twap",
     # dup_clusters is deliberately NOT benched: ~8.6 s at sf0.1 (iterative
     # label propagation over the dense 16-bit simhash pair graph) would
     # dominate the bench total without tracking anything the simhash_pairs

@@ -450,3 +450,75 @@ SELECT g.k, g.bucket,
        o.obs_v IS NULL AS filled
 FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.bucket = o.bucket
 """
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: List[str],
+    ts_col: str,
+    value_col: str,
+    decimals: str = "decimal(18,2)",
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation's value is
+    weighted by how long it remained current (until the key's next
+    observation) — the correct mean for irregularly sampled state
+    (prices, sensor readings, gauge metrics), where the arithmetic mean
+    over-weights bursts.
+
+    ``lead`` over (epoch, value) pairs the hold duration; the weighted
+    sum accumulates as DECIMAL × integer-seconds (exact, order-free), so
+    the result is engine-identical; the single division to double
+    happens once per key. The last observation of a key has no
+    successor and carries zero weight (standard left-closed TWAP).
+    Keys with ONE observation therefore yield NULL.
+
+    One shuffle (the lead window on the key), one map-combined agg.
+    Output: ``key_cols..., twap, n_obs, span_s``.
+    """
+    epoch, scale = epoch_and_scale(F.col(ts_col), df.schema[ts_col].dataType)
+    secs = ((epoch - epoch % F.lit(scale)) / F.lit(scale)).cast("long")
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("__e").asc(), F.col(value_col).asc()
+    )
+    held = F.lead("__e").over(w) - F.col("__e")
+    return (
+        df.withColumn("__e", secs)
+        .withColumn("__held", held)
+        .groupBy(*key_cols)
+        .agg(
+            (
+                F.sum(F.col(value_col).cast(decimals) * F.col("__held")).cast(
+                    "double"
+                )
+                / F.sum("__held")
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("__held").alias("span_s"),
+        )
+    )
+
+
+def time_weighted_avg_sql(
+    relation: str,
+    key_expr: str,
+    ts_expr: str,
+    value_expr: str,
+    decimals: str = "DECIMAL(18,2)",
+) -> str:
+    """DuckDB twin of ``time_weighted_avg``."""
+    return f"""
+WITH held AS (
+  SELECT {key_expr} AS k, {value_expr} AS v,
+         lead(e) OVER (PARTITION BY {key_expr} ORDER BY e, {value_expr}) - e
+           AS held
+  FROM (
+    SELECT *, CAST(epoch_us({ts_expr}) // 1000000 AS BIGINT) AS e
+    FROM {relation}
+  )
+)
+SELECT k,
+       CAST(sum(CAST(v AS {decimals}) * held) AS DOUBLE) / sum(held) AS twap,
+       count(*) AS n_obs,
+       sum(held) AS span_s
+FROM held GROUP BY k
+"""

@@ -2739,6 +2739,32 @@ def _sql_gap_fill() -> str:
 SQL_GAP_FILL = _sql_gap_fill()
 
 
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value: each value is
+    weighted by how long it stayed current — the correct mean for
+    irregularly sampled state. Decimal × integer-seconds accumulation
+    keeps the weighted sum order-free and engine-exact; one window
+    shuffle + one map-combined agg."""
+    from ml_hadoop_experiment_spark.operators.temporal import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_weighted_avg(ev, ["user_id"], "ts", "value")
+    return out.select("user_id", "twap", "n_obs", "span_s")
+
+
+def _sql_twap() -> str:
+    from ml_hadoop_experiment_spark.operators.temporal import time_weighted_avg_sql
+
+    inner = time_weighted_avg_sql("events", "user_id", "ts", "value")
+    return (
+        "SELECT k AS user_id, twap, CAST(n_obs AS BIGINT) AS n_obs, "
+        f"CAST(span_s AS BIGINT) AS span_s FROM ({inner})"
+    )
+
+
+SQL_TWAP = _sql_twap()
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity day,
     counted distinct on each later activity-day offset — the standard
@@ -2899,6 +2925,7 @@ QUERIES = {
     "gap_fill": q_gap_fill,
     "trimmed_stats": q_trimmed_stats,
     "kfold_assign": q_kfold_assign,
+    "twap": q_twap,
     "cohort_retention": q_cohort_retention,
     "funnel_counts": q_funnel_counts,
     "event_pivot": q_event_pivot,
@@ -2986,6 +3013,7 @@ ORACLE_SQL = {
     "gap_fill": SQL_GAP_FILL,
     "trimmed_stats": SQL_TRIMMED_STATS,
     "kfold_assign": SQL_KFOLD_ASSIGN,
+    "twap": SQL_TWAP,
     "cohort_retention": SQL_COHORT_RETENTION,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "event_pivot": SQL_EVENT_PIVOT,

@@ -301,3 +301,34 @@ class TestGapFill:
             spark.createDataFrame(pdf), ["k"], "ts", "value", 3600, max_buckets=10
         ).toPandas()
         assert set(out["k"]) == {"ok"}
+
+
+class TestTimeWeightedAvg:
+    def test_hold_weighting(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        from ml_hadoop_experiment_spark.operators.temporal import time_weighted_avg
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            # value 10 held 30 s, value 20 held 10 s, last obs carries no
+            # weight: twap = (10*30 + 20*10) / 40 = 12.5
+            ("u", t0, 10.0),
+            ("u", t0 + dt.timedelta(seconds=30), 20.0),
+            ("u", t0 + dt.timedelta(seconds=40), 999.0),
+            ("single", t0, 7.0),
+        ]
+        pdf = pd.DataFrame(rows, columns=["k", "ts", "value"])
+        out = {
+            r["k"]: r
+            for r in time_weighted_avg(
+                spark.createDataFrame(pdf), ["k"], "ts", "value"
+            ).collect()
+        }
+        assert out["u"]["twap"] == 12.5
+        assert out["u"]["span_s"] == 40
+        assert out["u"]["n_obs"] == 3
+        # a single observation has no hold duration: NULL twap by contract
+        assert out["single"]["twap"] is None
