@@ -16,7 +16,7 @@ Determinism rules used throughout (SURVEY.md §7 "what's hard"):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ml_hadoop_experiment_spark.functions.hashing import (
@@ -2739,6 +2739,38 @@ def _sql_gap_fill() -> str:
 SQL_GAP_FILL = _sql_gap_fill()
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior transition matrix: how often each event type
+    is followed by each other type within a user's stream — the Markov
+    bigram table behind next-action models and anomaly monitors. One
+    window (lead over user/time, event_id tiebreak for engine-identical
+    ordering under timestamp ties) + one map-combined count."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        pairs.where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+SELECT event_type AS from_type, next_type,
+       count(*) AS n_transitions
+FROM (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average of the event value: each value is
     weighted by how long it stayed current — the correct mean for
@@ -2926,6 +2958,7 @@ QUERIES = {
     "trimmed_stats": q_trimmed_stats,
     "kfold_assign": q_kfold_assign,
     "twap": q_twap,
+    "event_transitions": q_event_transitions,
     "cohort_retention": q_cohort_retention,
     "funnel_counts": q_funnel_counts,
     "event_pivot": q_event_pivot,
@@ -3014,6 +3047,7 @@ ORACLE_SQL = {
     "trimmed_stats": SQL_TRIMMED_STATS,
     "kfold_assign": SQL_KFOLD_ASSIGN,
     "twap": SQL_TWAP,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "event_pivot": SQL_EVENT_PIVOT,
