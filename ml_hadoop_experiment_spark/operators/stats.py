@@ -436,3 +436,126 @@ SELECT {key_expr} AS k, f.p_lo, f.p_hi,
 FROM {relation} t JOIN fences f ON {key_expr} = f.k
 GROUP BY 1, f.p_lo, f.p_hi
 """
+
+
+def chi_square_cells(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Chi-square contingency cells for two categorical columns — the
+    data-quality association test ("did label distribution shift with
+    source?"). Emits one row per (a, b) cell with observed count,
+    expected count under independence, and the cell's chi-square
+    contribution; the statistic is their sum (left to the consumer: a
+    sum of doubles is partition-order-dependent, per-cell rows are not).
+
+    Every arithmetic step (cast → multiply → divide → subtract → square)
+    is a single correctly-rounded IEEE operation on exact integer
+    inputs, so cells are bit-identical across engines and partitionings.
+
+    Plan: one map-combined count aggregation over the scan, then
+    row/column totals derived FROM the cell table (cells-sized, tiny —
+    never the scan again), broadcast-joined back. One data shuffle total.
+    """
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("observed"))
+    row_tot = cells.groupBy(col_a).agg(F.sum("observed").alias("__ra"))
+    col_tot = cells.groupBy(col_b).agg(F.sum("observed").alias("__cb"))
+    grand = cells.agg(F.sum("observed").alias("__n"))
+    expected = (
+        F.col("__ra").cast("double") * F.col("__cb").cast("double")
+        / F.col("__n").cast("double")
+    )
+    return (
+        cells.join(F.broadcast(row_tot), col_a)
+        .join(F.broadcast(col_tot), col_b)
+        .crossJoin(F.broadcast(grand))
+        .withColumn("expected", expected)
+        .withColumn("__d", F.col("observed") - F.col("expected"))
+        # explicit d*d, not pow(d, 2): pow's rounding is not pinned down
+        # across libm implementations, a plain multiply is
+        .withColumn("contribution", F.col("__d") * F.col("__d") / F.col("expected"))
+        .select(col_a, col_b, "observed", "expected", "contribution")
+    )
+
+
+def chi_square_cells_sql(relation: str, col_a: str, col_b: str) -> str:
+    """DuckDB twin of ``chi_square_cells``."""
+    return f"""
+WITH cells AS (
+  SELECT {col_a}, {col_b}, count(*) AS observed
+  FROM {relation} GROUP BY 1, 2
+),
+rt AS (SELECT {col_a}, sum(observed) AS ra FROM cells GROUP BY 1),
+ct AS (SELECT {col_b}, sum(observed) AS cb FROM cells GROUP BY 1),
+g AS (SELECT sum(observed) AS n FROM cells),
+e AS (
+  SELECT c.{col_a}, c.{col_b}, c.observed,
+         CAST(rt.ra AS DOUBLE) * CAST(ct.cb AS DOUBLE) / CAST(g.n AS DOUBLE)
+           AS expected
+  FROM cells c
+  JOIN rt ON c.{col_a} = rt.{col_a}
+  JOIN ct ON c.{col_b} = ct.{col_b}
+  CROSS JOIN g
+)
+SELECT {col_a}, {col_b}, CAST(observed AS BIGINT) AS observed, expected,
+       (observed - expected) * (observed - expected) / expected AS contribution
+FROM e
+"""
+
+
+def profile_numeric(
+    df: DataFrame, cols: List[str], decimals: str = "decimal(25,6)"
+) -> DataFrame:
+    """Column-profile summary for numeric columns: one row per column
+    with row/null/distinct counts, min, max, and a decimal-exact mean —
+    the data-quality snapshot a pipeline runs on every new partition
+    of training data before using it.
+
+    ONE scan: all per-column aggregates compute in a single aggregation
+    (multiple exact ``count(DISTINCT)``s plan via Expand — rows duplicate
+    per distinct column, the deliberate cost of exactness; swap
+    ``approx_count_distinct`` at 100 TB where ±2% is fine), then the
+    one-row wide result unpivots driver-free via ``stack``.
+
+    Output: ``column, n_rows, n_nulls, n_distinct, min, max, mean``.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__dist"),
+            F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+            (
+                F.sum(F.col(c).cast(decimals)).cast("double")
+                / F.count(F.col(c))
+            ).alias(f"{c}__mean"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__dist, {c}__min, {c}__max, {c}__mean"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_rows, n_nulls, n_distinct, min, max, mean)"
+        )
+    )
+
+
+def profile_numeric_sql(
+    relation: str, cols: List[str], decimals: str = "DECIMAL(25,6)"
+) -> str:
+    """DuckDB twin of ``profile_numeric`` (UNION ALL of per-column rows)."""
+    parts = [
+        f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min, CAST(max({c}) AS DOUBLE) AS max,
+       CAST(sum(CAST({c} AS {decimals})) AS DOUBLE) / count({c}) AS mean
+FROM {relation}"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)

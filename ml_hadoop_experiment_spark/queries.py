@@ -2739,6 +2739,50 @@ def _sql_gap_fill() -> str:
 SQL_GAP_FILL = _sql_gap_fill()
 
 
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells between order priority and status —
+    the categorical-association data-quality test. Per-cell observed /
+    expected / contribution rows (every arithmetic step one correctly-
+    rounded IEEE op on exact integers — bit-identical across engines);
+    one data shuffle, totals derived from the tiny cell table."""
+    from ml_hadoop_experiment_spark.operators.stats import chi_square_cells
+
+    orders = _t(spark, sf_dir, "orders")
+    return chi_square_cells(orders, "o_orderpriority", "o_orderstatus")
+
+
+def _sql_chi_square() -> str:
+    from ml_hadoop_experiment_spark.operators.stats import chi_square_cells_sql
+
+    return chi_square_cells_sql("orders", "o_orderpriority", "o_orderstatus")
+
+
+SQL_CHI_SQUARE = _sql_chi_square()
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan numeric column profile of lineitem (counts, nulls, exact
+    distincts, min/max, decimal-exact mean) unpivoted to one row per
+    column via stack — the pre-training data-quality snapshot. Exact
+    count(DISTINCT) is the oracle yardstick; approx_count_distinct is
+    the documented 100 TB path."""
+    from ml_hadoop_experiment_spark.operators.stats import profile_numeric
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_numeric(li, ["l_extendedprice", "l_quantity", "l_discount"])
+
+
+def _sql_profile_table() -> str:
+    from ml_hadoop_experiment_spark.operators.stats import profile_numeric_sql
+
+    return profile_numeric_sql(
+        "lineitem", ["l_extendedprice", "l_quantity", "l_discount"]
+    )
+
+
+SQL_PROFILE_TABLE = _sql_profile_table()
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order behavior transition matrix: how often each event type
     is followed by each other type within a user's stream — the Markov
@@ -2959,6 +3003,8 @@ QUERIES = {
     "kfold_assign": q_kfold_assign,
     "twap": q_twap,
     "event_transitions": q_event_transitions,
+    "chi_square": q_chi_square,
+    "profile_table": q_profile_table,
     "cohort_retention": q_cohort_retention,
     "funnel_counts": q_funnel_counts,
     "event_pivot": q_event_pivot,
@@ -3048,6 +3094,8 @@ ORACLE_SQL = {
     "kfold_assign": SQL_KFOLD_ASSIGN,
     "twap": SQL_TWAP,
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "chi_square": SQL_CHI_SQUARE,
+    "profile_table": SQL_PROFILE_TABLE,
     "cohort_retention": SQL_COHORT_RETENTION,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "event_pivot": SQL_EVENT_PIVOT,

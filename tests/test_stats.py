@@ -202,3 +202,45 @@ class TestTrimmedStats:
         assert out["a"]["trimmed_mean"] == 2.0
         assert out["b"]["trimmed_mean"] == 150.0
         assert out["a"]["n_clipped"] == 0 and out["b"]["n_clipped"] == 0
+
+
+class TestChiSquareCells:
+    def test_independence_gives_zero_contribution(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import chi_square_cells
+
+        # perfectly independent 2x2: every contribution is exactly 0
+        rows = [("x", "p")] * 4 + [("x", "q")] * 4 + [("y", "p")] * 4 + [("y", "q")] * 4
+        df = spark.createDataFrame(rows, "a string, b string")
+        out = chi_square_cells(df, "a", "b").collect()
+        assert len(out) == 4
+        for r in out:
+            assert r["observed"] == 4
+            assert r["expected"] == 4.0
+            assert r["contribution"] == 0.0
+
+    def test_dependent_cells(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import chi_square_cells
+
+        # a==b always: strong association
+        rows = [("x", "x")] * 10 + [("y", "y")] * 10
+        df = spark.createDataFrame(rows, "a string, b string")
+        out = {(r["a"], r["b"]): r for r in chi_square_cells(df, "a", "b").collect()}
+        # only observed diagonal cells exist; expected = 5 under independence
+        assert out[("x", "x")]["expected"] == 5.0
+        assert out[("x", "x")]["contribution"] == 5.0  # (10-5)^2/5
+
+
+class TestProfileNumeric:
+    def test_profile_values(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import profile_numeric
+
+        df = spark.createDataFrame(
+            [(1.0, 10), (2.0, 10), (None, 30)], "x double, y long"
+        )
+        out = {r["column"]: r for r in profile_numeric(df, ["x", "y"]).collect()}
+        x = out["x"]
+        assert (x["n_rows"], x["n_nulls"], x["n_distinct"]) == (3, 1, 2)
+        assert (x["min"], x["max"], x["mean"]) == (1.0, 2.0, 1.5)
+        y = out["y"]
+        assert (y["n_rows"], y["n_nulls"], y["n_distinct"]) == (3, 0, 2)
+        assert y["mean"] == 50.0 / 3
