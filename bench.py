@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "chi_square",
     "profile_table",
+    "repeated_ngrams",
     # dup_clusters is deliberately NOT benched: ~8.6 s at sf0.1 (iterative
     # label propagation over the dense 16-bit simhash pair graph) would
     # dominate the bench total without tracking anything the simhash_pairs

@@ -149,6 +149,44 @@ def contamination_grams_sql(
   )"""
 
 
+def repeated_ngrams(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    ngram_size: int = 10,
+    min_docs: int = 2,
+    hash_grams: bool = True,
+) -> "DataFrame":
+    """Span-level duplication detector: word n-grams appearing in at
+    least ``min_docs`` DISTINCT documents — the fixed-window relational
+    form of "dedup exact substrings" (cf. Lee et al. 2022), catching
+    boilerplate/template spans that doc-level MinHash misses because the
+    surrounding document differs.
+
+    Plan: shingles generate map-side (``tokens_frame``, zero shuffle),
+    per-doc distinct, then ONE map-combined count on the 32-bit hashed
+    gram — the only exchange carries (int, partial-count) pairs, never
+    gram text. Gram cardinality is O(corpus tokens); that exchange is
+    the irreducible cost of exact span detection, and partial
+    aggregation collapses it by the duplication factor before it moves.
+    ``hash_grams=False`` keeps readable gram strings (small corpora).
+
+    Output: ``gram, n_docs`` filtered to ``n_docs >= min_docs``.
+    """
+    from ml_hadoop_experiment_spark.operators.dedup import tokens_frame
+
+    grams = tokens_frame(
+        df, id_col, text_col, shingle_size=ngram_size, distinct=True
+    )
+    g = portable_token_hash_int(F.col("token")) if hash_grams else F.col("token")
+    return (
+        grams.select(g.alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+    )
+
+
 # --------------------------------------------------------------------------
 # Normalized dedup
 # --------------------------------------------------------------------------
@@ -194,6 +232,7 @@ __all__: List[str] = [
     "contamination_report",
     "decontaminate",
     "contamination_grams_sql",
+    "repeated_ngrams",
     "normalize_text",
     "normalize_text_sql",
     "dedup_normalized",

@@ -2739,6 +2739,37 @@ def _sql_gap_fill() -> str:
 SQL_GAP_FILL = _sql_gap_fill()
 
 
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication: hashed word 8-grams appearing in >= 2
+    distinct documents — boilerplate/template spans that doc-level
+    MinHash misses. Map-side shingling; the only shuffle carries
+    (int-hash, partial-count) pairs."""
+    from ml_hadoop_experiment_spark.operators.curation import repeated_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_ngrams(docs, "doc_id", "text", ngram_size=8, min_docs=2)
+
+
+def _sql_repeated_ngrams() -> str:
+    from ml_hadoop_experiment_spark.operators.curation import (
+        contamination_grams_sql,
+    )
+
+    grams = contamination_grams_sql("base", ngram_size=8, hash_grams=True)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+grams AS ({grams})
+SELECT gram, count(*) AS n_docs
+FROM grams GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+SQL_REPEATED_NGRAMS = _sql_repeated_ngrams()
+
+
 def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square contingency cells between order priority and status —
     the categorical-association data-quality test. Per-cell observed /
@@ -3005,6 +3036,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "chi_square": q_chi_square,
     "profile_table": q_profile_table,
+    "repeated_ngrams": q_repeated_ngrams,
     "cohort_retention": q_cohort_retention,
     "funnel_counts": q_funnel_counts,
     "event_pivot": q_event_pivot,
@@ -3096,6 +3128,7 @@ ORACLE_SQL = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "chi_square": SQL_CHI_SQUARE,
     "profile_table": SQL_PROFILE_TABLE,
+    "repeated_ngrams": SQL_REPEATED_NGRAMS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "event_pivot": SQL_EVENT_PIVOT,

@@ -106,3 +106,39 @@ class TestDedupNormalized:
         df = _docs(spark, [(1, "  A-B  c!! 9 ")])
         v = df.select(normalize_text(F.col("text")).alias("n")).head()["n"]
         assert v == "a b c 9"
+
+
+class TestRepeatedNgrams:
+    def test_cross_doc_span_detected(self, spark):
+        from ml_hadoop_experiment_spark.operators.curation import repeated_ngrams
+
+        shared = "the quick brown fox jumps over the lazy dog"
+        docs = spark.createDataFrame(
+            [
+                (1, f"intro one {shared} outro alpha"),
+                (2, f"completely different opening {shared} and ending"),
+                (3, "no overlap with anything else at all here today"),
+            ],
+            "doc_id long, text string",
+        )
+        out = repeated_ngrams(
+            docs, "doc_id", "text", ngram_size=5, min_docs=2, hash_grams=False
+        ).collect()
+        grams = {r["gram"]: r["n_docs"] for r in out}
+        # every 5-gram inside the shared span appears in docs 1 and 2
+        assert grams.get("the quick brown fox jumps") == 2
+        assert all(n >= 2 for n in grams.values())
+        # nothing from doc 3 leaks in
+        assert not any("overlap" in g for g in grams)
+
+    def test_within_doc_repeat_not_counted(self, spark):
+        from ml_hadoop_experiment_spark.operators.curation import repeated_ngrams
+
+        # the same 3-gram repeated INSIDE one doc is not cross-doc duplication
+        docs = spark.createDataFrame(
+            [(1, "spam spam spam spam spam spam")], "doc_id long, text string"
+        )
+        out = repeated_ngrams(
+            docs, "doc_id", "text", ngram_size=3, min_docs=2, hash_grams=False
+        ).collect()
+        assert out == []
