@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "chi_square",
     "profile_table",
     "repeated_ngrams",
+    "fuzzy_match",
     # dup_clusters is deliberately NOT benched: ~8.6 s at sf0.1 (iterative
     # label propagation over the dense 16-bit simhash pair graph) would
     # dominate the bench total without tracking anything the simhash_pairs

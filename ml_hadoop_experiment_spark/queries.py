@@ -2739,6 +2739,30 @@ def _sql_gap_fill() -> str:
 SQL_GAP_FILL = _sql_gap_fill()
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: part names within 2 Levenshtein edits inside
+    the same brand block — record linkage without all-pairs. Equi-join
+    on the block key, codegen length prefilter before the DP-cost
+    levenshtein, JVM built-in end to end."""
+    from ml_hadoop_experiment_spark.operators.entity import blocked_fuzzy_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(
+        part, "p_partkey", "p_name", ["p_brand"], max_distance=2
+    )
+
+
+def _sql_fuzzy_match() -> str:
+    from ml_hadoop_experiment_spark.operators.entity import blocked_fuzzy_pairs_sql
+
+    return blocked_fuzzy_pairs_sql(
+        "part", "p_partkey", "p_name", ["p_brand"], max_distance=2
+    )
+
+
+SQL_FUZZY_MATCH = _sql_fuzzy_match()
+
+
 def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level duplication: hashed word 8-grams appearing in >= 2
     distinct documents — boilerplate/template spans that doc-level
@@ -3037,6 +3061,7 @@ QUERIES = {
     "chi_square": q_chi_square,
     "profile_table": q_profile_table,
     "repeated_ngrams": q_repeated_ngrams,
+    "fuzzy_match": q_fuzzy_match,
     "cohort_retention": q_cohort_retention,
     "funnel_counts": q_funnel_counts,
     "event_pivot": q_event_pivot,
@@ -3129,6 +3154,7 @@ ORACLE_SQL = {
     "chi_square": SQL_CHI_SQUARE,
     "profile_table": SQL_PROFILE_TABLE,
     "repeated_ngrams": SQL_REPEATED_NGRAMS,
+    "fuzzy_match": SQL_FUZZY_MATCH,
     "cohort_retention": SQL_COHORT_RETENTION,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "event_pivot": SQL_EVENT_PIVOT,
