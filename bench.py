@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "profile_table",
     "repeated_ngrams",
     "fuzzy_match",
+    "robust_scale",
     # dup_clusters is deliberately NOT benched: ~8.6 s at sf0.1 (iterative
     # label propagation over the dense 16-bit simhash pair graph) would
     # dominate the bench total without tracking anything the simhash_pairs

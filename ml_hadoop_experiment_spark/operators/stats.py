@@ -559,3 +559,73 @@ FROM {relation}"""
         for c in cols
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+#: the MAD→sigma consistency constant for normal data (1/Phi^-1(3/4))
+MAD_SIGMA = 1.4826
+
+
+def robust_scale(
+    df: DataFrame,
+    key_cols: List[str],
+    value_col: str,
+    out_col: str = "robust_z",
+) -> DataFrame:
+    """Per-row robust z-score: ``(x - median) / (1.4826 * MAD)`` within
+    each key — the outlier-immune feature standardization (a handful of
+    corrupt readings cannot move the center or the scale, unlike
+    mean/stddev scaling).
+
+    The transform counterpart of ``mad_outliers``: same two KB-sized
+    per-key stat aggregations broadcast back, then a pure-expression map
+    over the scan — the value data never shuffles. Keys with MAD = 0
+    (constant majority) yield NULL rather than ±inf. Every arithmetic
+    step is one correctly-rounded IEEE op on engine-identical inputs, so
+    scores are bit-stable across engines.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*key_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    dev = df.join(F.broadcast(med), on=key_cols).withColumn(
+        "__adev", F.abs(v - F.col("__med"))
+    )
+    mad = dev.groupBy(*key_cols).agg(
+        F.expr("percentile(__adev, 0.5)").alias("__mad"),
+        F.first("__med").alias("__med"),
+    )
+    scaled = df.join(F.broadcast(mad), on=key_cols).withColumn(
+        out_col,
+        F.when(
+            F.col("__mad") > 0,
+            (v - F.col("__med")) / (F.lit(MAD_SIGMA) * F.col("__mad")),
+        ),
+    )
+    return scaled.drop("__med", "__mad")
+
+
+def robust_scale_sql(
+    relation: str, key_expr: str, value_expr: str, out_col: str = "robust_z"
+) -> str:
+    """DuckDB twin of ``robust_scale`` — emits all source columns plus
+    ``out_col``."""
+    return f"""
+WITH med AS (
+  SELECT {key_expr} AS k, quantile_cont({value_expr}, 0.5) AS med
+  FROM {relation} GROUP BY 1
+),
+mad AS (
+  SELECT t.{key_expr} AS k,
+         quantile_cont(abs(CAST(t.{value_expr} AS DOUBLE) - med.med), 0.5)
+           AS mad,
+         any_value(med.med) AS med
+  FROM {relation} t JOIN med ON t.{key_expr} = med.k
+  GROUP BY 1
+)
+SELECT t.*,
+       CASE WHEN mad.mad > 0
+            THEN (CAST(t.{value_expr} AS DOUBLE) - mad.med)
+                 / ({MAD_SIGMA!r} * mad.mad)
+       END AS {out_col}
+FROM {relation} t JOIN mad ON t.{key_expr} = mad.k
+"""

@@ -2739,6 +2739,28 @@ def _sql_gap_fill() -> str:
 SQL_GAP_FILL = _sql_gap_fill()
 
 
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row robust z-scores of event values within each user —
+    outlier-immune feature standardization ((x-median)/(1.4826*MAD)).
+    Two KB-sized per-key stat broadcasts + a pure-expression map; the
+    event data never shuffles."""
+    from ml_hadoop_experiment_spark.operators.stats import robust_scale
+
+    ev = _t(spark, sf_dir, "events")
+    out = robust_scale(ev, ["user_id"], "value")
+    return out.select("event_id", "user_id", "value", "robust_z")
+
+
+def _sql_robust_scale() -> str:
+    from ml_hadoop_experiment_spark.operators.stats import robust_scale_sql
+
+    inner = robust_scale_sql("events", "user_id", "value")
+    return f"SELECT event_id, user_id, value, robust_z FROM ({inner})"
+
+
+SQL_ROBUST_SCALE = _sql_robust_scale()
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: part names within 2 Levenshtein edits inside
     the same brand block — record linkage without all-pairs. Equi-join
@@ -3062,6 +3084,7 @@ QUERIES = {
     "profile_table": q_profile_table,
     "repeated_ngrams": q_repeated_ngrams,
     "fuzzy_match": q_fuzzy_match,
+    "robust_scale": q_robust_scale,
     "cohort_retention": q_cohort_retention,
     "funnel_counts": q_funnel_counts,
     "event_pivot": q_event_pivot,
@@ -3155,6 +3178,7 @@ ORACLE_SQL = {
     "profile_table": SQL_PROFILE_TABLE,
     "repeated_ngrams": SQL_REPEATED_NGRAMS,
     "fuzzy_match": SQL_FUZZY_MATCH,
+    "robust_scale": SQL_ROBUST_SCALE,
     "cohort_retention": SQL_COHORT_RETENTION,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "event_pivot": SQL_EVENT_PIVOT,

@@ -244,3 +244,28 @@ class TestProfileNumeric:
         y = out["y"]
         assert (y["n_rows"], y["n_nulls"], y["n_distinct"]) == (3, 0, 2)
         assert y["mean"] == 50.0 / 3
+
+
+class TestRobustScale:
+    def test_scores_and_outlier_immunity(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import MAD_SIGMA, robust_scale
+
+        # 1..9 plus a gross outlier: median 5.5 -> med of 1..9,1000 is 5.5;
+        # use odd layout for clean numbers: values 1..9 and 1000
+        rows = [("a", float(v)) for v in range(1, 10)] + [("a", 1000.0)]
+        df = spark.createDataFrame(rows, "k string, v double")
+        out = {r["v"]: r["robust_z"] for r in robust_scale(df, ["k"], "v").collect()}
+        # median = 5.5, MAD = median(|x-5.5|) = median(4.5,3.5,...,0.5,994.5) = 2.5
+        med, mad = 5.5, 2.5
+        assert out[5.0] == (5.0 - med) / (MAD_SIGMA * mad)
+        # outlier scores huge but finite; center barely moved by it
+        assert out[1000.0] > 100
+
+    def test_zero_mad_yields_null(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import robust_scale
+
+        df = spark.createDataFrame(
+            [("k", 3.0), ("k", 3.0), ("k", 3.0)], "k string, v double"
+        )
+        out = robust_scale(df, ["k"], "v").collect()
+        assert all(r["robust_z"] is None for r in out)
