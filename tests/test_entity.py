@@ -42,3 +42,22 @@ def test_each_pair_once_ordered(records):
 def test_requires_blocking(records):
     with pytest.raises(ValueError):
         blocked_fuzzy_pairs(records, "id", "name", [], 2)
+
+
+def test_duplicated_spellings_pair_exactly_once(spark):
+    # 3 records of one spelling + 2 of a 1-edit variant in one block:
+    # C(5,2) = 10 pairs, each exactly once, distances by spelling pair
+    rows = [
+        (1, "acme", "US"),
+        (2, "acme", "US"),
+        (3, "acme", "US"),
+        (4, "acm", "US"),
+        (5, "acm", "US"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, country string")
+    out = blocked_fuzzy_pairs(df, "id", "name", ["country"], max_distance=2)
+    pairs = {(r["id_a"], r["id_b"]): r["distance"] for r in out.collect()}
+    assert len(pairs) == 10
+    assert pairs[(1, 2)] == 0 and pairs[(4, 5)] == 0
+    assert pairs[(1, 4)] == 1 and pairs[(3, 5)] == 1
+    assert all(a < b for a, b in pairs)
