@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "kfold_assign",
     "twap",
     "event_transitions",
+    "session_paths",
     "chi_square",
     "profile_table",
     "repeated_ngrams",

@@ -1298,6 +1298,66 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most common session journeys: sessionize, concatenate each
+    session's event types in time order (event-id tiebreak), count
+    identical paths — the product-analytics "common flows" table. The
+    session window, the path reassembly, and the count all key on
+    user-prefixed groups; the only global step is the bounded top-50
+    (TakeOrderedAndProject, rank tie-broken on the path string)."""
+    from ml_hadoop_experiment_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", gap_seconds=1800)
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.unix_micros("ts").alias("t"), "event_id",
+                                 F.col("event_type").alias("et"))
+                    )
+                ),
+                lambda x: x["et"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        counted.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(50)
+    )
+
+
+SQL_SESSION_PATHS = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - 1 AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC)) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+  )
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path ASC
+LIMIT 50
+"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized range join: each event joined to its user's first-hour
     promo interval (interval = [first event, first event + 1h] per user,
@@ -3111,6 +3171,7 @@ QUERIES = {
     "user_similarity": q_user_similarity,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
+    "session_paths": q_session_paths,
     "range_join": q_range_join,
     "events_rollup": q_events_rollup,
     "events_asof": q_events_asof,
@@ -3205,6 +3266,7 @@ ORACLE_SQL = {
     "user_similarity": SQL_USER_SIMILARITY,
     "sessionize": SQL_SESSIONIZE,
     "session_stats": SQL_SESSION_STATS,
+    "session_paths": SQL_SESSION_PATHS,
     "range_join": SQL_RANGE_JOIN,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_asof": SQL_EVENTS_ASOF,
