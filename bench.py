@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "twap",
     "event_transitions",
     "session_paths",
+    "series_topk",
     "chi_square",
     "profile_table",
     "repeated_ngrams",

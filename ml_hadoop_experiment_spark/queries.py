@@ -1358,6 +1358,47 @@ LIMIT 50
 """
 
 
+def q_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (cf. the distributed series-search
+    literature: REPOSE ICDE'21, Odyssey VLDB'23): the 10 users whose
+    hourly activity series is L1-closest to user 7's. Sparse series rows,
+    one broadcast join + one per-key agg + bounded top-k; decimal-exact
+    distances make the k-th neighbor engine-identical."""
+    from ml_hadoop_experiment_spark.operators.temporal import time_bucket
+    from ml_hadoop_experiment_spark.operators.timeseries import series_l1_topk
+
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.withColumn(
+            "bucket", time_bucket(F.col("ts"), 3600, ev.schema["ts"].dataType)
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    query = series.where(F.col("user_id") == 7).select("bucket", "v")
+    return series_l1_topk(series, ["user_id"], "bucket", "v", query, k=10)
+
+
+def _sql_series_topk() -> str:
+    from ml_hadoop_experiment_spark.operators.temporal import time_bucket_sql
+    from ml_hadoop_experiment_spark.operators.timeseries import series_l1_topk_sql
+
+    bucket = time_bucket_sql("ts", 3600)
+    inner = series_l1_topk_sql("series", "user_id", "bucket", "v", "qseries", k=10)
+    return f"""
+WITH series AS (
+  SELECT user_id, {bucket} AS bucket,
+         sum(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2
+),
+qseries AS (SELECT bucket, v FROM series WHERE user_id = 7)
+SELECT k AS user_id, distance, n_common FROM ({inner})
+"""
+
+
+SQL_SERIES_TOPK = _sql_series_topk()
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized range join: each event joined to its user's first-hour
     promo interval (interval = [first event, first event + 1h] per user,
@@ -3172,6 +3213,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
     "session_paths": q_session_paths,
+    "series_topk": q_series_topk,
     "range_join": q_range_join,
     "events_rollup": q_events_rollup,
     "events_asof": q_events_asof,
@@ -3267,6 +3309,7 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "session_stats": SQL_SESSION_STATS,
     "session_paths": SQL_SESSION_PATHS,
+    "series_topk": SQL_SERIES_TOPK,
     "range_join": SQL_RANGE_JOIN,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_asof": SQL_EVENTS_ASOF,
