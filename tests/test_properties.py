@@ -140,3 +140,21 @@ def test_simhash_pigeonhole_blocking(fp: int, flips, max_hamming: int):
         for s, w in bounds
     )
     assert shares
+
+
+@settings(max_examples=300)
+@given(
+    a=st.dictionaries(st.integers(0, 20), st.integers(-1000, 1000), max_size=12),
+    q=st.dictionaries(st.integers(0, 20), st.integers(-1000, 1000), max_size=12),
+)
+def test_sparse_l1_decomposition_identity(a: dict, q: dict):
+    """The identity series_l1_topk relies on (operators/timeseries.py):
+    brute-force L1 over the union of buckets equals
+    Σ_a-buckets |a - q̃|  +  (Σ|q| - Σ_matched |q|), exactly."""
+    brute = sum(
+        abs(a.get(b, 0) - q.get(b, 0)) for b in set(a) | set(q)
+    )
+    d_a = sum(abs(v - q.get(b, 0)) for b, v in a.items())
+    matched_q = sum(abs(qv) for b, qv in q.items() if b in a)
+    q_l1 = sum(abs(v) for v in q.values())
+    assert d_a + q_l1 - matched_q == brute
