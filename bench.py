@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "profile_table",
     "repeated_ngrams",
     "fuzzy_match",
+    "snm_pairs",
     "robust_scale",
     # dup_clusters is deliberately NOT benched: ~8.6 s at sf0.1 (iterative
     # label propagation over the dense 16-bit simhash pair graph) would

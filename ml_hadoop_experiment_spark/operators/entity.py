@@ -110,3 +110,65 @@ FROM {relation} a JOIN {relation} b
 WHERE abs(length(a.{text_expr}) - length(b.{text_expr})) <= {d}
   AND levenshtein(a.{text_expr}, b.{text_expr}) <= {d}
 """
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_cols: List[str],
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs: records within ``window``
+    positions of each other in the total order of ``sort_cols`` — the
+    classic blocking alternative when no natural block key exists
+    (similar spellings sort near each other).
+
+    The rank comes from the TWO-PHASE distributed prefix sum
+    (``plans/prefix.py``), not a single-partition ``row_number`` window,
+    so the sort scales; neighborhoods become an equi-join on
+    ``rank div window`` with the right side probing its own and its
+    preceding block (every pair at distance <= window spans at most two
+    adjacent blocks), then an exact rank-distance filter. Candidates per
+    record are <= 2*window regardless of data size — linear output, no
+    quadratic block risk.
+
+    Output: ``id_a, id_b, rank_a, rank_b`` with ``rank_a < rank_b``
+    (each unordered pair once; pair it with a verifier such as
+    ``F.levenshtein`` downstream). ``id_col`` is appended to the sort as
+    the total-order tiebreak.
+    """
+    from ml_hadoop_experiment_spark.plans.prefix import with_global_rank
+
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    ranked = with_global_rank(
+        df.select(id_col, *sort_cols), [*sort_cols, id_col], out_col="__r"
+    ).select(id_col, "__r")
+    w = int(window)
+    a = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__r").alias("rank_a"),
+        (F.col("__r") - (F.col("__r") % w)).alias("__blk"),
+    )
+    # b probes its own block and the one before it: a pair with
+    # 0 < rank_b - rank_a <= w either shares a block or spans adjacent ones
+    b = ranked.select(
+        F.col(id_col).alias("id_b"), F.col("__r").alias("rank_b")
+    ).select(
+        "id_b",
+        "rank_b",
+        F.explode(
+            F.array(
+                F.col("rank_b") - (F.col("rank_b") % w),
+                F.col("rank_b") - (F.col("rank_b") % w) - w,
+            )
+        ).alias("__blk"),
+    )
+    return (
+        a.join(b, "__blk")
+        .where(
+            (F.col("rank_b") > F.col("rank_a"))
+            & (F.col("rank_b") - F.col("rank_a") <= w)
+        )
+        .select("id_a", "id_b", "rank_a", "rank_b")
+    )

@@ -2886,6 +2886,52 @@ def _sql_fuzzy_match() -> str:
 SQL_FUZZY_MATCH = _sql_fuzzy_match()
 
 
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution: part names ranked in one
+    global order (two-phase prefix sum, no single-partition window),
+    candidates = within 5 positions, verified at Levenshtein <= 2 — the
+    blocking strategy for tables with NO natural block key. Candidate
+    count is linear (<= 2w per record) by construction."""
+    from ml_hadoop_experiment_spark.operators.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    pairs = sorted_neighborhood_pairs(part, "p_partkey", ["p_name"], window=5)
+    names = part.select("p_partkey", "p_name")
+    return (
+        pairs.join(
+            names.select(
+                F.col("p_partkey").alias("id_a"), F.col("p_name").alias("__na")
+            ),
+            "id_a",
+        )
+        .join(
+            names.select(
+                F.col("p_partkey").alias("id_b"), F.col("p_name").alias("__nb")
+            ),
+            "id_b",
+        )
+        .withColumn("distance", F.levenshtein("__na", "__nb"))
+        .where(F.col("distance") <= 2)
+        .select("id_a", "id_b", "rank_a", "rank_b", "distance")
+    )
+
+
+SQL_SNM_PAIRS = """
+WITH r AS (
+  SELECT p_partkey, p_name,
+         row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+  FROM part
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.rk AS rank_a, b.rk AS rank_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 5
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level duplication: hashed word 8-grams appearing in >= 2
     distinct documents — boilerplate/template spans that doc-level
@@ -3185,6 +3231,7 @@ QUERIES = {
     "profile_table": q_profile_table,
     "repeated_ngrams": q_repeated_ngrams,
     "fuzzy_match": q_fuzzy_match,
+    "snm_pairs": q_snm_pairs,
     "robust_scale": q_robust_scale,
     "cohort_retention": q_cohort_retention,
     "funnel_counts": q_funnel_counts,
@@ -3281,6 +3328,7 @@ ORACLE_SQL = {
     "profile_table": SQL_PROFILE_TABLE,
     "repeated_ngrams": SQL_REPEATED_NGRAMS,
     "fuzzy_match": SQL_FUZZY_MATCH,
+    "snm_pairs": SQL_SNM_PAIRS,
     "robust_scale": SQL_ROBUST_SCALE,
     "cohort_retention": SQL_COHORT_RETENTION,
     "funnel_counts": SQL_FUNNEL_COUNTS,

@@ -61,3 +61,30 @@ def test_duplicated_spellings_pair_exactly_once(spark):
     assert pairs[(1, 2)] == 0 and pairs[(4, 5)] == 0
     assert pairs[(1, 4)] == 1 and pairs[(3, 5)] == 1
     assert all(a < b for a, b in pairs)
+
+
+def test_sorted_neighborhood_window_exact(spark):
+    from ml_hadoop_experiment_spark.operators.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    # 12 records in known sort order; window 3 -> pairs iff rank gap <= 3
+    rows = [(i, f"name_{i:02d}") for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = sorted_neighborhood_pairs(df, "id", ["name"], window=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    expected = {
+        (i, j) for i in range(12) for j in range(12) if 0 < j - i <= 3
+    }
+    assert got == expected
+    # ranks are the 1-based sort positions
+    ranks = {r["id_a"]: r["rank_a"] for r in out}
+    assert ranks[0] == 1 and ranks[5] == 6
+    # linear candidate bound: each record pairs with <= 2*window others
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in got:
+        deg[a] += 1
+        deg[b] += 1
+    assert max(deg.values()) <= 6
