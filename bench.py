@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "pii_redaction",
     "simhash_pairs",
     "tokens_to_ids",
+    "llm_pipeline",
     "gap_fill",
     "trimmed_stats",
     "kfold_assign",

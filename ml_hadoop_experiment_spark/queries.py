@@ -2963,6 +2963,69 @@ FROM grams GROUP BY 1 HAVING count(*) >= 2
 SQL_REPEATED_NGRAMS = _sql_repeated_ngrams()
 
 
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM data-prep DAG in one query, composed from the
+    engine's own operators: quality filter (codegen score) → exact
+    dedup (digest shuffle, keep lowest doc_id) → corpus vocabulary
+    (count >= 20) with distributed id assignment → order-preserving
+    token-id encoding. Output is the exploded (doc_id, pos, token_id)
+    training stream; every pre-encode stage is map-side except the one
+    digest shuffle and the vocab aggregations."""
+    from ml_hadoop_experiment_spark.functions.text import quality_score
+    from ml_hadoop_experiment_spark.operators.dedup import dedup_exact
+    from ml_hadoop_experiment_spark.operators.vocabulary import (
+        encode_tokens_to_ids,
+        vocab_id_table,
+        vocabulary_dataframe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.withColumn("q", quality_score(F.col("text"))).where(
+        F.col("q") >= 0.5
+    )
+    deduped = dedup_exact(kept, ["text"], "doc_id")
+    counts = vocabulary_dataframe(
+        deduped.withColumn("tokens", F.split(F.col("text"), " ")),
+        ["tokens"],
+        threshold=20,
+    )
+    vocab = vocab_id_table(counts)
+    enc = encode_tokens_to_ids(deduped, "doc_id", "text", vocab)
+    return enc.select("doc_id", F.posexplode("ids").alias("pos", "token_id"))
+
+
+def _sql_llm_pipeline() -> str:
+    from ml_hadoop_experiment_spark.functions.text import quality_score_sql
+
+    q = quality_score_sql("text")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text FROM documents WHERE {q} >= 0.5
+),
+deduped AS (
+  SELECT doc_id, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+toks AS (
+  SELECT doc_id,
+         unnest(range(len(string_split(text, ' ')))) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM deduped
+),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1 HAVING count(*) >= 20),
+vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS tid FROM cnt
+)
+SELECT t.doc_id, t.pos, CAST(coalesce(v.tid, 0) AS BIGINT) AS token_id
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+"""
+
+
+SQL_LLM_PIPELINE = _sql_llm_pipeline()
+
+
 def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square contingency cells between order priority and status —
     the categorical-association data-quality test. Per-cell observed /
@@ -3270,6 +3333,7 @@ QUERIES = {
     "cap_per_key": q_cap_per_key,
     "train_split": q_train_split,
     "doc_pipeline": q_doc_pipeline,
+    "llm_pipeline": q_llm_pipeline,
     "tfidf_topk": q_tfidf_topk,
     "repetition_stats": q_repetition_stats,
     "window_topk": q_window_topk,
@@ -3367,6 +3431,7 @@ ORACLE_SQL = {
     "cap_per_key": SQL_CAP_PER_KEY,
     "train_split": SQL_TRAIN_SPLIT,
     "doc_pipeline": SQL_DOC_PIPELINE,
+    "llm_pipeline": SQL_LLM_PIPELINE,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "repetition_stats": SQL_REPETITION_STATS,
     "window_topk": SQL_WINDOW_TOPK,
