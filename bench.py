@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "fuzzy_match",
     "snm_pairs",
     "robust_scale",
+    "impute_median",
+    "cdf_normalize",
     # dup_clusters is deliberately NOT benched: ~8.6 s at sf0.1 (iterative
     # label propagation over the dense 16-bit simhash pair graph) would
     # dominate the bench total without tracking anything the simhash_pairs

@@ -629,3 +629,80 @@ SELECT t.*,
        END AS {out_col}
 FROM {relation} t JOIN mad ON t.{key_expr} = mad.k
 """
+
+
+def fill_with_group_median(
+    df: DataFrame,
+    key_cols: List[str],
+    value_col: str,
+    out_col: str = None,
+) -> DataFrame:
+    """Null imputation with the per-key exact median of the non-null
+    values — the standard robust missing-value fill for feature columns
+    (mean imputation drags toward outliers; the median does not).
+
+    Same plan family as ``robust_scale``: one KB-sized per-key stat
+    aggregation broadcast back, then a pure-expression ``coalesce`` over
+    the scan. A key with NO non-null values keeps its nulls (the honest
+    outcome; a global-median fallback would silently fabricate scale).
+    The fill copies an engine-identical median — no arithmetic, so the
+    imputed column is bit-stable across engines. Exact ``percentile`` is
+    the oracle yardstick; swap ``approx_percentile`` at 100 TB.
+    """
+    out_col = out_col or value_col
+    med = df.where(F.col(value_col).isNotNull()).groupBy(*key_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    filled = df.join(F.broadcast(med), on=key_cols, how="left").withColumn(
+        out_col, F.coalesce(F.col(value_col).cast("double"), F.col("__med"))
+    )
+    return filled.drop("__med")
+
+
+def fill_with_group_median_sql(
+    relation: str, key_expr: str, value_expr: str, out_col: str = "filled"
+) -> str:
+    """DuckDB twin of ``fill_with_group_median`` — emits all source
+    columns plus ``out_col``."""
+    return f"""
+WITH med AS (
+  SELECT {key_expr} AS k, quantile_cont({value_expr}, 0.5) AS med
+  FROM {relation} WHERE {value_expr} IS NOT NULL GROUP BY 1
+)
+SELECT t.*, coalesce(CAST(t.{value_expr} AS DOUBLE), med.med) AS {out_col}
+FROM {relation} t LEFT JOIN med ON t.{key_expr} = med.k
+"""
+
+
+def cdf_normalize(
+    df: DataFrame,
+    key_cols: List[str],
+    value_col: str,
+    out_col: str = "cdf",
+) -> DataFrame:
+    """Per-key empirical-CDF feature transform: each value's
+    ``percent_rank`` within its key — rank-normalization to [0, 1],
+    immune to any monotone distortion of the raw scale (the transform
+    GBDT/quantile models want).
+
+    One window shuffle on the key. Ties share a percent_rank in both
+    engines by definition ((rank-1)/(n-1)), so no tiebreak column is
+    needed for engine determinism — the output is a pure function of the
+    value multiset. Single-value keys yield 0.0 (rank 1 of 1).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(value_col).asc())
+    return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def cdf_normalize_sql(
+    relation: str, key_expr: str, value_expr: str, out_col: str = "cdf"
+) -> str:
+    """DuckDB twin of ``cdf_normalize``."""
+    return f"""
+SELECT t.*,
+       percent_rank() OVER (PARTITION BY {key_expr} ORDER BY {value_expr} ASC)
+         AS {out_col}
+FROM {relation} t
+"""

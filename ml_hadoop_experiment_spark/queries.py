@@ -2840,6 +2840,74 @@ def _sql_gap_fill() -> str:
 SQL_GAP_FILL = _sql_gap_fill()
 
 
+def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust missing-value fill: error events' values are treated as
+    missing and imputed with the user's exact median of the remaining
+    values (KB stat broadcast + pure-expression coalesce — the fill is a
+    COPY, no arithmetic, so it is engine-exact)."""
+    from ml_hadoop_experiment_spark.operators.stats import fill_with_group_median
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "masked",
+        F.when(F.col("event_type") != "error", F.col("value")),
+    )
+    out = fill_with_group_median(ev, ["user_id"], "masked", out_col="filled")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("masked").isNull().alias("was_missing"),
+        "filled",
+    )
+
+
+def _sql_impute_median() -> str:
+    from ml_hadoop_experiment_spark.operators.stats import (
+        fill_with_group_median_sql,
+    )
+
+    inner = fill_with_group_median_sql("masked_events", "user_id", "masked")
+    return f"""
+WITH masked_events AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_type <> 'error' THEN value END AS masked
+  FROM events
+)
+SELECT event_id, user_id, masked IS NULL AS was_missing, filled
+FROM ({inner})
+"""
+
+
+SQL_IMPUTE_MEDIAN = _sql_impute_median()
+
+
+def q_cdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment empirical-CDF transform: percent_rank of the extended
+    price within each return flag — rank normalization to [0,1], the
+    monotone-invariant feature scaling. One window shuffle; ties share a
+    rank by definition, so the output is a pure function of the value
+    multiset (no tiebreak needed for engine determinism)."""
+    from ml_hadoop_experiment_spark.operators.stats import cdf_normalize
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = cdf_normalize(li, ["l_returnflag"], "l_extendedprice")
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice", "cdf"
+    )
+
+
+def _sql_cdf_normalize() -> str:
+    from ml_hadoop_experiment_spark.operators.stats import cdf_normalize_sql
+
+    inner = cdf_normalize_sql("lineitem", "l_returnflag", "l_extendedprice")
+    return (
+        "SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, cdf "
+        f"FROM ({inner})"
+    )
+
+
+SQL_CDF_NORMALIZE = _sql_cdf_normalize()
+
+
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row robust z-scores of event values within each user —
     outlier-immune feature standardization ((x-median)/(1.4826*MAD)).
@@ -3296,6 +3364,8 @@ QUERIES = {
     "fuzzy_match": q_fuzzy_match,
     "snm_pairs": q_snm_pairs,
     "robust_scale": q_robust_scale,
+    "impute_median": q_impute_median,
+    "cdf_normalize": q_cdf_normalize,
     "cohort_retention": q_cohort_retention,
     "funnel_counts": q_funnel_counts,
     "event_pivot": q_event_pivot,
@@ -3394,6 +3464,8 @@ ORACLE_SQL = {
     "fuzzy_match": SQL_FUZZY_MATCH,
     "snm_pairs": SQL_SNM_PAIRS,
     "robust_scale": SQL_ROBUST_SCALE,
+    "impute_median": SQL_IMPUTE_MEDIAN,
+    "cdf_normalize": SQL_CDF_NORMALIZE,
     "cohort_retention": SQL_COHORT_RETENTION,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "event_pivot": SQL_EVENT_PIVOT,

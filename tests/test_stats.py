@@ -269,3 +269,35 @@ class TestRobustScale:
         )
         out = robust_scale(df, ["k"], "v").collect()
         assert all(r["robust_z"] is None for r in out)
+
+
+class TestFillWithGroupMedian:
+    def test_fills_nulls_with_key_median(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import (
+            fill_with_group_median,
+        )
+
+        rows = [
+            ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None),
+            ("empty", None),
+        ]
+        df = spark.createDataFrame(rows, "k string, v double")
+        out = fill_with_group_median(df, ["k"], "v", out_col="f").collect()
+        a_vals = sorted(r["f"] for r in out if r["k"] == "a")
+        assert a_vals == [1.0, 2.0, 2.0, 3.0]  # null -> median 2.0
+        # a key with no observed values keeps its null
+        assert [r["f"] for r in out if r["k"] == "empty"] == [None]
+
+
+class TestCdfNormalize:
+    def test_percent_rank_semantics(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import cdf_normalize
+
+        rows = [("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 40.0), ("b", 5.0)]
+        df = spark.createDataFrame(rows, "k string, v double")
+        out = cdf_normalize(df, ["k"], "v").collect()
+        a = sorted((r["v"], r["cdf"]) for r in out if r["k"] == "a")
+        # ranks 1,2,2,4 of n=4 -> (r-1)/(n-1): 0, 1/3, 1/3, 1
+        assert a == [(10.0, 0.0), (20.0, 1 / 3), (20.0, 1 / 3), (40.0, 1.0)]
+        # single-value key -> 0.0
+        assert [r["cdf"] for r in out if r["k"] == "b"] == [0.0]
