@@ -2840,6 +2840,38 @@ def _sql_gap_fill() -> str:
 SQL_GAP_FILL = _sql_gap_fill()
 
 
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence feature engineering: per-user lag-1/lag-2 values and the
+    inter-event time delta at every event — the standard autoregressive
+    feature block. ONE window (ordered by time with event-id tiebreak)
+    serves all three lags, so Catalyst plans a single shuffle + sort;
+    lags are copies and the delta is integer µs arithmetic, engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("value_lag1"),
+        F.lag("value", 2).over(w).alias("value_lag2"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)).alias(
+            "dt_us"
+        ),
+    )
+
+
+SQL_LAG_FEATURES = """
+SELECT event_id, user_id, value,
+       lag(value, 1) OVER w AS value_lag1,
+       lag(value, 2) OVER w AS value_lag2,
+       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS dt_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
 def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust missing-value fill: error events' values are treated as
     missing and imputed with the user's exact median of the remaining
@@ -3366,6 +3398,7 @@ QUERIES = {
     "robust_scale": q_robust_scale,
     "impute_median": q_impute_median,
     "cdf_normalize": q_cdf_normalize,
+    "lag_features": q_lag_features,
     "cohort_retention": q_cohort_retention,
     "funnel_counts": q_funnel_counts,
     "event_pivot": q_event_pivot,
@@ -3466,6 +3499,7 @@ ORACLE_SQL = {
     "robust_scale": SQL_ROBUST_SCALE,
     "impute_median": SQL_IMPUTE_MEDIAN,
     "cdf_normalize": SQL_CDF_NORMALIZE,
+    "lag_features": SQL_LAG_FEATURES,
     "cohort_retention": SQL_COHORT_RETENTION,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "event_pivot": SQL_EVENT_PIVOT,
