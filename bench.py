@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "impute_median",
     "cdf_normalize",
     "lag_features",
+    "region_revenue",
+    "returned_customers",
     # dup_clusters is deliberately NOT benched: ~8.6 s at sf0.1 (iterative
     # label propagation over the dense 16-bit simhash pair graph) would
     # dominate the bench total without tracking anything the simhash_pairs

@@ -422,6 +422,108 @@ GROUP BY o_orderkey
 """
 
 
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join across six tables: revenue per nation
+    where the supplier and the customer share the nation, restricted to
+    one region. The fact join (lineitem ⋈ orders) is the single big
+    sort-merge exchange; every dimension (customer, supplier, nation,
+    region) broadcasts — one shuffle total for a 6-table query, the
+    canonical star-schema plan a 100 TB warehouse relies on."""
+    nat = _t(spark, sf_dir, "nation").join(
+        F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped analysis: the 20 customers losing the most
+    revenue to returned items (l_returnflag = 'R'), with their nation.
+    One fact shuffle (lineitem ⋈ orders), broadcast customer/nation,
+    bounded top-20 with a total-order tiebreak on the customer key."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).alias("d_rev"), F.count(F.lit(1)).alias("n_returns"))
+    )
+    return (
+        joined.select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("d_rev").cast("double").alias("lost_revenue"),
+            "n_returns",
+        )
+        .orderBy(F.col("d_rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_RETURNED_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name,
+       CAST(d_rev AS DOUBLE) AS lost_revenue, n_returns
+FROM (
+  SELECT c_custkey, c_name, n_name,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS d_rev,
+         count(*) AS n_returns
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+)
+ORDER BY d_rev DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # A4/A5: bootstrap metric evaluation (scalable Poisson form; the exact
 # multinomial port is operators/bootstrap.evaluate_bootstrap, unit-tested).
@@ -3364,6 +3466,8 @@ QUERIES = {
     "events_long": q_events_long,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
+    "region_revenue": q_region_revenue,
+    "returned_customers": q_returned_customers,
     "bootstrap_metrics": q_bootstrap_metrics,
     # extensions
     "text_stats": q_text_stats,
@@ -3465,6 +3569,8 @@ ORACLE_SQL = {
     "events_long": SQL_EVENTS_LONG,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_revenue": SQL_SEGMENT_REVENUE,
+    "region_revenue": SQL_REGION_REVENUE,
+    "returned_customers": SQL_RETURNED_CUSTOMERS,
     "bootstrap_metrics": SQL_BOOTSTRAP_METRICS,
     # extensions
     "text_stats": SQL_TEXT_STATS,
