@@ -472,6 +472,56 @@ GROUP BY n_name
 """
 
 
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional aggregation: ECONOMY parts' share of
+    total revenue, per month. One broadcast dim join + one map-combined
+    agg; both revenue sums are decimal-exact, the percentage is ONE
+    double division — engine-identical."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    # integer yyyymm, not a DATE column: cross-engine date dtype hashing
+    # is the one output type the oracle gate cannot normalize (see
+    # cohort_retention's integer day indexes)
+    month = (
+        F.year("l_shipdate") * F.lit(100) + F.month("l_shipdate")
+    ).cast("int")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.groupBy(month.alias("ship_month")).agg(
+        F.sum(F.when(F.col("p_type") == "ECONOMY", revenue)).alias("__promo"),
+        F.sum(revenue).alias("__total"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agg.select(
+        "ship_month",
+        (
+            F.lit(100.0)
+            * F.coalesce(F.col("__promo"), F.lit(0).cast("decimal(18,4)")).cast(
+                "double"
+            )
+            / F.col("__total").cast("double")
+        ).alias("promo_pct"),
+        "n_lines",
+    )
+
+
+SQL_PROMO_SHARE = """
+SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ship_month,
+       100.0 * CAST(coalesce(
+                 sum(CASE WHEN p_type = 'ECONOMY'
+                     THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4)) END),
+                 CAST(0 AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS promo_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped analysis: the 20 customers losing the most
     revenue to returned items (l_returnflag = 'R'), with their nation.
@@ -3468,6 +3518,7 @@ QUERIES = {
     "segment_revenue": q_segment_revenue,
     "region_revenue": q_region_revenue,
     "returned_customers": q_returned_customers,
+    "promo_share": q_promo_share,
     "bootstrap_metrics": q_bootstrap_metrics,
     # extensions
     "text_stats": q_text_stats,
@@ -3571,6 +3622,7 @@ ORACLE_SQL = {
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "region_revenue": SQL_REGION_REVENUE,
     "returned_customers": SQL_RETURNED_CUSTOMERS,
+    "promo_share": SQL_PROMO_SHARE,
     "bootstrap_metrics": SQL_BOOTSTRAP_METRICS,
     # extensions
     "text_stats": SQL_TEXT_STATS,
