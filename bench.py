@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "region_revenue",
     "returned_customers",
     "promo_share",
+    "big_orders",
     # dup_clusters is deliberately NOT benched: ~8.6 s at sf0.1 (iterative
     # label propagation over the dense 16-bit simhash pair graph) would
     # dominate the bench total without tracking anything the simhash_pairs

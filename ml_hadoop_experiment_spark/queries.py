@@ -472,6 +472,46 @@ GROUP BY n_name
 """
 
 
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-order hunt: orders whose total line
+    quantity exceeds 150, with customer context. The HAVING aggregate
+    runs map-combined on the fact table FIRST (the selective step), and
+    only the few survivors join to orders/customer — aggregate-then-join
+    beats join-then-aggregate by the selectivity factor at 100 TB.
+    Decimal quantity sums; qualifying-set membership is engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty")
+    )
+    big = qty.where(F.col("total_qty") > 150)
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            F.col("total_qty").cast("double").alias("total_qty"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+SQL_BIG_ORDERS = """
+SELECT o_orderkey, c_custkey, c_name,
+       CAST(total_qty AS DOUBLE) AS total_qty,
+       o_totalprice AS total_price
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped conditional aggregation: ECONOMY parts' share of
     total revenue, per month. One broadcast dim join + one map-combined
@@ -3519,6 +3559,7 @@ QUERIES = {
     "region_revenue": q_region_revenue,
     "returned_customers": q_returned_customers,
     "promo_share": q_promo_share,
+    "big_orders": q_big_orders,
     "bootstrap_metrics": q_bootstrap_metrics,
     # extensions
     "text_stats": q_text_stats,
@@ -3623,6 +3664,7 @@ ORACLE_SQL = {
     "region_revenue": SQL_REGION_REVENUE,
     "returned_customers": SQL_RETURNED_CUSTOMERS,
     "promo_share": SQL_PROMO_SHARE,
+    "big_orders": SQL_BIG_ORDERS,
     "bootstrap_metrics": SQL_BOOTSTRAP_METRICS,
     # extensions
     "text_stats": SQL_TEXT_STATS,
