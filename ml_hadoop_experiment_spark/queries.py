@@ -3107,9 +3107,12 @@ SQL_IMPUTE_MEDIAN = _sql_impute_median()
 def q_cdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment empirical-CDF transform: percent_rank of the extended
     price within each return flag — rank normalization to [0,1], the
-    monotone-invariant feature scaling. One window shuffle; ties share a
-    rank by definition, so the output is a pure function of the value
-    multiset (no tiebreak needed for engine determinism)."""
+    monotone-invariant feature scaling. Deliberately keyed on a 3-value
+    column: the operator computes percent_rank through the two-phase
+    prefix-sum plan (plans/prefix.py), so parallelism does NOT collapse
+    to the key cardinality the way a per-key sort window would (SCALE.md
+    "cdf_normalize low-cardinality de-serialization"). Ties share a rank
+    by construction — output is a pure function of the value multiset."""
     from ml_hadoop_experiment_spark.operators.stats import cdf_normalize
 
     li = _t(spark, sf_dir, "lineitem")

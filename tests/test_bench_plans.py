@@ -34,8 +34,11 @@ def test_bench_set_is_declared():
 
 @pytest.mark.parametrize("name", bench.BENCH_QUERIES)
 def test_bench_query_analyzes(spark, name):
+    from ml_hadoop_experiment_spark.plans.prefix import release_prefix_caches
+
     df = QUERIES[name](spark, SF_SMOKE)
     assert len(df.schema.fields) > 0  # forces full analysis of the plan
+    release_prefix_caches()  # plan is never executed here; drop pinned input
 
 
 @pytest.mark.parametrize("name", sorted(bench.EXTRA_BENCHES))

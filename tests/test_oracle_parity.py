@@ -14,6 +14,7 @@ import duckdb
 import pandas as pd
 import pytest
 
+from ml_hadoop_experiment_spark.plans.prefix import release_prefix_caches
 from ml_hadoop_experiment_spark.queries import NO_ORACLE, ORACLE_SQL, QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.001")
@@ -71,6 +72,9 @@ def _assert_frames_match(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFr
 def test_query_matches_oracle(spark, duck, name):
     spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
     duck_pdf = duck.execute(ORACLE_SQL[name]).df()
+    # prefix-sum queries pin one persisted copy of their ranged input;
+    # the sweep reclaims it between queries (the result is materialized).
+    release_prefix_caches()
     _assert_frames_match(name, spark_pdf, duck_pdf)
 
 
