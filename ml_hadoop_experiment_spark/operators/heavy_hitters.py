@@ -90,14 +90,24 @@ def heavy_hitters(
         .groupBy(F.col(token_col).alias("token"))
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
-    total = tokens.where(F.col(token_col).isNotNull()).count()
+    # total token count as a ONE-ROW aggregate broadcast into the flag
+    # computation — part of the distributed plan (and of any benched
+    # timing), not an eager driver-side count() that would recompute a
+    # derived tokens frame a third time at construction.
+    total = (
+        tokens.where(F.col(token_col).isNotNull())
+        .agg(F.count(F.lit(1)).alias("__total"))
+    )
     topk = (
         counted.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
         .limit(k)
+        .crossJoin(F.broadcast(total))
         .withColumn(
             "guaranteed",
-            F.col("n_occurrences") > F.lit(float(total) / capacity),
+            F.col("n_occurrences")
+            > F.col("__total").cast("double") / F.lit(float(capacity)),
         )
+        .drop("__total")
     )
     return topk
 

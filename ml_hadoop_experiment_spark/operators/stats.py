@@ -281,7 +281,13 @@ def corr_matrix(
         sxy = F.col(f"p_{i}_{j}").cast("double")
         sxx, syy = F.col(f"p_{i}_{i}").cast("double"), F.col(f"p_{j}_{j}").cast("double")
         num = n * sxy - sx * sy
-        return num / F.sqrt(n * sxx - sx * sx) / F.sqrt(n * syy - sy * sy)
+        dx = F.sqrt(n * sxx - sx * sx)
+        dy = F.sqrt(n * syy - sy * sy)
+        # zero-variance guard: Spark's x/0.0 yields NULL while DuckDB
+        # yields inf/NaN — gate both engines on the same CASE so a
+        # constant column gives NULL corr everywhere (mirrors the
+        # det != 0 guard in group_ols_trend)
+        return F.when((dx != 0) & (dy != 0), num / dx / dy)
 
     pairs = F.array(
         *[
@@ -341,7 +347,9 @@ def corr_matrix_sql(
             )
             arms.append(
                 f"SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y, "
-                f"{num} / {dx} / {dy} AS corr, n AS n_rows FROM sums"
+                f"CASE WHEN {dx} <> 0 AND {dy} <> 0 "
+                f"THEN {num} / {dx} / {dy} END AS corr, "
+                f"n AS n_rows FROM sums"
             )
     arms_sql = "\nUNION ALL\n".join(arms)
     return f"""

@@ -361,11 +361,13 @@ def gap_fill(
     seconds" primitive.
 
     Per key: bucket observations to ``floor(epoch_s / step)``, keep the
-    LAST observation per bucket (latest timestamp, source row order as
-    the final tiebreak via a deterministic max over a (epoch, value)
-    struct), generate the dense bucket range min..max from a one-row-
-    per-key span table, left-join observations back, and forward-fill
-    ``value`` with ``last(..., ignorenulls=True)``.
+    LAST observation per bucket (latest timestamp; epoch ties prefer a
+    non-NULL value, then the larger value — a deterministic max over an
+    (epoch, not-null, value) struct that never compares NULL against
+    non-NULL, which the engines order differently), generate the dense
+    bucket range min..max from a one-row-per-key span table, left-join
+    observations back, and forward-fill ``value`` with
+    ``last(..., ignorenulls=True)``.
 
     Output: ``key_cols..., bucket, value (filled), n_obs, filled`` —
     ``n_obs`` is 0 and ``filled`` true on generated rows.
@@ -389,9 +391,18 @@ def gap_fill(
         .withColumn("__e", secs)
         .groupBy(*key_cols, "__b")
         .agg(
-            F.max(F.struct(F.col("__e"), F.col(value_col).alias("v")))["v"].alias(
-                "__v"
-            ),
+            # the explicit not-null rank field keeps the struct max from
+            # ever comparing a NULL value against a non-NULL one on an
+            # epoch tie: Spark sorts a NULL struct field smallest while
+            # DuckDB sorts it largest, so without the flag the engines
+            # could pick different survivors (round-4 advice)
+            F.max(
+                F.struct(
+                    F.col("__e"),
+                    F.col(value_col).isNotNull().alias("nn"),
+                    F.col(value_col).alias("v"),
+                )
+            )["v"].alias("__v"),
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
@@ -435,6 +446,7 @@ WITH obs AS (
          CAST(epoch_us({ts_expr}) // 1000000 // {step} AS BIGINT) AS bucket,
          max(struct_pack(
            e := CAST(epoch_us({ts_expr}) // 1000000 AS BIGINT),
+           nn := ({value_expr} IS NOT NULL),
            v := {value_expr})).v AS obs_v,
          count(*) AS n_obs
   FROM {relation}

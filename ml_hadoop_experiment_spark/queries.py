@@ -2428,7 +2428,10 @@ cbase AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
           FROM corpus),
 bbase AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
           FROM bench),
-cg AS ({contamination_grams_sql('cbase', 5)}),
+-- DISTINCT over (id, HASHED gram), not gram text: the Spark side counts
+-- countDistinct(hashed gram), so two distinct text grams that collide in
+-- 32 bits must count ONCE in both engines (round-4 advice).
+cg AS (SELECT DISTINCT id, gram FROM ({contamination_grams_sql('cbase', 5)})),
 bg AS (SELECT DISTINCT gram FROM ({contamination_grams_sql('bbase', 5)}))
 SELECT cg.id AS doc_id, count(*) AS n_hit_grams
 FROM cg JOIN bg ON cg.gram = bg.gram

@@ -177,6 +177,27 @@ class TestCorrMatrix:
         )
         assert plan.count("Exchange") <= 1, plan
 
+    def test_constant_column_yields_null_in_both_engines(self, spark):
+        """Zero variance: Spark's x/0.0 is NULL, DuckDB's is inf — both
+        engines must take the guarded CASE branch and emit NULL."""
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.stats import (
+            corr_matrix,
+            corr_matrix_sql,
+        )
+
+        pdf = pd.DataFrame({"c": [5.0, 5.0, 5.0, 5.0], "v": [1.0, 2.0, 3.0, 4.0]})
+        out = corr_matrix(spark.createDataFrame(pdf), ["c", "v"]).toPandas()
+        assert len(out) == 1
+        assert out["corr"].isna().all()
+
+        con = duckdb.connect()
+        con.register("t", pdf)
+        duck = con.execute(corr_matrix_sql("t", ["c", "v"])).df()
+        assert duck["corr"].isna().all()
+        con.close()
+
 
 class TestTrimmedStats:
     def test_fences_and_mean(self, spark):

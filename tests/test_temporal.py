@@ -283,6 +283,39 @@ class TestGapFill:
         # single-observation key: one bucket, nothing generated
         assert len(out.loc["v"]) == 1
 
+    def test_epoch_tie_with_null_prefers_non_null_in_both_engines(self, spark):
+        """Two observations in the same second, one NULL: Spark orders a
+        NULL struct field smallest, DuckDB largest — the not-null rank
+        field must keep the engines agreeing on the non-NULL survivor."""
+        import datetime as dt
+
+        import duckdb
+        import pandas as pd
+
+        from ml_hadoop_experiment_spark.operators.temporal import (
+            gap_fill,
+            gap_fill_sql,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [("u", t0, None), ("u", t0, 7.0)]
+        pdf = pd.DataFrame(rows, columns=["k", "ts", "value"])
+        out = gap_fill(
+            spark.createDataFrame(pdf, "k string, ts timestamp, value double"),
+            ["k"],
+            "ts",
+            "value",
+            60,
+        ).toPandas()
+        assert len(out) == 1
+        assert out["value"].iloc[0] == 7.0
+
+        con = duckdb.connect()
+        con.register("t", pdf)
+        duck = con.execute(gap_fill_sql("t", "k", "ts", "value", 60)).df()
+        assert duck["value"].iloc[0] == 7.0
+        con.close()
+
     def test_max_buckets_drops_wide_keys(self, spark):
         import datetime as dt
 
