@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "kmv_distinct",
     "quantiles",
     "image_dims",
+    "audio_meta",
     # round-4 extensions: curation, weighted sampling, robust stats, layout
     "decontaminate",
     "dedup_normalized",

@@ -6,11 +6,15 @@ feature-extraction runs as Arrow-batched ``mapInPandas`` so bytes never
 round-trip through the driver and each task holds at most one batch of
 payloads in memory.
 
-The actual codecs (PIL / torchaudio / ffmpeg) are NOT in this environment,
-so the decode step is gated: if the library imports, the real decoder runs;
-otherwise a clearly-marked deterministic fake derives features from the raw
-bytes (length, byte statistics). The Spark-side plumbing — schema contract,
-partitioning, UDF signature, batch shape — is real and tested either way.
+The actual codecs (PIL / soundfile / ffmpeg) are NOT in this environment,
+so full decode is gated: if the library imports, the real decoder runs.
+Container METADATA, however, is parsed for real in pure Python — image
+dimensions from PNG/JPEG/GIF/BMP headers (``parse_image_dims``) and audio
+sample rate / frame count from RIFF/WAVE headers (``parse_wav_meta``) —
+and only unrecognized payloads fall back to a clearly-marked
+deterministic fake (length, byte statistics). The Spark-side plumbing —
+schema contract, partitioning, UDF signature, batch shape — is real and
+tested in every tier.
 
 Scale notes: binary payloads dominate row size; ``maxRecordsPerBatch`` and
 ``batch_size`` bound task memory, and feature extraction is map-side only
@@ -253,6 +257,47 @@ def resize_images(
     ).mapInPandas(_resize, RESIZED_SCHEMA)
 
 
+def parse_wav_meta(payload: bytes) -> Optional[tuple[int, int, int, int]]:
+    """(sample_rate, channels, bits_per_sample, n_frames) from RIFF/WAVE
+    container bytes — pure Python, no codec, mirroring
+    ``parse_image_dims``. A real chunk-list walk (not fixed offsets): the
+    'fmt ' chunk supplies rate/channels/bits, the 'data' chunk size
+    divided by the block align gives the frame count. Returns None for
+    unrecognized/truncated payloads or a fmt chunk that predates the
+    data chunk being absent.
+
+    Oracle-checked in the ``audio_meta`` declared query against an
+    independent DuckDB hex-arithmetic parse of the same blobs.
+    """
+    n = len(payload)
+    if n < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = channels = bits = block_align = None
+    data_size = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt " and size >= 16 and body + 16 <= n:
+            channels = int.from_bytes(payload[body + 2 : body + 4], "little")
+            rate = int.from_bytes(payload[body + 4 : body + 8], "little")
+            block_align = int.from_bytes(payload[body + 12 : body + 14], "little")
+            bits = int.from_bytes(payload[body + 14 : body + 16], "little")
+        elif cid == b"data":
+            data_size = min(size, n - body)  # honest under truncation
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if not rate or not channels or data_size is None:
+        return None
+    if not block_align:
+        if not bits:
+            return None
+        block_align = channels * (bits // 8)
+    if not block_align:
+        return None
+    return rate, channels, bits or 0, data_size // block_align
+
+
 def _fake_audio_features(payload: bytes) -> tuple[int, int, float]:
     """Deterministic fake decode: pseudo sample-rate/length from byte
     length, 'rms' from byte values centered at 128."""
@@ -274,8 +319,12 @@ def extract_audio_features(
     batch_size: int = 256,
 ) -> DataFrame:
     """Decode audio -> (id, byte_length, sample_rate, n_samples, rms,
-    decoder). Real decode through soundfile when available; deterministic
-    fake otherwise (decoder column records which ran)."""
+    decoder). Three tiers, best available per payload: full soundfile
+    decode (real samples + real RMS, decoder='soundfile'); pure-Python
+    RIFF/WAVE header parse (real sample rate + frame count from the
+    actual container bytes, byte-statistics stand-in for RMS,
+    decoder='header-wav'); deterministic length-derived fake for
+    unrecognized bytes (decoder='fake')."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:  # gated optional dependency
@@ -300,6 +349,14 @@ def extract_audio_features(
                             continue
                         except Exception:
                             pass
+                    meta = parse_wav_meta(payload)
+                    if meta is not None:
+                        rate, _channels, _bits, n_frames = meta
+                        _r, _n, rms = _fake_audio_features(payload)
+                        rows.append(
+                            (rid, len(payload), rate, n_frames, rms, "header-wav")
+                        )
+                        continue
                     rate, n_samples, rms = _fake_audio_features(payload)
                     rows.append((rid, len(payload), rate, n_samples, rms, "fake"))
                 yield pd.DataFrame(

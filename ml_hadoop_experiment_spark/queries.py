@@ -663,7 +663,10 @@ from ml_hadoop_experiment_spark.operators.dedup import (
     simhash_sql,
     tokens_frame,
 )
-from ml_hadoop_experiment_spark.operators.multimodal import extract_image_features
+from ml_hadoop_experiment_spark.operators.multimodal import (
+    extract_audio_features,
+    extract_image_features,
+)
 from ml_hadoop_experiment_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
@@ -1008,6 +1011,120 @@ SELECT doc_id, byte_length,
     WHEN substring(hx, 1, 16) = '89504E470D0A1A0A' THEN 'header-png'
     WHEN substring(hx, 1, 4) = 'FFD8' THEN 'header-jpeg'
     ELSE 'header-gif'
+  END AS decoder
+FROM parsed
+"""
+
+
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real RIFF/WAVE container-header parsing over binary audio payloads
+    (round 5; the audio twin of ``image_dims``): minimal PCM WAV blobs are
+    synthesized per document with pure codegen byte construction (sample
+    rate / channel count derived from doc_id; the document text bytes as
+    the data chunk), then ``extract_audio_features`` walks the ACTUAL
+    chunk list in mapInPandas (``parse_wav_meta``) to recover sample rate
+    and frame count. Every 7th document carries a non-WAV payload to pin
+    the fake-tier dispatch. The oracle re-parses the SAME blobs with
+    independent DuckDB hex arithmetic — construction is shared by design,
+    the two PARSERS are not."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = (F.col("doc_id") % 5 * 8000 + 8000).cast("int")
+    channels = (F.col("doc_id") % 2 + 1).cast("int")
+    block_align = channels * 2  # 16-bit PCM
+    byte_rate = rate * block_align
+    data = F.encode(F.col("text"), "utf-8")
+    data_size = F.length(data)
+
+    def le16(c):
+        return F.concat(
+            F.unhex(F.lpad(F.hex(c % 256), 2, "0")),
+            F.unhex(F.lpad(F.hex((c / 256).cast("int") % 256), 2, "0")),
+        )
+
+    def le32(c):
+        return F.concat(
+            F.unhex(F.lpad(F.hex(c % 256), 2, "0")),
+            F.unhex(F.lpad(F.hex((c / 256).cast("int") % 256), 2, "0")),
+            F.unhex(F.lpad(F.hex((c / 65536).cast("int") % 256), 2, "0")),
+            F.unhex(F.lpad(F.hex((c / 16777216).cast("int") % 256), 2, "0")),
+        )
+
+    wav = F.concat(
+        F.encode(F.lit("RIFF"), "utf-8"), le32(data_size + 36),
+        F.encode(F.lit("WAVE"), "utf-8"),
+        F.encode(F.lit("fmt "), "utf-8"), le32(F.lit(16)),
+        le16(F.lit(1)), le16(channels), le32(rate), le32(byte_rate),
+        le16(block_align), le16(F.lit(16)),
+        F.encode(F.lit("data"), "utf-8"), le32(data_size), data,
+    )
+    content = F.when(F.col("doc_id") % 7 == 0, data).otherwise(wav)
+    payloads = docs.select(F.col("doc_id").alias("id"), content.alias("content"))
+    feats = extract_audio_features(payloads, "id", "content", batch_size=256)
+    return feats.select(
+        F.col("id").alias("doc_id"), "byte_length", "sample_rate", "n_samples", "decoder"
+    )
+
+
+SQL_AUDIO_META = """
+WITH params AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS dsz,
+         CAST(doc_id % 5 * 8000 + 8000 AS INT) AS rate,
+         CAST(doc_id % 2 + 1 AS INT) AS ch,
+         encode(text) AS data
+  FROM documents
+),
+payloads AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN data ELSE
+      encode('RIFF')
+      || unhex(lpad(hex((dsz + 36) % 256), 2, '0'))
+      || unhex(lpad(hex((dsz + 36) // 256 % 256), 2, '0'))
+      || unhex(lpad(hex((dsz + 36) // 65536 % 256), 2, '0'))
+      || unhex(lpad(hex((dsz + 36) // 16777216 % 256), 2, '0'))
+      || encode('WAVE') || encode('fmt ') || unhex('10000000')
+      || unhex('0100')
+      || unhex(lpad(hex(ch % 256), 2, '0')) || unhex(lpad(hex(ch // 256), 2, '0'))
+      || unhex(lpad(hex(rate % 256), 2, '0'))
+      || unhex(lpad(hex(rate // 256 % 256), 2, '0'))
+      || unhex(lpad(hex(rate // 65536 % 256), 2, '0'))
+      || unhex(lpad(hex(rate // 16777216 % 256), 2, '0'))
+      || unhex(lpad(hex(rate * ch * 2 % 256), 2, '0'))
+      || unhex(lpad(hex(rate * ch * 2 // 256 % 256), 2, '0'))
+      || unhex(lpad(hex(rate * ch * 2 // 65536 % 256), 2, '0'))
+      || unhex(lpad(hex(rate * ch * 2 // 16777216 % 256), 2, '0'))
+      || unhex(lpad(hex(ch * 2 % 256), 2, '0')) || unhex(lpad(hex(ch * 2 // 256), 2, '0'))
+      || unhex('1000')
+      || encode('data')
+      || unhex(lpad(hex(dsz % 256), 2, '0'))
+      || unhex(lpad(hex(dsz // 256 % 256), 2, '0'))
+      || unhex(lpad(hex(dsz // 65536 % 256), 2, '0'))
+      || unhex(lpad(hex(dsz // 16777216 % 256), 2, '0'))
+      || data
+    END AS content
+  FROM params
+),
+-- independent parse: metadata re-read from the blob's header bytes only
+parsed AS (
+  SELECT doc_id, octet_length(content) AS byte_length, hex(content) AS hx
+  FROM payloads
+)
+SELECT doc_id, byte_length,
+  CASE WHEN substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57415645'
+    THEN CAST(('0x' || substring(hx, 55, 2) || substring(hx, 53, 2)
+               || substring(hx, 51, 2) || substring(hx, 49, 2)) AS INT)
+    ELSE 16000
+  END AS sample_rate,
+  CASE WHEN substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57415645'
+    THEN CAST(
+      CAST(('0x' || substring(hx, 87, 2) || substring(hx, 85, 2)
+            || substring(hx, 83, 2) || substring(hx, 81, 2)) AS BIGINT)
+      // CAST(('0x' || substring(hx, 67, 2) || substring(hx, 65, 2)) AS BIGINT)
+      AS BIGINT)
+    ELSE CAST(byte_length // 2 AS BIGINT)
+  END AS n_samples,
+  CASE WHEN substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57415645'
+    THEN 'header-wav' ELSE 'fake'
   END AS decoder
 FROM parsed
 """
@@ -3573,7 +3690,8 @@ QUERIES = {
     "series_topk": q_series_topk,
     "session_paths": q_session_paths,
     "streaming_interval_join": q_streaming_interval_join,
-    # tier 2: added in round 5 (audio_meta et al. are inserted here)
+    # tier 2: added in round 5
+    "audio_meta": q_audio_meta,
     # tier 3: last driver-green in r01-r03
     "dup_stats": q_dup_stats,
     "simhash_pairs": q_simhash_pairs,
@@ -3737,6 +3855,7 @@ ORACLE_SQL = {
     "lsh_buckets": SQL_LSH_BUCKETS,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "image_dims": SQL_IMAGE_DIMS,
+    "audio_meta": SQL_AUDIO_META,
     "pii_redaction": SQL_PII_REDACTION,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,

@@ -127,3 +127,58 @@ def test_extract_image_features_header_path(spark):
     got = {r["id"]: r for r in extract_image_features(df, "id", "content").collect()}
     assert (got[1]["width"], got[1]["height"], got[1]["decoder"]) == (12, 34, "header-png")
     assert got[2]["decoder"] == "fake"
+
+
+def _wav_bytes(rate=44100, channels=2, bits=16, n_frames=100, extra_chunk=False):
+    block = channels * (bits // 8)
+    data = bytes(n_frames * block)
+    chunks = b""
+    if extra_chunk:  # a LIST chunk before fmt: the walk must skip it
+        chunks += b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    chunks += (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_parse_wav_meta_pure():
+    """RIFF/WAVE chunk-walk against hand-built container bytes."""
+    from ml_hadoop_experiment_spark.operators.multimodal import parse_wav_meta
+
+    assert parse_wav_meta(_wav_bytes(44100, 2, 16, 100)) == (44100, 2, 16, 100)
+    assert parse_wav_meta(_wav_bytes(8000, 1, 16, 7)) == (8000, 1, 16, 7)
+    # chunk walk skips unknown chunks before fmt
+    assert parse_wav_meta(_wav_bytes(22050, 1, 16, 3, extra_chunk=True)) == (
+        22050, 1, 16, 3,
+    )
+    # zero-length data chunk
+    assert parse_wav_meta(_wav_bytes(16000, 1, 16, 0)) == (16000, 1, 16, 0)
+    # non-WAV bytes / truncation
+    assert parse_wav_meta(b"RIFFxxxxAVI LIST") is None
+    assert parse_wav_meta(b"plain text, nothing else") is None
+    assert parse_wav_meta(b"") is None
+    assert parse_wav_meta(_wav_bytes()[:30]) is None  # truncated header
+
+
+def test_extract_audio_features_header_path(spark):
+    """Real sample rate / frame count come back through mapInPandas for
+    RIFF payloads; unknown bytes keep the length-derived fake."""
+    from ml_hadoop_experiment_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rows = [
+        (1, bytearray(_wav_bytes(32000, 1, 16, 55))),
+        (2, bytearray(b"not audio at all, just text")),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, content binary")
+    got = {r["id"]: r for r in extract_audio_features(df, "id", "content").collect()}
+    assert (got[1]["sample_rate"], got[1]["n_samples"], got[1]["decoder"]) == (
+        32000, 55, "header-wav",
+    )
+    assert got[2]["decoder"] == "fake"
+    assert got[2]["sample_rate"] == 16000
