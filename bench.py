@@ -106,10 +106,11 @@ BENCH_QUERIES = [
     "returned_customers",
     "promo_share",
     "big_orders",
-    # dup_clusters is deliberately NOT benched: ~8.6 s at sf0.1 (iterative
-    # label propagation over the dense 16-bit simhash pair graph) would
-    # dominate the bench total without tracking anything the simhash_pairs
-    # entry doesn't already cover.
+    # connected-components pipelines (round 5: benched with convergence
+    # round counts — the two most expensive plans must be tracked, not
+    # excluded; see "cc_rounds" in the output JSON)
+    "dup_clusters",
+    "semantic_dedup",
     # structured streaming (availableNow drains: each call runs the whole
     # micro-batch pipeline to completion, so the timing includes source
     # listing, state-store updates, and sink commit — the micro-batch
@@ -271,7 +272,10 @@ def main() -> None:
             fn(spark)
             release_prefix_caches()
 
+    from ml_hadoop_experiment_spark.operators.dedup import LAST_CC_STATS
+
     per_query: dict[str, float] = {}
+    cc_rounds: dict[str, int] = {}
     totals: list[float] = []
     for _ in range(RUNS):
         total = 0.0
@@ -285,6 +289,8 @@ def main() -> None:
             dt = time.perf_counter() - t0
             per_query[name] = min(per_query.get(name, float("inf")), dt)
             total += dt
+            if name in ("dup_clusters", "semantic_dedup") and LAST_CC_STATS:
+                cc_rounds[name] = int(LAST_CC_STATS.get("rounds", 0))
             # reclaim prefix-sum pinned caches between queries (untimed:
             # steady-state production runs one query, not a 90-query sweep)
             release_prefix_caches()
@@ -301,17 +307,18 @@ def main() -> None:
     # hit one query in one pass (observed 5-10x outliers on shared
     # infrastructure); equals the single pass total when RUNS=1.
     value = sum(per_query.values()) if RUNS > 1 else statistics.median(totals)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall_clock",
-                "value": round(value, 3),
-                "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in per_query.items()},
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total_wall_clock",
+        "value": round(value, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in per_query.items()},
+        "sf": sf,
+    }
+    if cc_rounds:
+        # convergence rounds of the connected-components pipelines: a CC
+        # regression shows up here before it shows up as wall time
+        out["cc_rounds"] = cc_rounds
+    print(json.dumps(out))
     spark.stop()
 
 

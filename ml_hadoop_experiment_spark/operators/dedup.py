@@ -615,6 +615,14 @@ def simhash_blocks_sql(bits: int, max_hamming: int) -> str:
 # --------------------------------------------------------------------------
 
 
+#: observability: stats of the most recent connected_components run in
+#: this process ({"rounds": n, "changed": [per-round changed-label
+#: counts]}). bench.py reports the round count next to wall time so CC
+#: convergence regressions are visible round-over-round, not just as an
+#: unexplained slowdown.
+LAST_CC_STATS: dict = {}
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 25
 ) -> DataFrame:
@@ -653,6 +661,9 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    LAST_CC_STATS.clear()
+    LAST_CC_STATS["rounds"] = 0
+    LAST_CC_STATS["changed"] = []
     for _ in range(max_iterations):
         neigh = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -687,6 +698,8 @@ def connected_components(
         )
         changed = new_labels.agg(F.sum("__chg")).collect()[0][0] or 0
         labels = new_labels.drop("__chg")
+        LAST_CC_STATS["rounds"] += 1
+        LAST_CC_STATS["changed"].append(int(changed))
         if changed == 0:
             return labels
     raise ValueError(
