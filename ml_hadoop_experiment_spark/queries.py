@@ -52,6 +52,39 @@ def _ensure_confs(spark: SparkSession) -> None:
             # schema change) — if the session can't take these, fail now
 
 
+#: state-store partition cap for the stateful streaming drains. One state
+#: store is instantiated per shuffle partition (per side for a
+#: stream-stream join) and AQE cannot resize stateful plans, so the
+#: partition count must be sized to the workload BEFORE the first
+#: checkpoint — the streaming analog of AQE's batch coalescing. Measured
+#: on the sf0.1 drains (local[32], min of 2, 2026-08-14): interval join
+#: 5.8 s -> 2.2 s (round 4), rollup 1.08 -> 0.71 s, sessionize
+#: 1.22 -> 0.89 s at cap 8 vs the 32-partition session default. A
+#: production deployment sets this to its key-cardinality / throughput
+#: target instead.
+_STREAM_STATE_PARTITIONS = 8
+
+
+def _drained_state_partitions(spark: SparkSession):
+    """Context manager: cap shuffle (= state-store) partitions for a
+    stateful streaming drain, restoring the session value after."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(prev), _STREAM_STATE_PARTITIONS)),
+        )
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _cm()
+
+
 def _normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     """One schema adaptation point for the events table's time column.
 
@@ -1875,14 +1908,15 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = stateful_dedup(stream, ["doc_id"])
     sink = f"streaming_dedup_{uuid.uuid4().hex}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _drained_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(sink)
 
 
@@ -1982,14 +2016,15 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # complete mode: a drained finite stream emits every window, including
     # the final ones append mode would hold back waiting for a watermark
     # advance that never comes after the last micro-batch
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _drained_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(sink).select(
         F.unix_timestamp("window_start").alias("window_start_s"),
         "event_type",
@@ -2198,14 +2233,15 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ts_col="ts", key_col="user_id", gap="30 minutes", watermark="1 hour"
     )
     sink = f"streaming_sessionize_{uuid.uuid4().hex}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _drained_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(sink).select(
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),
@@ -2760,16 +2796,9 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_value").alias("purchase_value"),
     )
     sink = f"streaming_ij_{uuid.uuid4().hex}"
-    # State-partition sizing: a stream-stream join instantiates one state
-    # store per shuffle partition PER JOIN SIDE, and AQE cannot resize
-    # stateful plans. Size state partitions to the workload (the streaming
-    # analog of AQE's batch coalescing): the fixture's event stream needs
-    # few; a production deployment sets this to its key-cardinality/
-    # throughput target before the first checkpoint. Measured 2.5x on the
-    # sf0.1 drain (5.8 s -> 2.4 s) with identical results.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev), 8)))
-    try:
+    # state stores are per-partition PER JOIN SIDE here; see the
+    # _STREAM_STATE_PARTITIONS knob (measured 2.5x: 5.8 s -> 2.4 s)
+    with _drained_state_partitions(spark):
         q = (
             out.writeStream.format("memory")
             .queryName(sink)
@@ -2778,8 +2807,6 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
 
 
