@@ -238,12 +238,37 @@ def _bench_profile_approx(spark) -> None:
     li.agg(*aggs).write.format("noop").mode("overwrite").save()
 
 
+def _bench_outlier_stats_approx(spark) -> None:
+    """mad_outliers production path: approx_percentile medians (mergeable
+    GK sketch, bounded memory per group) — the same plan shape as the
+    declared outlier_stats query's exact-percentile yardstick."""
+    from ml_hadoop_experiment_spark.operators.stats import mad_outliers
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    mad_outliers(li, ["l_returnflag"], "l_extendedprice", approx=True).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
+def _bench_trimmed_stats_approx(spark) -> None:
+    """trimmed_stats production path: approx_percentile fences — the
+    exact-vs-approx pairing of the declared trimmed_stats query."""
+    from ml_hadoop_experiment_spark.operators.stats import trimmed_stats
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    trimmed_stats(li, ["l_returnflag"], "l_extendedprice", approx=True).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
 EXTRA_BENCHES = {
     "tfrecord_sink": _bench_shuffle_sink,
     "quantiles_approx": _bench_quantiles_approx,
     "kmv_sketch": _bench_kmv_sketch,
     "feature_hist_approx": _bench_feature_hist_approx,
     "profile_approx": _bench_profile_approx,
+    "outlier_stats_approx": _bench_outlier_stats_approx,
+    "trimmed_stats_approx": _bench_trimmed_stats_approx,
 }
 
 

@@ -29,6 +29,7 @@ def mad_outliers(
     key_cols: List[str],
     value_col: str,
     n_mads: float = 3.0,
+    approx: bool = False,
 ) -> DataFrame:
     """Per-key robust outlier summary: median, MAD, and outlier count.
 
@@ -41,20 +42,22 @@ def mad_outliers(
     Plan: three scans with two key-aggregations and two broadcast joins —
     at 100 TB the per-key tables are KB-sized broadcasts, the value data
     never shuffles. Exact per-key percentile buffers each key's values in
-    one task; for billion-row keys swap ``percentile`` for
-    ``approx_percentile`` (same shape, mergeable sketch) — the exact form
-    is kept here as the oracle-checkable yardstick, mirroring the
-    quantiles/quantiles_approx pairing.
+    one task and is the oracle-checkable yardstick; ``approx=True`` is
+    the 100 TB production path — ``approx_percentile`` medians, same
+    plan shape, mergeable GK sketch with bounded memory per group. Both
+    paths are benched each round (SCALE.md "Exact-yardstick vs approx-
+    production pairs").
     """
+    pct = "approx_percentile" if approx else "percentile"
     v = F.col(value_col).cast("double")
     med = df.groupBy(*key_cols).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+        F.expr(f"{pct}({value_col}, 0.5)").cast("double").alias("med")
     )
     dev = df.join(F.broadcast(med), on=key_cols).withColumn(
         "__adev", F.abs(v - F.col("med"))
     )
     mad = dev.groupBy(*key_cols).agg(
-        F.expr("percentile(__adev, 0.5)").alias("mad"),
+        F.expr(f"{pct}(__adev, 0.5)").cast("double").alias("mad"),
         F.first("med").alias("med"),
     )
     flagged = df.join(F.broadcast(mad), on=key_cols)
@@ -207,7 +210,8 @@ def equi_depth_histogram(
     a map-combined group count — two scans, no wide exchange of data rows.
     Exact ``percentile`` is the oracle yardstick; swap
     ``approx_percentile`` in at 100 TB for a one-pass mergeable sketch
-    (the quantiles/quantiles_approx pairing).
+    (the quantiles/quantiles_approx pairing; both sides benched — see
+    SCALE.md "Exact-yardstick vs approx-production pairs").
     """
     fracs = ", ".join(str(i / num_bins) for i in range(1, num_bins))
     v = F.col(value_col).cast("double")
@@ -378,6 +382,7 @@ def trimmed_stats(
     lo: float = 0.05,
     hi: float = 0.95,
     decimals: str = "decimal(18,2)",
+    approx: bool = False,
 ) -> DataFrame:
     """Per-key trimmed statistics: exact percentile fences at ``lo``/``hi``
     and the mean of only the values inside them — the robust-mean
@@ -389,14 +394,17 @@ def trimmed_stats(
     shuffles. The trimmed sum accumulates in DECIMAL (order-independent,
     engine-exact); the single mean division happens once per key in
     double. Exact ``percentile`` buffers per-group values and is the
-    oracle yardstick — swap ``approx_percentile`` fences in at 100 TB
-    (see equi_depth_histogram for the same exact-vs-approx posture).
+    oracle yardstick; ``approx=True`` swaps in mergeable
+    ``approx_percentile`` fences — the 100 TB path, benched alongside
+    the exact form each round (SCALE.md "Exact-yardstick vs
+    approx-production pairs").
 
     Output: ``key_cols..., p_lo, p_hi, trimmed_mean, n_kept, n_clipped``.
     """
+    pct = "approx_percentile" if approx else "percentile"
     fences = df.groupBy(*key_cols).agg(
-        F.expr(f"percentile({value_col}, {lo!r})").alias("p_lo"),
-        F.expr(f"percentile({value_col}, {hi!r})").alias("p_hi"),
+        F.expr(f"{pct}({value_col}, {lo!r})").cast("double").alias("p_lo"),
+        F.expr(f"{pct}({value_col}, {hi!r})").cast("double").alias("p_hi"),
     )
     v = F.col(value_col)
     inside = (v >= F.col("p_lo")) & (v <= F.col("p_hi"))
@@ -521,8 +529,9 @@ def profile_numeric(
     ONE scan: all per-column aggregates compute in a single aggregation
     (multiple exact ``count(DISTINCT)``s plan via Expand — rows duplicate
     per distinct column, the deliberate cost of exactness; swap
-    ``approx_count_distinct`` at 100 TB where ±2% is fine), then the
-    one-row wide result unpivots driver-free via ``stack``.
+    ``approx_count_distinct`` at 100 TB where ±2% is fine — both sides
+    benched, SCALE.md "Exact-yardstick vs approx-production pairs"),
+    then the one-row wide result unpivots driver-free via ``stack``.
 
     Output: ``column, n_rows, n_nulls, n_distinct, min, max, mean``.
     """

@@ -322,3 +322,45 @@ class TestCdfNormalize:
         assert a == [(10.0, 0.0), (20.0, 1 / 3), (20.0, 1 / 3), (40.0, 1.0)]
         # single-value key -> 0.0
         assert [r["cdf"] for r in out if r["k"] == "b"] == [0.0]
+
+
+class TestApproxProductionPaths:
+    """The approx=True forms of the exact-yardstick operators (SCALE.md
+    'Exact-yardstick vs approx-production pairs'): same plan shape and
+    schema, sketch-accurate values."""
+
+    def test_mad_outliers_approx_close_to_exact(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import mad_outliers
+
+        rng = np.random.default_rng(11)
+        pdf = pd.DataFrame(
+            {"k": np.repeat(["a", "b"], 4000), "v": rng.normal(100, 10, 8000)}
+        )
+        df = spark.createDataFrame(pdf)
+        exact = {r["k"]: r for r in mad_outliers(df, ["k"], "v").collect()}
+        approx = {r["k"]: r for r in mad_outliers(df, ["k"], "v", approx=True).collect()}
+        assert set(exact) == set(approx)
+        for k in exact:
+            assert approx[k]["med"] == pytest.approx(exact[k]["med"], rel=0.01)
+            assert approx[k]["mad"] == pytest.approx(exact[k]["mad"], rel=0.05)
+            assert approx[k]["n_rows"] == exact[k]["n_rows"]
+
+    def test_trimmed_stats_approx_close_to_exact(self, spark):
+        from ml_hadoop_experiment_spark.operators.stats import trimmed_stats
+
+        rng = np.random.default_rng(12)
+        pdf = pd.DataFrame(
+            {"k": np.repeat(["a", "b"], 4000), "v": rng.normal(100, 10, 8000)}
+        )
+        df = spark.createDataFrame(pdf)
+        exact = {r["k"]: r for r in trimmed_stats(df, ["k"], "v", decimals="decimal(18,9)").collect()}
+        approx = {
+            r["k"]: r
+            for r in trimmed_stats(df, ["k"], "v", decimals="decimal(18,9)", approx=True).collect()
+        }
+        for k in exact:
+            assert approx[k]["trimmed_mean"] == pytest.approx(
+                exact[k]["trimmed_mean"], rel=0.01
+            )
+            # fences are sketch-approximate; kept counts stay close
+            assert abs(approx[k]["n_kept"] - exact[k]["n_kept"]) <= 80
