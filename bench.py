@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "quantiles",
     "image_dims",
     "audio_meta",
+    "frame_sample",
+    "bm25_topk",
+    "salted_join",
     # round-4 extensions: curation, weighted sampling, robust stats, layout
     "decontaminate",
     "dedup_normalized",

@@ -113,3 +113,136 @@ SELECT id AS {out_id}, token, round(score, 6) AS tfidf, rk FROM (
   FROM termfreq JOIN dfreq USING (token), n
 ) WHERE rk <= {k}
 """
+
+
+def bm25_topk_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under BM25
+    (Robertson/Sparck-Jones with Lucene's +1 idf smoothing) — the
+    classic retrieval scorer, used in training-data pipelines to mine
+    positives / hard negatives for a topic.
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with ``idf(t) = ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    Plan (100 TB posture): tokenize map-side → one (doc, token) count
+    shuffle; the query-term table broadcasts, so document frequencies and
+    scoring touch ONLY rows whose token is in the query — the corpus text
+    never shuffles and nothing query-independent leaves the tf stage
+    except the per-doc length aggregate (map-combined). Per-term
+    contributions are rounded to 6 dp and summed as DECIMAL so the
+    per-doc score is independent of partition order (float addition is
+    not associative; rounded-then-exact-sum is); the final top-k is a
+    TakeOrderedAndProject with an id tiebreak.
+
+    Output: ``id, bm25, n_hit_terms`` — the k best documents.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    if isinstance(query_terms, DataFrame):
+        # a one-string-column frame (e.g. the distinct tokens of a seed
+        # document) — stays distributed, no driver collect
+        qterms = query_terms.select(
+            F.col(query_terms.columns[0]).alias("token")
+        ).distinct()
+    elif query_terms:
+        qterms = spark.createDataFrame(
+            [(t,) for t in sorted(set(query_terms))], "token string"
+        )
+    else:
+        raise ValueError("query_terms must be a non-empty list or a DataFrame")
+    tf_q = tf.join(F.broadcast(qterms), "token")
+    dfreq = tf_q.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * tf_norm, 6).cast("decimal(28,6)")
+    scored = (
+        tf_q.join(dfreq, "token")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("id")
+        .agg(
+            F.sum(contrib).cast("double").alias("bm25"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("id").asc()).limit(k)
+
+
+def bm25_topk_sql(
+    table: str,
+    id_expr: str,
+    text_expr: str,
+    query_terms,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    out_id: str = "id",
+) -> str:
+    """DuckDB twin of ``bm25_topk_docs``: same formula, same 6-dp
+    round-before-exact-sum, same id tiebreak. ``query_terms`` is a list
+    of literal terms OR a SQL fragment selecting a one-column ``token``
+    relation (the distributed-seed form the declared query uses)."""
+    if isinstance(query_terms, str):
+        qterms_cte = f"qterms AS ({query_terms})"
+    else:
+        terms = ", ".join(
+            "('" + t.replace("'", "''") + "')" for t in sorted(set(query_terms))
+        )
+        qterms_cte = f"qterms(token) AS (VALUES {terms})"
+    return f"""
+WITH toks AS (
+  SELECT {id_expr} AS id,
+         unnest(regexp_split_to_array(lower(trim({text_expr})), '\\s+')) AS token
+  FROM {table}
+),
+termfreq AS (SELECT id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM termfreq GROUP BY 1),
+corpus AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+{qterms_cte},
+tfq AS (SELECT termfreq.* FROM termfreq JOIN qterms USING (token)),
+dfreq AS (SELECT token, count(*) AS df_t FROM tfq GROUP BY 1)
+SELECT id AS {out_id},
+       CAST(sum(CAST(round(
+         ln(1.0 + (corpus.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
+         * (tfq.tf * {k1 + 1.0!r})
+           / (tfq.tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl.dl / corpus.avgdl)),
+         6) AS DECIMAL(28,6))) AS DOUBLE) AS bm25,
+       count(*) AS n_hit_terms
+FROM tfq JOIN dfreq USING (token) JOIN dl USING (id), corpus
+GROUP BY id
+ORDER BY bm25 DESC, id ASC
+LIMIT {k}
+"""

@@ -52,6 +52,11 @@ def _ensure_confs(spark: SparkSession) -> None:
             # schema change) — if the session can't take these, fail now
 
 
+#: fixture event-type domain (used by pivot/similarity/salted-join
+#: queries and their VALUES-based oracle dims)
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
 #: state-store partition cap for the stateful streaming drains. One state
 #: store is instantiated per shuffle partition (per side for a
 #: stream-stream join) and AQE cannot resize stateful plans, so the
@@ -1163,6 +1168,114 @@ FROM parsed
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join (round 5): events (5-value event_type —
+    a deliberately hot join key) joined to a per-type weight dim through
+    ``operators/skew.salted_join`` (salt=8: the big side hashes into 8
+    sub-keys, the dim replicates 8×), then aggregated per type. The
+    oracle runs the PLAIN join — parity proves salting is result-
+    invariant while spreading each hot key across 8 reducers. Weighted
+    revenue accumulates as DECIMAL × int (order-free, engine-exact)."""
+    from ml_hadoop_experiment_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(_EVENT_TYPES)],
+        "event_type string, weight int",
+    )
+    joined = salted_join(ev, dim, on=["event_type"], salt=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)") * F.col("weight"))
+            .cast("double")
+            .alias("weighted_value"),
+        )
+    )
+
+
+def _sql_salted_join() -> str:
+    dim_rows = ", ".join(f"('{t}', {i + 1})" for i, t in enumerate(_EVENT_TYPES))
+    return f"""
+WITH dim(event_type, weight) AS (VALUES {dim_rows})
+SELECT e.event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2)) * d.weight) AS DOUBLE)
+         AS weighted_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1
+"""
+
+
+SQL_SALTED_JOIN = _sql_salted_join()
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (round 5): top-20 documents for a bag-of-terms
+    query, the query being the distinct tokens of the smallest-doc_id
+    document (a seed-document "more like this" search — fully
+    distributed, no driver collect; the ann_topk pattern in text space).
+    Per-term contributions round to 6 dp and sum as DECIMAL so the score
+    is partition-order independent; ties break on doc_id."""
+    from ml_hadoop_experiment_spark.operators.corpus import bm25_topk_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    seed = docs.orderBy(F.col("doc_id").asc()).limit(1)
+    qterms = seed.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).distinct()
+    out = bm25_topk_docs(docs, "doc_id", "text", qterms, k=20)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def _sql_bm25_topk() -> str:
+    from ml_hadoop_experiment_spark.operators.corpus import bm25_topk_sql
+
+    seed_terms = """
+  SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)
+"""
+    return bm25_topk_sql(
+        "documents", "doc_id", "text", seed_terms, k=20, out_id="doc_id"
+    )
+
+
+SQL_BM25_TOPK = _sql_bm25_topk()
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video/audio frame-sampling PLAN (round 5): one row per (asset,
+    timestamp offset) at a 0.5 s cadence — the relational expansion that
+    feeds per-frame decode tasks downstream (``sample_media_frames``,
+    ``operators/multimodal.py``). Durations are synthesized from doc_id
+    (1..60.5 s); the expansion itself is pure codegen sequence+explode,
+    zero shuffle, and every arithmetic step (division by a power of two,
+    multiples of 0.5 rounded at 3 dp) is IEEE-exact cross-engine."""
+    from ml_hadoop_experiment_spark.operators.multimodal import (
+        sample_media_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") % 120) / 2.0 + 1.0).alias("duration_s"),
+    )
+    out = sample_media_frames(assets, "id", "duration_s", every_s=0.5)
+    return out.select(F.col("id").alias("doc_id"), "frame_offset_s")
+
+
+SQL_FRAME_SAMPLE = """
+WITH assets AS (
+  SELECT doc_id, doc_id % 120 / 2.0 + 1.0 AS duration_s FROM documents
+)
+SELECT doc_id,
+       round(unnest(range(0, greatest(CAST(duration_s / 0.5 AS INT), 1))) * 0.5, 3)
+         AS frame_offset_s
+FROM assets
+"""
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing pass: deterministic synthetic PII (email, phone, IP,
     SSN, card — derived from doc_id) is appended to each document and then
@@ -1924,8 +2037,6 @@ SQL_STREAMING_DEDUP = """
 SELECT doc_id FROM documents
 """
 
-
-_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
 def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3659,10 +3770,9 @@ SELECT '3_purchase_after_click', CAST((SELECT count(*) FROM p) AS BIGINT)
 """
 
 
-#: fixed pivot domain: an explicit value list keeps the pivot a one-pass
-#: map-side CASE expansion (Spark's auto-discovery pivot runs an extra
+#: (pivot note: the explicit _EVENT_TYPES list keeps the pivot a one-pass
+#: map-side CASE expansion — Spark's auto-discovery pivot runs an extra
 #: distinct job AND makes the schema data-dependent)
-_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3719,6 +3829,9 @@ QUERIES = {
     "streaming_interval_join": q_streaming_interval_join,
     # tier 2: added in round 5
     "audio_meta": q_audio_meta,
+    "frame_sample": q_frame_sample,
+    "bm25_topk": q_bm25_topk,
+    "salted_join": q_salted_join,
     # tier 3: last driver-green in r01-r03
     "dup_stats": q_dup_stats,
     "simhash_pairs": q_simhash_pairs,
@@ -3883,6 +3996,9 @@ ORACLE_SQL = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "image_dims": SQL_IMAGE_DIMS,
     "audio_meta": SQL_AUDIO_META,
+    "frame_sample": SQL_FRAME_SAMPLE,
+    "bm25_topk": SQL_BM25_TOPK,
+    "salted_join": SQL_SALTED_JOIN,
     "pii_redaction": SQL_PII_REDACTION,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,

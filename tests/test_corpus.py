@@ -46,3 +46,73 @@ def test_tfidf_k_validation_and_scalar_broadcast(docs):
     )
     # the corpus-size scalar joins via broadcast, never a shuffle
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestBm25TopkDocs:
+    def _corpus(self, spark):
+        import pandas as pd
+
+        rows = [
+            (1, "spark shuffles data across the cluster"),
+            (2, "spark spark spark tuning guide"),
+            (3, "gardening tips for spring flowers"),
+            (4, "cluster management and spark deployment at scale"),
+            (5, "data quality checks for training data pipelines data"),
+        ]
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["id", "text"]))
+
+    def test_ranks_term_frequency_and_rarity(self, spark):
+        from ml_hadoop_experiment_spark.operators.corpus import bm25_topk_docs
+
+        docs = self._corpus(spark)
+        out = bm25_topk_docs(docs, "id", "text", ["spark"], k=3).collect()
+        # doc 2 has tf=3 for 'spark' and is short -> best
+        assert out[0]["id"] == 2
+        ids = [r["id"] for r in out]
+        assert 3 not in ids  # no hit, never appears
+        assert all(r["n_hit_terms"] == 1 for r in out)
+
+    def test_multi_term_scores_sum_and_rare_term_wins(self, spark):
+        from ml_hadoop_experiment_spark.operators.corpus import bm25_topk_docs
+
+        docs = self._corpus(spark)
+        out = {r["id"]: r for r in bm25_topk_docs(
+            docs, "id", "text", ["spark", "gardening"], k=5
+        ).collect()}
+        # 'gardening' appears in 1/5 docs -> higher idf than 'spark' (4/5)
+        assert out[3]["bm25"] > 0
+        assert out[3]["n_hit_terms"] == 1
+        assert out[4]["n_hit_terms"] == 1
+
+    def test_dataframe_query_terms(self, spark):
+        from ml_hadoop_experiment_spark.operators.corpus import bm25_topk_docs
+        from pyspark.sql import functions as F
+
+        docs = self._corpus(spark)
+        qdf = spark.createDataFrame([("spark",), ("spark",)], "token string")
+        via_df = bm25_topk_docs(docs, "id", "text", qdf, k=3).collect()
+        via_list = bm25_topk_docs(docs, "id", "text", ["spark"], k=3).collect()
+        assert [tuple(r) for r in via_df] == [tuple(r) for r in via_list]
+
+    def test_matches_duckdb_twin(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from ml_hadoop_experiment_spark.operators.corpus import (
+            bm25_topk_docs,
+            bm25_topk_sql,
+        )
+
+        docs = self._corpus(spark)
+        got = bm25_topk_docs(docs, "id", "text", ["spark", "data"], k=5).toPandas()
+        con = duckdb.connect()
+        con.register("docs", docs.toPandas())
+        want = con.execute(
+            bm25_topk_sql("docs", "id", "text", ["spark", "data"], k=5)
+        ).df()
+        pd.testing.assert_frame_equal(
+            got.sort_values("id", ignore_index=True)[sorted(got.columns)],
+            want.sort_values("id", ignore_index=True)[sorted(got.columns)],
+            check_dtype=False,
+        )
+        con.close()
