@@ -2220,10 +2220,11 @@ SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: connected components over the simhash near-dup
     pairs (hamming <= 3), every document labeled with its cluster = the
-    smallest doc_id reachable through near-dup edges. Iterative min-label
-    propagation (one shuffle join + map-combined min per round, O(diameter)
-    rounds); the oracle computes the identical closure with a DuckDB
-    recursive CTE — two independent transitive-closure algorithms."""
+    smallest doc_id reachable through near-dup edges. Recursive
+    contraction with per-partition union-find (O(log) levels, one level
+    for partition-sized graphs — operators/dedup.connected_components);
+    the oracle computes the identical closure with a DuckDB recursive
+    CTE — two independent transitive-closure algorithms."""
     from ml_hadoop_experiment_spark.operators.dedup import (
         dedup_clusters,
         simhash_near_dup_pairs,
@@ -3049,7 +3050,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector with its semantic cluster = smallest reachable vec_id.
     Keeping min(vec_id)==vec_id rows then dedups by MEANING rather than
     by bytes — the embedding-space counterpart of dup_clusters, sharing
-    the same min-label-propagation engine and oracle-checked against a
+    the same contraction union-find engine and oracle-checked against a
     DuckDB recursive-CTE closure over an independently computed pair
     set."""
     from ml_hadoop_experiment_spark.operators.dedup import dedup_clusters

@@ -361,11 +361,21 @@ def test_connected_components_long_chain_converges(spark):
     assert len(got) == 41
 
 
-def test_connected_components_nonconvergence_raises(spark):
-    from ml_hadoop_experiment_spark.operators.dedup import connected_components
+def test_connected_components_depth_guard_raises(spark, monkeypatch):
+    """The recursion bound reports non-contraction instead of silently
+    returning partial labels. Forcing the single-task base case OFF
+    (threshold 0) makes a multi-partition chain need >1 contraction
+    level, so max_iterations=1 must raise."""
+    from ml_hadoop_experiment_spark.operators import dedup
 
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(200, 215)], "id_a bigint, id_b bigint"
-    )
-    with pytest.raises(ValueError, match="did not converge"):
-        connected_components(edges, max_iterations=2)
+        [(i, i + 1) for i in range(200, 260)], "id_a bigint, id_b bigint"
+    ).repartition(8)
+    monkeypatch.setattr(dedup, "CC_SINGLE_TASK_EDGES", 0)
+    with pytest.raises(ValueError, match="did not contract"):
+        dedup.connected_components(edges, max_iterations=1)
+    # and with the depth available, the same forced-contraction path
+    # still converges to the right single component
+    out = dedup.connected_components(edges, max_iterations=25).collect()
+    assert set(r["comp"] for r in out) == {200}
+    assert dedup.LAST_CC_STATS["rounds"] >= 2
