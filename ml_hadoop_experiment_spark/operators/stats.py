@@ -704,56 +704,42 @@ def cdf_normalize(
 
     Plan (no per-key window — survives LOW key cardinality at scale,
     where ``Window.partitionBy(key)`` caps parallelism at the number of
-    distinct keys and one task sorts a whole key's rows):
+    distinct keys and one task sorts a whole key's rows): the table
+    moves exactly ONCE through ``plans/prefix.with_keyed_min_rank`` —
+    one range exchange on ``(key..., value)`` at full parallelism, an
+    O(num_partitions) boundary-summary collect, driver-side offset
+    chaining, and a map-only Arrow pass that assigns every row its
+    within-key min-rank and key total. ``(rank-1)/(n-1)`` is then a
+    single double division (bit-identical to both engines'
+    ``percent_rank``) as a pure expression — no join-back. The previous
+    plan (distinct counts → global prefix sum → per-key offset join →
+    join back on ``(key..., value)``) moved the table ~2.5× through 9
+    exchanges; this one moves it once (SCALE.md "cdf_normalize
+    single-exchange re-plan").
 
-    1. distinct ``(key..., value)`` counts — one shuffle keyed by the
-       high-cardinality combination, map-combined;
-    2. one GLOBAL running sum of those counts in ``(key..., value)``
-       order via the two-phase prefix machinery
-       (``plans/prefix.with_global_running_sum``: range exchange at full
-       parallelism + KB-sized partition offsets + map-only cumsum);
-    3. per-key totals and offsets from a map-combined agg (one row per
-       key): within-key rank of a value = global exclusive prefix minus
-       the key's offset, plus one — ``rank()`` semantics exactly, since
-       every tie collapses to one distinct-value row;
-    4. ``(rank-1)/(n-1)`` as a single double division (bit-identical to
-       both engines' ``percent_rank``), joined back on
-       ``(key..., value)`` — another high-cardinality shuffle.
-
-    Ties share a rank by construction, so the output stays a pure
-    function of the value multiset. Single-value keys yield 0.0 (rank 1
-    of 1), matching ``percent_rank``. NULL values count toward ``n`` and
-    occupy the lowest ranks (Spark's nulls-first window order) but get a
-    NULL ``out_col`` themselves; the DuckDB oracle twin diverges on NULL
-    values (NULLS LAST) exactly as the window form did, so the oracle
-    contract stays "non-null value column".
+    Ties share a rank by construction. Single-value keys yield 0.0
+    (rank 1 of 1), matching ``percent_rank``. NULL values count toward
+    ``n`` and occupy the lowest ranks (Spark's nulls-first sort order)
+    but get a NULL ``out_col`` themselves; the DuckDB oracle twin
+    diverges on NULL values (NULLS LAST) exactly as the window form
+    did, so the oracle contract stays "non-null value column".
     """
-    from ..plans.prefix import with_global_running_sum
+    from ..plans.prefix import with_keyed_min_rank
 
-    counts = df.groupBy(*key_cols, value_col).agg(
-        F.count(F.lit(1)).alias("__cnt")
+    ranked = with_keyed_min_rank(
+        df, list(key_cols), value_col, rank_col="__rank", n_col="__n"
     )
-    cum = with_global_running_sum(
-        counts, [*key_cols, value_col], "__cnt", out_col="__cum"
-    )
-    per_key = cum.groupBy(*key_cols).agg(
-        F.sum("__cnt").alias("__n"),
-        F.min(F.col("__cum") - F.col("__cnt")).alias("__off"),
-    )
-    ranked = (
-        cum.join(per_key, on=list(key_cols))
-        .withColumn("__rank", F.col("__cum") - F.col("__cnt") - F.col("__off") + 1)
-        .withColumn(
-            out_col,
-            F.when(
-                F.col("__n") > 1,
-                (F.col("__rank") - 1).cast("double")
-                / (F.col("__n") - 1).cast("double"),
-            ).otherwise(F.lit(0.0)),
+    out = ranked.withColumn(
+        out_col,
+        F.when(F.col(value_col).isNull(), F.lit(None).cast("double"))
+        .when(
+            F.col("__n") > 1,
+            (F.col("__rank") - 1).cast("double")
+            / (F.col("__n") - 1).cast("double"),
         )
-        .select(*key_cols, value_col, out_col)
+        .otherwise(F.lit(0.0)),
     )
-    return df.join(ranked, on=[*key_cols, value_col], how="left")
+    return out.drop("__rank", "__n")
 
 
 def cdf_normalize_sql(

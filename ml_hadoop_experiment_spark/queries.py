@@ -3374,11 +3374,13 @@ def q_cdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction — output is a pure function of the value multiset."""
     from ml_hadoop_experiment_spark.operators.stats import cdf_normalize
 
-    li = _t(spark, sf_dir, "lineitem")
-    out = cdf_normalize(li, ["l_returnflag"], "l_extendedprice")
-    return out.select(
-        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice", "cdf"
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
     )
+    # project BEFORE the operator: mapInPandas is a pruning barrier, so
+    # the caller-side select is what keeps the single range exchange and
+    # the Arrow crossings at 4 columns instead of 16
+    return cdf_normalize(li, ["l_returnflag"], "l_extendedprice")
 
 
 def _sql_cdf_normalize() -> str:

@@ -41,6 +41,114 @@ class TestGlobalRunningSum:
         assert "Exchange SinglePartition" not in plan, plan
 
 
+class TestKeyedMinRank:
+    """Single-exchange per-key rank (plans/prefix.with_keyed_min_rank):
+    the boundary-chaining cases that matter — keys spanning many
+    partitions, tie groups spanning partitions, nulls, and a randomized
+    equivalence check against the per-key window definition."""
+
+    def _window_expect(self, pdf):
+        exp = pdf.copy()
+        exp["rank"] = (
+            pdf.groupby("k")["v"].rank(method="min", na_option="top").astype("int64")
+        )
+        exp["n"] = pdf.groupby("k")["v"].transform("size").astype("int64")
+        return exp
+
+    def test_key_spanning_many_partitions(self, spark):
+        from ml_hadoop_experiment_spark.plans.prefix import with_keyed_min_rank
+
+        # 2 keys x 5000 rows over 16 range partitions: every partition
+        # boundary cuts through a key, most cut through tie groups too
+        rng = np.random.default_rng(7)
+        pdf = pd.DataFrame(
+            {
+                "k": np.repeat(["a", "b"], 5000),
+                "v": rng.integers(0, 50, 10_000),  # heavy ties
+            }
+        )
+        df = spark.createDataFrame(pdf.sample(frac=1.0, random_state=2)).repartition(8)
+        out = (
+            with_keyed_min_rank(df, ["k"], "v", num_partitions=16)
+            .toPandas()
+            .sort_values(["k", "v"], ignore_index=True)
+        )
+        exp = (
+            self._window_expect(pdf)
+            .sort_values(["k", "v"], ignore_index=True)
+        )
+        assert (out["rank"].values == exp["rank"].values).all()
+        assert (out["n"].values == exp["n"].values).all()
+
+    def test_single_giant_tie_group(self, spark):
+        from ml_hadoop_experiment_spark.plans.prefix import with_keyed_min_rank
+
+        # one key, one value: the tie group spans EVERY partition; all
+        # rows must share rank 1 and n = total
+        pdf = pd.DataFrame({"k": ["x"] * 3000, "v": [7] * 3000})
+        df = spark.createDataFrame(pdf).repartition(8)
+        out = with_keyed_min_rank(df, ["k"], "v", num_partitions=12).toPandas()
+        assert (out["rank"] == 1).all()
+        assert (out["n"] == 3000).all()
+
+    def test_nulls_rank_lowest_and_count(self, spark):
+        from ml_hadoop_experiment_spark.plans.prefix import with_keyed_min_rank
+
+        rows = [("a", None), ("a", None), ("a", 1.0), ("a", 2.0), (None, 3.0)]
+        df = spark.createDataFrame(rows, "k string, v double")
+        out = with_keyed_min_rank(df, ["k"], "v", num_partitions=4).collect()
+        a = {(r["v"], r["rank"], r["n"]) for r in out if r["k"] == "a"}
+        # nulls sort first: the two nulls share rank 1, then 3, 4 of n=4
+        assert a == {(None, 1, 4), (1.0, 3, 4), (2.0, 4, 4)}
+        nk = [(r["rank"], r["n"]) for r in out if r["k"] is None]
+        assert nk == [(1, 1)]
+
+    def test_randomized_vs_window_definition(self, spark):
+        from ml_hadoop_experiment_spark.plans.prefix import with_keyed_min_rank
+
+        rng = np.random.default_rng(13)
+        n = 20_000
+        pdf = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c", "d"], n),
+                "v": rng.integers(0, 200, n),
+                "payload": np.arange(n),
+            }
+        )
+        df = spark.createDataFrame(pdf.sample(frac=1.0, random_state=3)).repartition(8)
+        out = (
+            with_keyed_min_rank(df, ["k"], "v", num_partitions=16)
+            .toPandas()
+            .sort_values("payload", ignore_index=True)
+        )
+        exp = self._window_expect(pdf).sort_values("payload", ignore_index=True)
+        assert (out["rank"].values == exp["rank"].values).all()
+        assert (out["n"].values == exp["n"].values).all()
+
+    def test_single_exchange_plan(self, spark):
+        from ml_hadoop_experiment_spark.plans.prefix import with_keyed_min_rank
+
+        pdf = pd.DataFrame({"k": ["a"] * 50 + ["b"] * 50, "v": range(100)})
+        plan = (
+            with_keyed_min_rank(
+                spark.createDataFrame(pdf), ["k"], "v", num_partitions=8
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # ONE range exchange moves the table, pinned in the cached frame
+        # (the plan dump prints it twice: AQE Final + Initial); above the
+        # cache the rank pass is map-only — no hash exchange, no join, no
+        # single-partition window anywhere
+        consumer = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in consumer, plan
+        assert "Exchange" not in consumer, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "Join" not in plan, plan
+
+
 class TestChunkDocuments:
     def test_chunk_boundaries_and_overlap(self, spark):
         words = " ".join(f"w{i}" for i in range(300))
