@@ -3809,33 +3809,99 @@ GROUP BY 1
 
 # Ordering contract: the driver's correctness gate verifies the FIRST 50
 # entries of this dict, in order (CORRECTNESS_r03/r04 each recorded exactly
-# the first 50 keys). The dict is therefore ROTATED each round so that the
-# union of per-round 50-entry windows covers every declared query:
-#   tier 1 - queries with no driver-green row in ANY round yet;
-#   tier 2 - queries newly added this round (need their first row);
-#   tier 3 - queries whose last driver-green row is oldest;
-#   tier 4 - queries verified in the immediately preceding round.
-# All 90+ queries stay green in the local replica of the driver's compare
+# the first 50 keys). The dict is therefore ROTATED each round:
+#   tier 0 - queries whose OPERATOR OR ORACLE CODE CHANGED since their last
+#            driver-green row (the round-5 verdict's rule change: a green
+#            row from before an edit validates nothing — changed code goes
+#            FIRST, before any age-based ordering). Machine-checked: the
+#            stale-green guard (tools/green_state.py, run as
+#            tests/test_green_state.py) compares each query's source
+#            fingerprint against tools/green_state.json and FAILS the suite
+#            if a changed query is not inside the next 50-entry window;
+#   tier 1 - queries with no driver-green row in ANY round yet / new ones;
+#   tier 2 - queries whose last driver-green row is oldest;
+#   tier 3 - queries verified in the immediately preceding round.
+# All 100 queries stay green in the local replica of the driver's compare
 # (tests/test_oracle_parity.py) every round regardless of window position.
-# Rotation history: r05 window = the 9 never-checked + round-5 additions +
-# the 37 last checked r01-r03. See PARITY.md "Correctness rotation".
+# Rotation history: r05 window = first 50 below the r6 window; r06 window =
+# the 12 round-5-modified queries + the 38 others last green in r04.
+# See PARITY.md "Correctness rotation".
 QUERIES = {
-    # tier 1: never driver-checked before round 5
+    # tier 0: operator/oracle code changed since last green row (r05 edits
+    # per VERDICT r5: cdf_normalize re-plan [also re-planned again in r6],
+    # semantic_dedup CC rewrite, decontaminate oracle-SQL change,
+    # corr_matrix/gap_fill/heavy_hitters divergence fixes, prefix-sum
+    # consumers global_rank/pack_bins/tokens_to_ids/snm_pairs/
+    # outlier_stats/trimmed_stats)
+    "cdf_normalize": q_cdf_normalize,
+    "semantic_dedup": q_semantic_dedup,
+    "decontaminate": q_decontaminate,
+    "corr_matrix": q_corr_matrix,
+    "gap_fill": q_gap_fill,
+    "heavy_hitters": q_heavy_hitters,
+    "global_rank": q_global_rank,
+    "pack_bins": q_pack_bins,
+    "tokens_to_ids": q_tokens_to_ids,
+    "snm_pairs": q_snm_pairs,
+    "outlier_stats": q_outlier_stats,
+    "trimmed_stats": q_trimmed_stats,
+    # llm_pipeline: green r05, but its import closure includes plans/prefix.py
+    # which changed in r6 (with_keyed_min_rank) - the guard swaps it in
+    "llm_pipeline": q_llm_pipeline,
+    # tier 2: the other queries last driver-green in r04
+    "sample_stratified": q_sample_stratified,
+    "vocab_build": q_vocab_build,
+    "vocab_merged_keys": q_vocab_merged_keys,
+    "vocab_tokens": q_vocab_tokens,
+    "sparse_coo": q_sparse_coo,
+    "null_default_fill": q_null_default_fill,
+    "events_long": q_events_long,
+    "pricing_summary": q_pricing_summary,
+    "segment_revenue": q_segment_revenue,
+    "region_revenue": q_region_revenue,
+    "returned_customers": q_returned_customers,
+    "promo_share": q_promo_share,
+    "big_orders": q_big_orders,
+    "bootstrap_metrics": q_bootstrap_metrics,
+    "text_stats": q_text_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_normalized": q_dedup_normalized,
+    "weighted_sample": q_weighted_sample,
+    "segment_trend": q_segment_trend,
+    "zorder_stats": q_zorder_stats,
+    "feature_hist": q_feature_hist,
+    "feature_hash": q_feature_hash,
+    "doc_chunks": q_doc_chunks,
+    "trailing_window": q_trailing_window,
+    "kfold_assign": q_kfold_assign,
+    "twap": q_twap,
+    "event_transitions": q_event_transitions,
+    "chi_square": q_chi_square,
+    "profile_table": q_profile_table,
+    "repeated_ngrams": q_repeated_ngrams,
+    "fuzzy_match": q_fuzzy_match,
+    "robust_scale": q_robust_scale,
+    "impute_median": q_impute_median,
+    "lag_features": q_lag_features,
+    "cohort_retention": q_cohort_retention,
+    # tier 3: driver-green in r05 (CORRECTNESS_r05.json) — after the window
+    # (udf_linear_score: unchanged since its r04 green row AND smoke-checked
+    # every round by the driver entry() gate; displaced by llm_pipeline)
+    "udf_linear_score": q_udf_linear_score,
     "dup_clusters": q_dup_clusters,
     "event_pivot": q_event_pivot,
     "funnel_counts": q_funnel_counts,
     "image_dims": q_image_dims,
-    "llm_pipeline": q_llm_pipeline,
     "pii_redaction": q_pii_redaction,
     "series_topk": q_series_topk,
     "session_paths": q_session_paths,
     "streaming_interval_join": q_streaming_interval_join,
-    # tier 2: added in round 5
     "audio_meta": q_audio_meta,
     "frame_sample": q_frame_sample,
     "bm25_topk": q_bm25_topk,
     "salted_join": q_salted_join,
-    # tier 3: last driver-green in r01-r03
     "dup_stats": q_dup_stats,
     "simhash_pairs": q_simhash_pairs,
     "minhash_signatures": q_minhash_signatures,
@@ -3873,57 +3939,6 @@ QUERIES = {
     "quantiles": q_quantiles,
     "quantiles_approx": q_quantiles_approx,
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
-    # tier 4: driver-green in r04 (CORRECTNESS_r04.json)
-    "udf_linear_score": q_udf_linear_score,
-    "sample_stratified": q_sample_stratified,
-    "vocab_build": q_vocab_build,
-    "vocab_merged_keys": q_vocab_merged_keys,
-    "vocab_tokens": q_vocab_tokens,
-    "tokens_to_ids": q_tokens_to_ids,
-    "sparse_coo": q_sparse_coo,
-    "null_default_fill": q_null_default_fill,
-    "events_long": q_events_long,
-    "pricing_summary": q_pricing_summary,
-    "segment_revenue": q_segment_revenue,
-    "region_revenue": q_region_revenue,
-    "returned_customers": q_returned_customers,
-    "promo_share": q_promo_share,
-    "big_orders": q_big_orders,
-    "bootstrap_metrics": q_bootstrap_metrics,
-    "text_stats": q_text_stats,
-    "doc_fingerprint": q_doc_fingerprint,
-    "dedup_exact": q_dedup_exact,
-    "dedup_incremental": q_dedup_incremental,
-    "dedup_normalized": q_dedup_normalized,
-    "decontaminate": q_decontaminate,
-    "weighted_sample": q_weighted_sample,
-    "outlier_stats": q_outlier_stats,
-    "segment_trend": q_segment_trend,
-    "zorder_stats": q_zorder_stats,
-    "heavy_hitters": q_heavy_hitters,
-    "feature_hist": q_feature_hist,
-    "feature_hash": q_feature_hash,
-    "corr_matrix": q_corr_matrix,
-    "semantic_dedup": q_semantic_dedup,
-    "doc_chunks": q_doc_chunks,
-    "pack_bins": q_pack_bins,
-    "global_rank": q_global_rank,
-    "trailing_window": q_trailing_window,
-    "gap_fill": q_gap_fill,
-    "trimmed_stats": q_trimmed_stats,
-    "kfold_assign": q_kfold_assign,
-    "twap": q_twap,
-    "event_transitions": q_event_transitions,
-    "chi_square": q_chi_square,
-    "profile_table": q_profile_table,
-    "repeated_ngrams": q_repeated_ngrams,
-    "fuzzy_match": q_fuzzy_match,
-    "snm_pairs": q_snm_pairs,
-    "robust_scale": q_robust_scale,
-    "impute_median": q_impute_median,
-    "cdf_normalize": q_cdf_normalize,
-    "lag_features": q_lag_features,
-    "cohort_retention": q_cohort_retention,
 }
 
 

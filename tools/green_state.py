@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Machine-checked stale-green guard (PARITY.md "Correctness rotation").
+
+The driver's correctness gate verifies the FIRST 50 entries of
+``queries()`` each round. The round-5 verdict flagged the failure mode
+this tool closes: operator or oracle code changes AFTER a query's last
+driver-green row, and the rotation (ordered by green-row age alone)
+leaves the changed query outside the next window — so its green row
+predates the code it supposedly validates.
+
+Mechanism: every declared query gets a SOURCE FINGERPRINT —
+sha256 over (query function source, its oracle SQL, and the source of
+every engine module transitively imported by any of those, resolved
+from real import statements). ``green_state.json`` records each query's
+fingerprint as of its last driver-green round. The guard (run as
+``tests/test_green_state.py`` and ``python tools/green_state.py
+--check``) fails when a query's CURRENT fingerprint differs from its
+recorded one but the query is NOT scheduled in the first
+``WINDOW_SIZE`` entries of ``QUERIES`` — i.e. "changed since last
+green" MUST imply "verified next round".
+
+After the driver records a new CORRECTNESS_r{N}.json, run
+``python tools/green_state.py --update`` to fold the new green rows
+(and the fingerprints they validated) into the state file.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import importlib
+import inspect
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STATE_PATH = os.path.join(REPO, "tools", "green_state.json")
+PKG = "ml_hadoop_experiment_spark"
+WINDOW_SIZE = 50
+
+_IMPORT_RE = re.compile(
+    r"^\s*(?:from\s+([.\w]+)\s+import|import\s+([.\w]+))", re.MULTILINE
+)
+
+
+def _engine_modules_in_source(src: str, package: str) -> set:
+    """Module names under the engine package imported by ``src``,
+    resolving relative imports against ``package`` (the importing
+    module's package)."""
+    found = set()
+    for m in _IMPORT_RE.finditer(src):
+        name = m.group(1) or m.group(2)
+        if name.startswith("."):
+            dots = len(name) - len(name.lstrip("."))
+            base = package.split(".")
+            base = base[: len(base) - (dots - 1)] if dots > 1 else base
+            rest = name.lstrip(".")
+            name = ".".join(base + ([rest] if rest else []))
+        if name.startswith(PKG):
+            found.add(name)
+    return found
+
+
+def _module_source(modname: str):
+    try:
+        mod = importlib.import_module(modname)
+        path = getattr(mod, "__file__", None)
+        if path and path.endswith(".py"):
+            with open(path, "r") as f:
+                return f.read(), mod.__package__ or modname.rsplit(".", 1)[0]
+    except Exception:
+        pass
+    return None, None
+
+
+def _closure(seed_sources):
+    """BFS the engine-module import closure. ``seed_sources`` is a list
+    of (source_text, package_context) pairs; returns sorted module
+    names reached plus their sources."""
+    seen = {}
+    frontier = []
+    for src, pkg in seed_sources:
+        frontier.extend((m, None) for m in _engine_modules_in_source(src, pkg))
+    while frontier:
+        modname, _ = frontier.pop()
+        if modname in seen:
+            continue
+        src, pkg = _module_source(modname)
+        if src is None:
+            continue
+        seen[modname] = src
+        frontier.extend(
+            (m, None) for m in _engine_modules_in_source(src, pkg)
+        )
+    return seen
+
+
+def fingerprints() -> dict:
+    """{query_name: sha256 hex} over (fn source, oracle SQL, transitive
+    engine-module sources)."""
+    from ml_hadoop_experiment_spark.queries import ORACLE_SQL, QUERIES
+
+    out = {}
+    for name, fn in QUERIES.items():
+        fn_src = inspect.getsource(fn)
+        sql = ORACLE_SQL.get(name, "")
+        mods = _closure([(fn_src, f"{PKG}.queries")])
+        h = hashlib.sha256()
+        h.update(fn_src.encode())
+        h.update(sql.encode())
+        for modname in sorted(mods):
+            h.update(modname.encode())
+            h.update(mods[modname].encode())
+        out[name] = h.hexdigest()
+    return out
+
+
+def _latest_green_rounds() -> dict:
+    """{query: newest round number with a green row} from the
+    CORRECTNESS_r*.json history."""
+    greens = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        for q, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            ):
+                greens[q] = max(greens.get(q, 0), rnd)
+    return greens
+
+
+def load_state() -> dict:
+    if os.path.exists(STATE_PATH):
+        return json.load(open(STATE_PATH))
+    return {}
+
+
+def check(state=None, fps=None):
+    """Return (violations, stale_unscheduled) — queries whose code
+    changed since their recorded green fingerprint (or that have no
+    recorded green at all) yet are NOT in the next driver window."""
+    from ml_hadoop_experiment_spark.queries import QUERIES
+
+    state = state if state is not None else load_state()
+    fps = fps or fingerprints()
+    window = set(list(QUERIES)[:WINDOW_SIZE])
+    violations = []
+    for name, fp in fps.items():
+        rec = state.get(name)
+        changed = rec is None or rec.get("fingerprint") != fp
+        if changed and name not in window:
+            violations.append(name)
+    return sorted(violations)
+
+
+def update():
+    """Fold the newest CORRECTNESS round's green rows into the state:
+    a query green in round N with its CURRENT source is recorded at its
+    current fingerprint. Only run this right after a driver round,
+    before further code edits."""
+    state = load_state()
+    fps = fingerprints()
+    greens = _latest_green_rounds()
+    newest = max(greens.values(), default=0)
+    for name, rnd in greens.items():
+        if rnd == newest and name in fps:
+            state[name] = {"fingerprint": fps[name], "round": rnd}
+    with open(STATE_PATH, "w") as f:
+        json.dump(dict(sorted(state.items())), f, indent=1, sort_keys=True)
+    return state
+
+
+def main() -> int:
+    if "--update" in sys.argv:
+        state = update()
+        print(f"recorded {len(state)} query fingerprints -> {STATE_PATH}")
+        return 0
+    bad = check()
+    if bad:
+        print(
+            "STALE-GREEN VIOLATION: these queries changed since their last "
+            f"driver-green row but are NOT in the next {WINDOW_SIZE}-entry "
+            "driver window (reorder QUERIES in "
+            "ml_hadoop_experiment_spark/queries.py):"
+        )
+        for name in bad:
+            print(f"  - {name}")
+        return 1
+    print("green-state check OK: every changed query is scheduled next round")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, REPO)
+    sys.exit(main())
