@@ -84,11 +84,12 @@ def with_global_running_sum(
     with_pid = ordered.withColumn("__pid", F.spark_partition_id()).persist()
     _CACHED.append(with_pid)
     # one row per partition; collect is bounded by partition count
-    totals = (
-        with_pid.groupBy("__pid")
-        .agg(F.sum(F.col(value_col).cast("long")).alias("t"))
-        .collect()
-    )
+    with _no_aqe(df.sparkSession):
+        totals = (
+            with_pid.groupBy("__pid")
+            .agg(F.sum(F.col(value_col).cast("long")).alias("t"))
+            .collect()
+        )
     sums = {int(r["__pid"]): int(r["t"]) for r in totals}
     offsets = {}
     acc = 0
@@ -130,6 +131,32 @@ def with_global_rank(
         tagged, order_cols, "__one", out_col=out_col, num_partitions=num_partitions
     )
     return out.drop("__one")
+
+
+class _no_aqe:
+    """Temporarily disable AQE for the prefix plans' INTERNAL jobs (the
+    range-exchange sampling pass and the boundary/offsets collect).
+    Their exchanges are fixed REPARTITION_BY_NUM — AQE cannot coalesce,
+    re-balance, or re-plan them, so its per-job stage materialization
+    and re-optimization only add driver latency (measured ~0.25 s over
+    the 3 internal jobs of cdf_normalize at sf0.1). The caller's
+    setting is restored before the returned DataFrame is handed back,
+    so the FINAL action (which may join/aggregate the result) keeps
+    whatever the session configured. Note: the toggle is session-scoped
+    while held — drivers running concurrent queries on other threads
+    briefly share it (bench and the driver gate are serial)."""
+
+    KEY = "spark.sql.adaptive.enabled"
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.KEY, "true")
+        self.spark.conf.set(self.KEY, "false")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self.KEY, self.prev)
 
 
 def _null_norm(x):
@@ -279,12 +306,13 @@ def with_keyed_min_rank(
 
     # the summary pass only reads (pid, key, value): project BEFORE the
     # Arrow crossing so payload columns never leave the JVM cache here
-    summaries = sorted(
-        with_pid.select("__pid", *key_list, value_col)
-        .mapInPandas(summarize, summary_schema)
-        .collect(),
-        key=lambda r: r["__pid"],
-    )
+    with _no_aqe(spark):
+        summaries = sorted(
+            with_pid.select("__pid", *key_list, value_col)
+            .mapInPandas(summarize, summary_schema)
+            .collect(),
+            key=lambda r: r["__pid"],
+        )
 
     # ---- driver: chain boundary offsets + spanning-key totals ---------
     # infos[pid] = [off0, c0, n_first_total, n_last_total]
