@@ -116,6 +116,13 @@ def read_parsed_sequence_tfr(
     Yields ``(context, sequences)`` pairs like
     ``tf.io.parse_single_sequence_example``: scalar-shaped sequence specs
     yield one value per step ([T]); shaped specs a list per step ([T, k]).
+
+    .. warning:: This iterator pulls EVERY record through the driver —
+       kept only for reference fidelity (notebook-scale inspection). For
+       anything beyond a few files, use the distributed reader
+       :func:`ml_hadoop_experiment_spark.sources.tfrecords.read_tfrecords`,
+       which parses files in executors (one task per file group) and
+       returns a DataFrame.
     """
     ctx_specs = to_engine_specs(context_features)
     seq_specs = to_engine_specs(sequence_features)
@@ -133,7 +140,14 @@ def read_parsed_tfr(
     compression_type: str = "GZIP",
 ) -> Iterator[Dict[str, Any]]:
     """Driver-side parsed-record iterator (reference :52-57, minus the
-    tf.data dependency)."""
+    tf.data dependency).
+
+    .. warning:: Every record crosses the driver — reference-fidelity
+       path only. Big inputs belong on the distributed reader
+       :func:`ml_hadoop_experiment_spark.sources.tfrecords.read_tfrecords`
+       (executor-side parse, returns a DataFrame; handles directories,
+       ``_*`` sidecar skipping, and multi-file parallelism).
+    """
     specs = to_engine_specs(features_specs)
     compression = "gzip" if (compression_type or "").upper() == "GZIP" else None
     if isinstance(files, str):

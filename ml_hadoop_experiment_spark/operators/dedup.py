@@ -22,6 +22,7 @@ reproducibility is not needed (see functions/hashing.py docstring).
 from __future__ import annotations
 
 import logging
+import math
 from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, Window
@@ -453,11 +454,15 @@ def simhash(col: Column, bits: int = 16) -> Column:
     floor is ~0.26 s of that total. ``simhash_sql`` keeps the value-
     identical nibble-compare form (the oracle only runs at toy scale).
     """
-    assert 1 <= bits <= 32, "md5 hex prefix provides up to 32 nibble bits"
+    assert 1 <= bits <= 63, "bigint fingerprint holds at most 63 bits"
     tokens = F.split(F.trim(F.lower(col)), r"\s+")
     # hash each token ONCE; per-bit votes then read nibbles of the digest
-    # (md5 is ~16x the cost of a byte compare)
-    hashes = F.transform(tokens, lambda t: F.md5(t))
+    # (md5 is ~16x the cost of a byte compare). md5 hex has 32 nibbles;
+    # wider fingerprints (the 100 TB auto path) read sha2-256's 64.
+    digest = (
+        (lambda t: F.md5(t)) if bits <= 32 else (lambda t: F.sha2(t, 256))
+    )
+    hashes = F.transform(tokens, digest)
     n = F.size(tokens)
     fp = F.lit(0).cast("bigint")
 
@@ -477,9 +482,11 @@ def simhash(col: Column, bits: int = 16) -> Column:
 
 def simhash_sql(expr: str, bits: int = 16) -> str:
     """DuckDB twin of ``simhash`` (list_filter over the same md5 nibbles;
-    digests computed once via list_transform, matching the Spark plan)."""
+    digests computed once via list_transform, matching the Spark plan;
+    sha256 nibbles above 32 bits, like the operator)."""
     toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
-    hashes = f"list_transform({toks}, t -> md5(t))"
+    fn = "md5" if bits <= 32 else "sha256"
+    hashes = f"list_transform({toks}, t -> {fn}(t))"
     terms = []
     for b in range(bits):
         set_count = (
@@ -583,8 +590,41 @@ def simhash_pairs_from_fingerprints(
     )
 
 
+def auto_simhash_bits(n_docs: int, max_hamming: int = 2) -> int:
+    """Fingerprint width that keeps pigeonhole blocking discriminating at
+    ``n_docs`` corpus size.
+
+    Blocking splits the fingerprint into ``max_hamming + 1`` disjoint
+    segments; a segment of width w has 2^w buckets, and expected bucket
+    load is n/2^w for near-random fingerprints. Candidate-join fan-out
+    stays ~linear while the load is O(1), so size each segment to
+    ``w >= log2(n)``: total bits = (max_hamming+1) * ceil(log2(n)),
+    clamped to [16, 63] (bigint fingerprint; 63-bit saturates around
+    n = 2^21 per segment at d=2 — beyond that, cap dominant blocks
+    upstream the way minhash banding caps ``max_bucket_ids``).
+
+    The trade: fingerprint cost is O(n * bits * tokens) (one vote scan
+    per bit) while candidate-join cost is O(sum over buckets of
+    load^2) — the n^2-shaped term blocking exists to control. Measured
+    at sf0.1 (5k docs, d=2): auto=39 bits cuts candidates 6.9x vs
+    16-bit (5.35M -> 0.78M) but costs more wall-clock there because at
+    5k docs the fingerprint term still dominates. The heuristic is the
+    100 TB path: bucket load stays O(1) as n grows, so the quadratic
+    term never takes over (SCALE.md "SimHash auto bit-width A/B" has
+    the full table). Pin a small fixed width only when the corpus is
+    known-small.
+    """
+    n_docs = max(2, int(n_docs))
+    seg = max(6, math.ceil(math.log2(n_docs)))
+    return min(63, max(16, (max_hamming + 1) * seg))
+
+
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits=16,
+    max_hamming: int = 2,
 ) -> DataFrame:
     """Pairs within ``max_hamming`` bit flips of their ``bits``-bit SimHash.
 
@@ -592,7 +632,14 @@ def simhash_near_dup_pairs(
     from pigeonhole blocking on ``max_hamming + 1`` disjoint bit segments
     (exact recall — see ``simhash_pairs_from_fingerprints``), then exact
     popcount verifies. Never materializes all-pairs.
+
+    ``bits="auto"`` sizes the fingerprint to the corpus via
+    ``auto_simhash_bits`` (one count() job — negligible next to the
+    candidate join it right-sizes). Fixed widths stay available for
+    reproducibility-pinned pipelines (the declared oracle query pins 32).
     """
+    if bits == "auto":
+        bits = auto_simhash_bits(df.count(), max_hamming)
     fp = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("fp"))
     return simhash_pairs_from_fingerprints(fp, bits=bits, max_hamming=max_hamming)
 

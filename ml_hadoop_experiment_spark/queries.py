@@ -3823,74 +3823,79 @@ GROUP BY 1
 #   tier 3 - queries verified in the immediately preceding round.
 # All 100 queries stay green in the local replica of the driver's compare
 # (tests/test_oracle_parity.py) every round regardless of window position.
-# Rotation history: r05 window = first 50 below the r6 window; r06 window =
-# the 12 round-5-modified queries + the 38 others last green in r04.
+# Rotation history: r06 window = the 39 changed-since-green queries (the
+# verdict's 12, the r5 shared-module edits the fingerprint sweep surfaced,
+# and the r6 prefix/dedup/stats consumers) + 11 oldest unchanged r04-green.
 # See PARITY.md "Correctness rotation".
 QUERIES = {
-    # tier 0: operator/oracle code changed since last green row (r05 edits
-    # per VERDICT r5: cdf_normalize re-plan [also re-planned again in r6],
-    # semantic_dedup CC rewrite, decontaminate oracle-SQL change,
-    # corr_matrix/gap_fill/heavy_hitters divergence fixes, prefix-sum
-    # consumers global_rank/pack_bins/tokens_to_ids/snm_pairs/
-    # outlier_stats/trimmed_stats)
+    # tier 0: operator/oracle/import-closure changed since last driver-
+    # green row (tools/green_state.py - includes the r5-verdict 12, the
+    # r5 shared-module edits, and the r6 prefix.py/dedup.py/stats.py
+    # consumers). All must re-verify in the r6 window.
+    "bm25_topk": q_bm25_topk,
     "cdf_normalize": q_cdf_normalize,
-    "semantic_dedup": q_semantic_dedup,
-    "decontaminate": q_decontaminate,
+    "chi_square": q_chi_square,
     "corr_matrix": q_corr_matrix,
-    "gap_fill": q_gap_fill,
-    "heavy_hitters": q_heavy_hitters,
-    "global_rank": q_global_rank,
-    "pack_bins": q_pack_bins,
-    "tokens_to_ids": q_tokens_to_ids,
-    "snm_pairs": q_snm_pairs,
-    "outlier_stats": q_outlier_stats,
-    "trimmed_stats": q_trimmed_stats,
-    # llm_pipeline: green r05, but its import closure includes plans/prefix.py
-    # which changed in r6 (with_keyed_min_rank) - the guard swaps it in
-    "llm_pipeline": q_llm_pipeline,
-    # tier 2: the other queries last driver-green in r04
-    "sample_stratified": q_sample_stratified,
-    "vocab_build": q_vocab_build,
-    "vocab_merged_keys": q_vocab_merged_keys,
-    "vocab_tokens": q_vocab_tokens,
-    "sparse_coo": q_sparse_coo,
-    "null_default_fill": q_null_default_fill,
-    "events_long": q_events_long,
-    "pricing_summary": q_pricing_summary,
-    "segment_revenue": q_segment_revenue,
-    "region_revenue": q_region_revenue,
-    "returned_customers": q_returned_customers,
-    "promo_share": q_promo_share,
-    "big_orders": q_big_orders,
-    "bootstrap_metrics": q_bootstrap_metrics,
-    "text_stats": q_text_stats,
-    "doc_fingerprint": q_doc_fingerprint,
+    "decontaminate": q_decontaminate,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "dedup_normalized": q_dedup_normalized,
-    "weighted_sample": q_weighted_sample,
-    "segment_trend": q_segment_trend,
-    "zorder_stats": q_zorder_stats,
-    "feature_hist": q_feature_hist,
-    "feature_hash": q_feature_hash,
     "doc_chunks": q_doc_chunks,
-    "trailing_window": q_trailing_window,
-    "kfold_assign": q_kfold_assign,
-    "twap": q_twap,
-    "event_transitions": q_event_transitions,
-    "chi_square": q_chi_square,
+    "doc_pipeline": q_doc_pipeline,
+    "dup_clusters": q_dup_clusters,
+    "dup_stats": q_dup_stats,
+    "feature_hist": q_feature_hist,
+    "fuzzy_match": q_fuzzy_match,
+    "gap_fill": q_gap_fill,
+    "global_rank": q_global_rank,
+    "heavy_hitters": q_heavy_hitters,
+    "impute_median": q_impute_median,
+    "llm_pipeline": q_llm_pipeline,
+    "minhash_signatures": q_minhash_signatures,
+    "near_dup_pairs": q_near_dup_pairs,
+    "outlier_stats": q_outlier_stats,
+    "pack_bins": q_pack_bins,
     "profile_table": q_profile_table,
     "repeated_ngrams": q_repeated_ngrams,
-    "fuzzy_match": q_fuzzy_match,
     "robust_scale": q_robust_scale,
-    "impute_median": q_impute_median,
-    "lag_features": q_lag_features,
+    "segment_trend": q_segment_trend,
+    "semantic_dedup": q_semantic_dedup,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "snm_pairs": q_snm_pairs,
+    "tfidf_topk": q_tfidf_topk,
+    "tokens_to_ids": q_tokens_to_ids,
+    "trailing_window": q_trailing_window,
+    "trimmed_stats": q_trimmed_stats,
+    "twap": q_twap,
+    "vocab_build": q_vocab_build,
+    "vocab_merged_keys": q_vocab_merged_keys,
+    "vocab_tokens": q_vocab_tokens,
+    # tier 2: unchanged, oldest green rows (r04) - fill the window to 50
+    "big_orders": q_big_orders,
+    "bootstrap_metrics": q_bootstrap_metrics,
     "cohort_retention": q_cohort_retention,
-    # tier 3: driver-green in r05 (CORRECTNESS_r05.json) — after the window
-    # (udf_linear_score: unchanged since its r04 green row AND smoke-checked
-    # every round by the driver entry() gate; displaced by llm_pipeline)
+    "doc_fingerprint": q_doc_fingerprint,
+    "event_transitions": q_event_transitions,
+    "events_long": q_events_long,
+    "feature_hash": q_feature_hash,
+    "kfold_assign": q_kfold_assign,
+    "lag_features": q_lag_features,
+    "null_default_fill": q_null_default_fill,
+    "pricing_summary": q_pricing_summary,
+    # ---- window boundary (first 50 above) ----
+    # unchanged r04-green overflow: first in line for the r7 window
+    "promo_share": q_promo_share,
+    "region_revenue": q_region_revenue,
+    "returned_customers": q_returned_customers,
+    "sample_stratified": q_sample_stratified,
+    "segment_revenue": q_segment_revenue,
+    "sparse_coo": q_sparse_coo,
+    "text_stats": q_text_stats,
     "udf_linear_score": q_udf_linear_score,
-    "dup_clusters": q_dup_clusters,
+    "weighted_sample": q_weighted_sample,
+    "zorder_stats": q_zorder_stats,
+    # tier 3: unchanged, driver-green in r05
     "event_pivot": q_event_pivot,
     "funnel_counts": q_funnel_counts,
     "image_dims": q_image_dims,
@@ -3900,13 +3905,7 @@ QUERIES = {
     "streaming_interval_join": q_streaming_interval_join,
     "audio_meta": q_audio_meta,
     "frame_sample": q_frame_sample,
-    "bm25_topk": q_bm25_topk,
     "salted_join": q_salted_join,
-    "dup_stats": q_dup_stats,
-    "simhash_pairs": q_simhash_pairs,
-    "minhash_signatures": q_minhash_signatures,
-    "near_dup_pairs": q_near_dup_pairs,
-    "simhash": q_simhash,
     "ann_topk": q_ann_topk,
     "ann_topk_batch": q_ann_topk_batch,
     "lsh_buckets": q_lsh_buckets,
@@ -3929,8 +3928,6 @@ QUERIES = {
     "sample_by_class": q_sample_by_class,
     "cap_per_key": q_cap_per_key,
     "train_split": q_train_split,
-    "doc_pipeline": q_doc_pipeline,
-    "tfidf_topk": q_tfidf_topk,
     "repetition_stats": q_repetition_stats,
     "window_topk": q_window_topk,
     "rollup_counts": q_rollup_counts,

@@ -227,6 +227,64 @@ def test_simhash_near_dup_pairs_recall_real_texts(spark):
         assert got == truth
 
 
+def test_auto_simhash_bits_sizing():
+    from ml_hadoop_experiment_spark.operators.dedup import auto_simhash_bits
+
+    # floor: tiny corpora keep the 16-bit minimum
+    assert auto_simhash_bits(10, max_hamming=2) == 18
+    assert auto_simhash_bits(2, max_hamming=1) == 16
+    # sf0.1 documents (5k docs, d=2): 13-bit segments -> 39 bits
+    assert auto_simhash_bits(5000, max_hamming=2) == 39
+    # web-scale saturates at the bigint cap
+    assert auto_simhash_bits(10**10, max_hamming=2) == 63
+    # monotone in n and d
+    assert auto_simhash_bits(10**6, 2) >= auto_simhash_bits(10**3, 2)
+    assert auto_simhash_bits(10**6, 3) >= auto_simhash_bits(10**6, 2)
+
+
+def test_simhash_wide_bits_recall(spark):
+    """>32-bit fingerprints (sha256 digest path) keep exact pigeonhole
+    recall, and bits='auto' resolves from the corpus count."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    fp = {r["doc_id"]: r["f"] for r in
+          docs.select("doc_id", simhash(F.col("text"), 48).alias("f")).collect()}
+    assert any(v > (1 << 32) for v in fp.values())  # genuinely wide
+    ids = sorted(fp)
+    truth = {(a, b, bin(fp[a] ^ fp[b]).count("1"))
+             for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(fp[a] ^ fp[b]).count("1") <= 3}
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+           simhash_near_dup_pairs(docs, "doc_id", "text",
+                                  bits=48, max_hamming=3).collect()}
+    assert got == truth
+    # auto mode runs end-to-end (80 docs -> 3*7=21 bits at d=2)
+    auto = simhash_near_dup_pairs(docs, "doc_id", "text",
+                                  bits="auto", max_hamming=2)
+    assert auto.columns == ["id_a", "id_b", "hamming"]
+    auto.count()  # executes
+
+
+def test_simhash_wide_sql_twin(spark):
+    """The sha256 digest path agrees across engines too."""
+    import duckdb
+
+    from ml_hadoop_experiment_spark.operators.dedup import simhash_sql
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(15)
+    got = {r["doc_id"]: r["f"] for r in
+           df.select("doc_id", simhash(F.col("text"), 40).alias("f")).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    duck = dict(con.execute(
+        f"SELECT doc_id, {simhash_sql('text', 40)} FROM documents LIMIT 15"
+    ).fetchall())
+    for k, v in got.items():
+        assert duck[k] == v
+
+
 def test_simhash_sql_twin(spark):
     """simhash() and simhash_sql() agree (Spark evaluates both)."""
     import duckdb

@@ -132,6 +132,35 @@ def test_spark_sink_source_roundtrip(spark, tmp_path):
     assert src == dst
 
 
+def test_distributed_reader_multi_file(spark, tmp_path):
+    """The path big inputs are steered to (compat read_parsed_tfr
+    docstrings): N independent files parse as N executor tasks, `_*`
+    sidecars are skipped, and no record crosses the driver."""
+    from ml_hadoop_experiment_spark.sources.tfrecords import to_example_bytes
+
+    specs = {"x": FixedLenFeature((), "int64", default_value=0)}
+    out = tmp_path / "many"
+    out.mkdir()
+    for i in range(5):
+        recs = [
+            to_example_bytes({"x": v}, specs)
+            for v in range(i * 100, (i + 1) * 100)
+        ]
+        write_tfrecord_file(str(out / f"part-{i:05d}"), recs, compression="gzip")
+    # driver/launcher sidecars must be ignored
+    (out / "_SUCCESS").write_bytes(b"")
+    (out / "_metadata").write_bytes(b"junk")
+
+    back = read_tfrecords(spark, str(out), specs)
+    # one input partition per file -> per-file task parallelism
+    assert back.rdd.getNumPartitions() == 5
+    vals = sorted(r["x"] for r in back.collect())
+    assert vals == list(range(500))
+    # parsing happens inside mapInPandas on executors
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
 def test_events_reader(tmp_path):
     """Build a synthetic event file with the public wire format and read it
     back (reference golden shape: tests/tensorflow/test_events.py:26-43)."""

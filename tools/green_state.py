@@ -97,19 +97,62 @@ def _closure(seed_sources):
     return seen
 
 
+def _referenced_engine_deps(fn):
+    """(extra_module_names, helper_sources) for globals the query
+    function references that were imported at MODULE level — a
+    function-body-import scan alone misses ``simhash(...)`` when the
+    name came from queries.py's top-level imports. Objects defined in
+    queries.py itself (helpers like ``_t``) contribute their own source
+    rather than the whole module (which would couple every query to
+    every other)."""
+    import types
+
+    mods, helper_srcs = set(), []
+    for name in fn.__code__.co_names:
+        obj = fn.__globals__.get(name)
+        if obj is None:
+            continue
+        if isinstance(obj, types.ModuleType):
+            if obj.__name__.startswith(PKG):
+                mods.add(obj.__name__)
+            continue
+        owner = getattr(obj, "__module__", None)
+        if not owner or not owner.startswith(PKG):
+            continue
+        if owner == f"{PKG}.queries":
+            try:
+                helper_srcs.append(inspect.getsource(obj))
+            except (TypeError, OSError):
+                pass
+        else:
+            mods.add(owner)
+    return mods, helper_srcs
+
+
 def fingerprints() -> dict:
-    """{query_name: sha256 hex} over (fn source, oracle SQL, transitive
-    engine-module sources)."""
+    """{query_name: sha256 hex} over (fn source, oracle SQL, referenced
+    queries.py helper sources, transitive engine-module sources —
+    seeded from both function-body imports and module-level imports the
+    function actually references)."""
     from ml_hadoop_experiment_spark.queries import ORACLE_SQL, QUERIES
 
     out = {}
     for name, fn in QUERIES.items():
         fn_src = inspect.getsource(fn)
         sql = ORACLE_SQL.get(name, "")
-        mods = _closure([(fn_src, f"{PKG}.queries")])
+        ref_mods, helper_srcs = _referenced_engine_deps(fn)
+        seeds = [(fn_src, f"{PKG}.queries")]
+        seeds += [(src, f"{PKG}.queries") for src in helper_srcs]
+        # seed the BFS with the module-level-imported deps too
+        seeds += [
+            (f"from {m} import _", f"{PKG}.queries") for m in sorted(ref_mods)
+        ]
+        mods = _closure(seeds)
         h = hashlib.sha256()
         h.update(fn_src.encode())
         h.update(sql.encode())
+        for src in helper_srcs:
+            h.update(src.encode())
         for modname in sorted(mods):
             h.update(modname.encode())
             h.update(mods[modname].encode())
