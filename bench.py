@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "pricing_summary",
     "segment_revenue",
     # extensions
+    "mixture_sample",
+    "token_budget",
+    "rare_tokens",
     "text_stats",
     "doc_fingerprint",
     "tfidf_topk",

@@ -246,3 +246,77 @@ GROUP BY id
 ORDER BY bm25 DESC, id ASC
 LIMIT {k}
 """
+
+
+def rare_token_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_count: int = 2,
+    out_col: str = "rare_ratio",
+) -> DataFrame:
+    """Per-document fraction of tokens whose CORPUS frequency is at most
+    ``max_count`` — the exact-arithmetic cousin of perplexity filtering:
+    gibberish, OCR noise, and boilerplate-with-IDs score high because
+    they are built from tokens the rest of the corpus never repeats.
+    (A log-space unigram cross-entropy would hit cross-engine float-sum
+    divergence; the rare-token ratio keeps the same discriminative
+    signal in integers and one final correctly-rounded division.)
+
+    Plan: explode tokens once; corpus token counts are a map-combined
+    agg on the exploded stream (shuffle carries distinct tokens, not
+    text); the count table joins back to the exploded stream keyed on
+    token (AQE broadcasts it when small, skew-join handles the head
+    tokens otherwise) and a per-doc agg produces the ratio. The raw
+    document text is never shuffled.
+
+    Determinism: counts and per-doc tallies are exact integers; the
+    ratio is ONE double division of exact integers — bit-identical in
+    any engine, any partitioning.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__tok"),
+    )
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    joined = toks.join(counts, on="__tok")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("__cnt") <= F.lit(int(max_count)), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_rare"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_rare",
+        (F.col("n_rare").cast("double") / F.col("n_tokens").cast("double")).alias(
+            out_col
+        ),
+    )
+
+
+def rare_token_ratio_sql(
+    relation: str,
+    id_expr: str,
+    text_expr: str,
+    max_count: int = 2,
+    out_col: str = "rare_ratio",
+) -> str:
+    """DuckDB twin of ``rare_token_ratio``."""
+    return f"""
+WITH toks AS (
+  SELECT {id_expr} AS id, unnest(regexp_split_to_array(trim(lower({text_expr})), '\\s+')) AS tok
+  FROM {relation}
+),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1)
+SELECT t.id AS {id_expr},
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN c.c <= {int(max_count)} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(sum(CASE WHEN c.c <= {int(max_count)} THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS {out_col}
+FROM toks t JOIN cnt c ON t.tok = c.tok
+GROUP BY 1
+"""

@@ -237,3 +237,73 @@ __all__: List[str] = [
     "normalize_text_sql",
     "dedup_normalized",
 ]
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int,
+    priority_col: str = None,
+    out_cumsum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Fill a training-token budget with the highest-priority documents:
+    order docs by ``priority_col`` DESC (ties broken by ``id_col``),
+    accumulate whitespace token counts, and keep every doc whose
+    EXCLUSIVE running total is under ``budget_tokens`` — i.e. the doc
+    that crosses the budget line is the last one in. The fundamental
+    "we can afford N tokens this run" curation step.
+
+    No single-partition window: the running total comes from the
+    two-phase global prefix sum (``plans/prefix.with_global_running_sum``
+    — range exchange at full parallelism + KB-sized offsets), so the
+    plan survives any corpus size. With ``priority_col=None`` docs fill
+    in ``id_col`` order (stream order). Output keeps the inclusive
+    cumulative count in ``out_cumsum_col`` for auditability.
+
+    Determinism: token counts are exact integers, the prefix sum adds
+    int64 exactly, and the ordering key is total (priority, id) — the
+    kept set is a pure function of the input, bit-identical to the
+    oracle's ``SUM() OVER (ORDER BY ...)`` form.
+    """
+    from ml_hadoop_experiment_spark.plans.prefix import with_global_running_sum
+
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    tagged = df.withColumn("__nt", n_tokens)
+    if priority_col is not None:
+        # ascending range sort: negate the priority for DESC semantics
+        tagged = tagged.withColumn("__ord", -F.col(priority_col).cast("double"))
+    else:
+        tagged = tagged.withColumn("__ord", F.lit(0.0))
+    cum = with_global_running_sum(tagged, ["__ord", id_col], "__nt", out_col=out_cumsum_col)
+    kept = cum.where(
+        (F.col(out_cumsum_col) - F.col("__nt")) < F.lit(int(budget_tokens))
+    )
+    return kept.drop("__nt", "__ord")
+
+
+def token_budget_select_sql(
+    relation: str,
+    id_expr: str,
+    text_expr: str,
+    budget_tokens: int,
+    priority_expr: str = None,
+    out_cumsum_col: str = "cum_tokens",
+) -> str:
+    """DuckDB twin of ``token_budget_select`` — plain window cumsum the
+    two-phase plan must equal."""
+    ordk = (
+        f"-CAST({priority_expr} AS DOUBLE), {id_expr}"
+        if priority_expr is not None
+        else f"0.0, {id_expr}"
+    )
+    nt = f"len(regexp_split_to_array(trim({text_expr}), '\\s+'))"
+    return f"""
+SELECT * EXCLUDE (__nt) FROM (
+  SELECT t.*, {nt} AS __nt,
+         CAST(sum({nt}) OVER (ORDER BY {ordk}
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS {out_cumsum_col}
+  FROM {relation} t
+)
+WHERE ({out_cumsum_col} - __nt) < {int(budget_tokens)}
+"""

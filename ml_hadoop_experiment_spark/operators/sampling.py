@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ml_hadoop_experiment_spark.functions.hashing import (
+    portable_int_hash,
     portable_unit_hash,
     portable_unit_hash_sql,
     spark_unit_hash,
@@ -468,3 +469,108 @@ def assign_fold_stratified(
     return df.withColumn(
         fold_col, ((F.row_number().over(w) - F.lit(1)) % F.lit(int(k))).cast("int")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    seed: int = 0,
+    weight_col: str = "mix_weight",
+) -> DataFrame:
+    """Temperature-based multi-source mixture sampling — the standard
+    LLM data-mixing step (multilingual / multi-corpus training mixes
+    resample sources by ``n_s^alpha`` so small sources are up-weighted
+    relative to their raw share; alpha=1 keeps natural proportions,
+    alpha->0 approaches uniform-over-sources).
+
+    Draws ~``target_rows`` rows: source s gets expected
+    ``target_rows * n_s^alpha / sum_t n_t^alpha`` rows via deterministic
+    per-row hash thresholding (same row set every run, any cluster
+    size). ``weight_col`` carries the inverse keep-rate so weighted
+    estimates stay unbiased. A source whose quota meets or exceeds its
+    size is kept whole with weight 1.
+
+    Plan: one KB-sized per-source count agg broadcast back; the corpus
+    itself is touched by a pure map (hash + compare) — zero data
+    shuffle, scales to any corpus.
+
+    Cross-engine determinism (the oracle twin must agree bit-for-bit):
+    ``sqrt`` (the alpha=0.5 default) is IEEE-correctly-rounded in both
+    engines, per-source weights round to decimal(28,12) and sum
+    EXACTLY, the keep rate is then two multiplies and one divide in
+    double with pinned association, and the hash threshold is an exact
+    integer ``floor(rate * 2^32)`` compared against the integer portable
+    hash. Non-sqrt alphas go through ``pow`` whose last ulp is NOT
+    pinned by IEEE — fine in production, avoid in oracle-checked paths.
+    """
+    if alpha == 0.5:
+        w_expr = F.round(F.sqrt(F.count(F.lit(1))), 12)
+    else:
+        w_expr = F.round(F.pow(F.count(F.lit(1)), F.lit(alpha)), 12)
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        w_expr.cast("decimal(28,12)").alias("__w"),
+    )
+    total_w = counts.agg(F.sum("__w").alias("__tw"))  # exact decimal sum
+    rates = counts.crossJoin(F.broadcast(total_w)).select(
+        source_col,
+        # pinned association: (K * w) / (W * n) — three IEEE double ops
+        (
+            (F.lit(float(target_rows)) * F.col("__w").cast("double"))
+            / (F.col("__tw").cast("double") * F.col("__n").cast("double"))
+        ).alias("__rate"),
+    )
+    rates = rates.select(
+        source_col,
+        F.least(F.col("__rate"), F.lit(1.0)).alias("__rate"),
+        F.floor(F.col("__rate") * F.lit(4294967296.0)).cast("bigint").alias("__thr"),
+    )
+    out = (
+        df.join(F.broadcast(rates), on=source_col, how="inner")
+        .where(
+            (F.col("__thr") >= F.lit(4294967296))
+            | (portable_int_hash(F.col(key_col), salt=seed) < F.col("__thr"))
+        )
+        .withColumn(weight_col, F.lit(1.0) / F.col("__rate"))
+    )
+    return out.drop("__rate", "__thr")
+
+
+def mixture_sample_sql(
+    relation: str,
+    source_expr: str,
+    key_expr: str,
+    target_rows: int,
+    seed: int = 0,
+    weight_col: str = "mix_weight",
+) -> str:
+    """DuckDB twin of ``mixture_sample`` (alpha=0.5 only — the
+    correctly-rounded sqrt path). Emits all source columns plus
+    ``weight_col``."""
+    from ml_hadoop_experiment_spark.functions.hashing import (
+        portable_int_hash_sql,
+    )
+
+    return f"""
+WITH cnt AS (
+  SELECT {source_expr} AS s, count(*) AS n,
+         CAST(round(sqrt(count(*)), 12) AS DECIMAL(28,12)) AS w
+  FROM {relation} GROUP BY 1
+),
+tot AS (SELECT sum(w) AS tw FROM cnt),
+rates AS (
+  SELECT s,
+         least((CAST({target_rows} AS DOUBLE) * CAST(w AS DOUBLE))
+               / (CAST(tw AS DOUBLE) * CAST(n AS DOUBLE)), 1.0) AS rate,
+         CAST(floor(least((CAST({target_rows} AS DOUBLE) * CAST(w AS DOUBLE))
+               / (CAST(tw AS DOUBLE) * CAST(n AS DOUBLE)), 1.0)
+               * 4294967296.0) AS BIGINT) AS thr
+  FROM cnt, tot
+)
+SELECT t.*, 1.0 / r.rate AS {weight_col}
+FROM {relation} t JOIN rates r ON t.{source_expr} = r.s
+WHERE r.thr >= 4294967296 OR {portable_int_hash_sql(f"t.{key_expr}", salt=seed)} < r.thr
+"""

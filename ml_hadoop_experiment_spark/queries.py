@@ -3807,6 +3807,93 @@ GROUP BY 1
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multi-source data mixing (alpha=0.5): each
+    source keeps a deterministic hash-sampled share sized to
+    sqrt(n_source), the canonical multilingual/multi-corpus resampling
+    step. Per-source stats are a KB agg broadcast back; the corpus is
+    touched by a pure map — zero data shuffle. Cross-engine exact by
+    construction: correctly-rounded sqrt -> decimal(28,12) exact sum ->
+    pinned-association double rate -> integer hash threshold."""
+    from ml_hadoop_experiment_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, "source", "doc_id", target_rows=200, alpha=0.5, seed=7
+    )
+    return out.select("doc_id", "source", "lang", "n_chars", "mix_weight")
+
+
+def _sql_mixture_sample() -> str:
+    from ml_hadoop_experiment_spark.operators.sampling import mixture_sample_sql
+
+    inner = mixture_sample_sql("documents", "source", "doc_id", 200, seed=7)
+    return (
+        "SELECT doc_id, source, lang, n_chars, mix_weight FROM (" + inner + ")"
+    )
+
+
+SQL_MIXTURE_SAMPLE = _sql_mixture_sample()
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: fill a 20k-token training budget with the
+    highest-quality documents first (exact whitespace token counts,
+    quality-desc order, doc_id tiebreak). The running total rides the
+    two-phase global prefix sum — no single-partition window — and the
+    doc crossing the budget line is the last one in."""
+    from ml_hadoop_experiment_spark.functions.text import quality_score
+    from ml_hadoop_experiment_spark.operators.curation import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.withColumn("q", quality_score(F.col("text")))
+    kept = token_budget_select(
+        scored, "doc_id", "text", budget_tokens=20_000, priority_col="q"
+    )
+    return kept.select("doc_id", "q", "cum_tokens")
+
+
+def _sql_token_budget() -> str:
+    from ml_hadoop_experiment_spark.functions.text import quality_score_sql
+    from ml_hadoop_experiment_spark.operators.curation import (
+        token_budget_select_sql,
+    )
+
+    inner_rel = (
+        "(SELECT doc_id, text, "
+        + quality_score_sql("text")
+        + " AS q FROM documents)"
+    )
+    sel = token_budget_select_sql(
+        inner_rel, "doc_id", "text", 20_000, priority_expr="q"
+    )
+    return "SELECT doc_id, q, cum_tokens FROM (" + sel + ")"
+
+
+SQL_TOKEN_BUDGET = _sql_token_budget()
+
+
+def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token-ratio quality signal: per-doc fraction of tokens with
+    corpus frequency <= 2 — the exact-integer stand-in for perplexity
+    filtering (log-space unigram scores would hit cross-engine float-sum
+    divergence). Explode once, count tokens (map-combined), join counts
+    back on token, one per-doc agg; text never shuffles."""
+    from ml_hadoop_experiment_spark.operators.corpus import rare_token_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return rare_token_ratio(docs, "doc_id", "text", max_count=2)
+
+
+def _sql_rare_tokens() -> str:
+    from ml_hadoop_experiment_spark.operators.corpus import rare_token_ratio_sql
+
+    return rare_token_ratio_sql("documents", "doc_id", "text", max_count=2)
+
+
+SQL_RARE_TOKENS = _sql_rare_tokens()
+
+
 # Ordering contract: the driver's correctness gate verifies the FIRST 50
 # entries of this dict, in order (CORRECTNESS_r03/r04 each recorded exactly
 # the first 50 keys). The dict is therefore ROTATED each round:
@@ -3829,10 +3916,11 @@ GROUP BY 1
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # tier 0: operator/oracle/import-closure changed since last driver-
-    # green row (tools/green_state.py - includes the r5-verdict 12, the
-    # r5 shared-module edits, and the r6 prefix.py/dedup.py/stats.py
-    # consumers). All must re-verify in the r6 window.
+    # green row (machine-checked by tools/green_state.py). Round-6 edits:
+    # prefix.py re-plan, dedup.py auto-bits, sampling.py mixture_sample,
+    # plus the r5-era changes the fingerprint sweep surfaced.
     "bm25_topk": q_bm25_topk,
+    "cap_per_key": q_cap_per_key,
     "cdf_normalize": q_cdf_normalize,
     "chi_square": q_chi_square,
     "corr_matrix": q_corr_matrix,
@@ -3850,6 +3938,7 @@ QUERIES = {
     "global_rank": q_global_rank,
     "heavy_hitters": q_heavy_hitters,
     "impute_median": q_impute_median,
+    "kfold_assign": q_kfold_assign,
     "llm_pipeline": q_llm_pipeline,
     "minhash_signatures": q_minhash_signatures,
     "near_dup_pairs": q_near_dup_pairs,
@@ -3858,6 +3947,8 @@ QUERIES = {
     "profile_table": q_profile_table,
     "repeated_ngrams": q_repeated_ngrams,
     "robust_scale": q_robust_scale,
+    "sample_by_class": q_sample_by_class,
+    "sample_stratified": q_sample_stratified,
     "segment_trend": q_segment_trend,
     "semantic_dedup": q_semantic_dedup,
     "simhash": q_simhash,
@@ -3866,34 +3957,37 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "tokens_to_ids": q_tokens_to_ids,
     "trailing_window": q_trailing_window,
+    "train_split": q_train_split,
     "trimmed_stats": q_trimmed_stats,
     "twap": q_twap,
     "vocab_build": q_vocab_build,
     "vocab_merged_keys": q_vocab_merged_keys,
     "vocab_tokens": q_vocab_tokens,
+    "weighted_sample": q_weighted_sample,
+    # tier 1: NEW queries (round 6) - need their first green row
+    "mixture_sample": q_mixture_sample,
+    "rare_tokens": q_rare_tokens,
+    "token_budget": q_token_budget,
     # tier 2: unchanged, oldest green rows (r04) - fill the window to 50
     "big_orders": q_big_orders,
     "bootstrap_metrics": q_bootstrap_metrics,
+    # ---- window boundary (first 50 above) ----
+    # unchanged r04-green overflow: first in line for the r7 window
     "cohort_retention": q_cohort_retention,
     "doc_fingerprint": q_doc_fingerprint,
     "event_transitions": q_event_transitions,
     "events_long": q_events_long,
     "feature_hash": q_feature_hash,
-    "kfold_assign": q_kfold_assign,
     "lag_features": q_lag_features,
     "null_default_fill": q_null_default_fill,
     "pricing_summary": q_pricing_summary,
-    # ---- window boundary (first 50 above) ----
-    # unchanged r04-green overflow: first in line for the r7 window
     "promo_share": q_promo_share,
     "region_revenue": q_region_revenue,
     "returned_customers": q_returned_customers,
-    "sample_stratified": q_sample_stratified,
     "segment_revenue": q_segment_revenue,
     "sparse_coo": q_sparse_coo,
     "text_stats": q_text_stats,
     "udf_linear_score": q_udf_linear_score,
-    "weighted_sample": q_weighted_sample,
     "zorder_stats": q_zorder_stats,
     # tier 3: unchanged, driver-green in r05
     "event_pivot": q_event_pivot,
@@ -3925,9 +4019,6 @@ QUERIES = {
     "events_asof": q_events_asof,
     "events_asof_fwd": q_events_asof_fwd,
     "json_props": q_json_props,
-    "sample_by_class": q_sample_by_class,
-    "cap_per_key": q_cap_per_key,
-    "train_split": q_train_split,
     "repetition_stats": q_repetition_stats,
     "window_topk": q_window_topk,
     "rollup_counts": q_rollup_counts,
@@ -3945,6 +4036,9 @@ QUERIES = {
 NO_ORACLE: set = set()
 
 ORACLE_SQL = {
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "token_budget": SQL_TOKEN_BUDGET,
+    "rare_tokens": SQL_RARE_TOKENS,
     "udf_linear_score": SQL_UDF_LINEAR_SCORE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "vocab_build": SQL_VOCAB_BUILD,

@@ -116,3 +116,34 @@ class TestBm25TopkDocs:
             check_dtype=False,
         )
         con.close()
+
+
+class TestRareTokenRatio:
+    def test_ratio_values(self, spark):
+        from ml_hadoop_experiment_spark.operators.corpus import rare_token_ratio
+
+        rows = [
+            (1, "common common common xqzt"),
+            (2, "common common"),
+            (3, "wvut common"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               rare_token_ratio(df, "doc_id", "text", max_count=1).collect()}
+        # 'common' count 6; 'xqzt','wvut' count 1 (rare)
+        assert out[1]["n_tokens"] == 4 and out[1]["n_rare"] == 1
+        assert out[1]["rare_ratio"] == 0.25
+        assert out[2]["n_rare"] == 0 and out[2]["rare_ratio"] == 0.0
+        assert out[3]["n_rare"] == 1 and out[3]["rare_ratio"] == 0.5
+
+    def test_case_fold_and_trim(self, spark):
+        from ml_hadoop_experiment_spark.operators.corpus import rare_token_ratio
+
+        df = spark.createDataFrame(
+            [(1, "  Foo foo  "), (2, "FOO bar")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in
+               rare_token_ratio(df, "doc_id", "text", max_count=1).collect()}
+        # 'foo' appears 3x after lowercasing -> not rare; 'bar' is
+        assert out[1]["n_rare"] == 0
+        assert out[2]["n_rare"] == 1

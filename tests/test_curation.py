@@ -142,3 +142,35 @@ class TestRepeatedNgrams:
             docs, "doc_id", "text", ngram_size=3, min_docs=2, hash_grams=False
         ).collect()
         assert out == []
+
+
+class TestTokenBudget:
+    def test_budget_cutoff_semantics(self, spark):
+        from ml_hadoop_experiment_spark.operators.curation import (
+            token_budget_select,
+        )
+
+        rows = [
+            (1, "a b c d", 0.9),   # 4 tokens, best
+            (2, "e f g", 0.8),     # 3 tokens
+            (3, "h i", 0.7),       # 2 tokens - crosses the line
+            (4, "j k l m n", 0.6), # excluded
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+        out = {r["doc_id"]: r["cum_tokens"] for r in
+               token_budget_select(df, "doc_id", "text", budget_tokens=8,
+                                   priority_col="q").collect()}
+        # docs 1,2 fit (7 tokens); doc 3 starts at 7 < 8 so it crosses in
+        assert out == {1: 4, 2: 7, 3: 9}
+
+    def test_no_priority_uses_id_order(self, spark):
+        from ml_hadoop_experiment_spark.operators.curation import (
+            token_budget_select,
+        )
+
+        rows = [(i, "t " * 10) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = sorted(r["doc_id"] for r in
+                      token_budget_select(df, "doc_id", "text", 55).collect())
+        # 10 tokens each ("t "*10 strips to 10): ids 0-5 (exclusive prefix 50 < 55)
+        assert kept == [0, 1, 2, 3, 4, 5]

@@ -27,9 +27,15 @@ def test_state_file_covers_every_query():
 
     state = load_state()
     missing = sorted(set(QUERIES) - set(state))
-    assert not missing, (
-        f"queries with no recorded green fingerprint: {missing} — run "
-        "`python tools/green_state.py --update` after the driver round"
+    # a query may legitimately have no recorded green yet (added this
+    # round) — but then it MUST be scheduled in the next driver window
+    window = set(list(QUERIES)[:WINDOW_SIZE])
+    stranded = [q for q in missing if q not in window]
+    assert not stranded, (
+        f"queries with no recorded green fingerprint outside the next "
+        f"window: {stranded} — run `python tools/green_state.py --update` "
+        "after the driver round, or schedule them in the first "
+        f"{WINDOW_SIZE} entries"
     )
 
 

@@ -433,3 +433,59 @@ class TestAssignFold:
             s = sizes[label]
             assert s.max() - s.min() <= 1
         assert set(out["fold"]) == {0, 1, 2}
+
+
+class TestMixtureSample:
+    def test_quota_and_weights(self, spark):
+        from ml_hadoop_experiment_spark.operators.sampling import mixture_sample
+
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "src": ["big"] * 4000 + ["small"] * 250,
+                "id": range(4250),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = mixture_sample(df, "src", "id", target_rows=1000, alpha=0.5, seed=3)
+        rows = out.collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["src"], []).append(r)
+        # sqrt weighting: w_big ~ 63.2, w_small ~ 15.8 -> quotas ~800/200
+        n_big, n_small = len(by_src["big"]), len(by_src["small"])
+        assert 700 <= n_big <= 900, n_big
+        # small source quota (~200) close to its size (250): high keep rate
+        assert 150 <= n_small <= 250, n_small
+        # weights invert the keep rate -> weighted totals estimate n_s
+        w_big = by_src["big"][0]["mix_weight"]
+        assert abs(n_big * w_big - 4000) / 4000 < 0.15
+        # deterministic: same rows both runs
+        again = {r["id"] for r in mixture_sample(
+            df, "src", "id", target_rows=1000, alpha=0.5, seed=3).collect()}
+        assert again == {r["id"] for r in rows}
+
+    def test_small_source_kept_whole(self, spark):
+        from ml_hadoop_experiment_spark.operators.sampling import mixture_sample
+
+        rows = [("a", i) for i in range(1000)] + [("tiny", 10_000 + i) for i in range(5)]
+        df = spark.createDataFrame(rows, "src string, id long")
+        out = mixture_sample(df, "src", "id", target_rows=500, alpha=0.5, seed=1)
+        tiny = [r for r in out.collect() if r["src"] == "tiny"]
+        # quota for tiny (~33) exceeds its 5 rows: kept whole, weight 1
+        assert len(tiny) == 5
+        assert all(r["mix_weight"] == 1.0 for r in tiny)
+
+    def test_map_only_corpus_plan(self, spark):
+        from ml_hadoop_experiment_spark.operators.sampling import mixture_sample
+
+        rows = [("a", i) for i in range(100)] + [("b", i + 100) for i in range(100)]
+        df = spark.createDataFrame(rows, "src string, id long")
+        plan = (
+            mixture_sample(df, "src", "id", target_rows=50)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the corpus side joins the broadcast rate table: no sort-merge
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
