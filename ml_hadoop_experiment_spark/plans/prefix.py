@@ -27,7 +27,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 #: persisted range-partitioned frames awaiting release. Each
 #: ``with_global_running_sum`` call pins ONE materialization of its input
@@ -238,81 +237,49 @@ def with_keyed_min_rank(
         grp_change = key_change | (v.ne(v.shift()).to_numpy() & ~(isna & prev_na))
         return key_change, grp_change, isna
 
-    # ---- pass 1: one summary row per partition ------------------------
-    sfields = [StructField("__pid", IntegerType())]
-    for pre in ("fk_", "lk_"):
+    # ---- pass 1: one summary row per partition, ALL JVM-side ----------
+    # (no Arrow crossing: the partition's first/last (key, value) come
+    # from min_by/max_by over a per-partition-monotonic id; boundary
+    # key/tie-group row counts from one broadcast-joined conditional agg.
+    # Both are map-combined per __pid — the exchange carries one row per
+    # partition.)
+    def _keq(prefix):
+        cond = F.lit(True)
         for c in key_list:
-            sfields.append(StructField(pre + c, df.schema[c].dataType))
-    sfields.append(StructField("fv", df.schema[value_col].dataType))
-    sfields.append(StructField("lv", df.schema[value_col].dataType))
-    for c in ("n_fk", "n_fg", "n_lk", "n_lg"):
-        sfields.append(StructField(c, LongType()))
-    summary_schema = StructType(sfields)
-    summary_names = [f.name for f in summary_schema.fields]
+            cond = cond & F.col(c).eqNullSafe(F.col(f"{prefix}.{c}"))
+        return cond
 
-    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = None
-        fk = fv = lk = lv = None
-        n_fk = n_fg = n_lk = n_lg = 0
-        still_fk = still_fg = True
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            key_change, grp_change, _ = _changes(pdf)
-            if pid is None:
-                pid = int(pdf["__pid"].iloc[0])
-                fk = tuple(pdf[c].iloc[0] for c in key_list)
-                fv = pdf[value_col].iloc[0]
-                key_change[0] = False  # partition start is not a boundary
-                grp_change[0] = False
-            else:
-                # cross-batch carry: row 0 vs previous batch's last row
-                row0_k = tuple(
-                    _null_norm(pdf[c].iloc[0]) for c in key_list
-                )
-                kdiff = row0_k != tuple(_null_norm(x) for x in lk)
-                key_change[0] = kdiff
-                grp_change[0] = kdiff or (
-                    _null_norm(pdf[value_col].iloc[0]) != _null_norm(lv)
-                )
-            n = len(pdf)
-            kc_idx = np.flatnonzero(key_change)
-            gc_idx = np.flatnonzero(grp_change)
-            if still_fk:
-                if kc_idx.size:
-                    n_fk += int(kc_idx[0])
-                    still_fk = False
-                else:
-                    n_fk += n
-            if still_fg:
-                if gc_idx.size:
-                    n_fg += int(gc_idx[0])
-                    still_fg = False
-                else:
-                    n_fg += n
-            n_lk = n - int(kc_idx[-1]) if kc_idx.size else n_lk + n
-            n_lg = n - int(gc_idx[-1]) if gc_idx.size else n_lg + n
-            lk = tuple(pdf[c].iloc[-1] for c in key_list)
-            lv = pdf[value_col].iloc[-1]
-        if pid is None:
-            return
-        row = {"__pid": pid}
-        for c, x in zip(key_list, fk):
-            row["fk_" + c] = x
-        for c, x in zip(key_list, lk):
-            row["lk_" + c] = x
-        row.update(fv=fv, lv=lv, n_fk=n_fk, n_fg=n_fg, n_lk=n_lk, n_lg=n_lg)
-        yield pd.DataFrame([row])[summary_names]
+    def _veq(prefix):
+        return F.col(value_col).eqNullSafe(F.col(f"{prefix}.{value_col}"))
 
-    # the summary pass only reads (pid, key, value): project BEFORE the
-    # Arrow crossing so payload columns never leave the JVM cache here
-    with _no_aqe(spark):
-        summaries = sorted(
-            with_pid.select("__pid", *key_list, value_col)
-            .mapInPandas(summarize, summary_schema)
-            .collect(),
-            key=lambda r: r["__pid"],
+    slim = with_pid.select("__pid", *key_list, value_col).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    edge = F.struct(*key_list, value_col)
+    firsts = slim.groupBy("__pid").agg(
+        F.min_by(edge, "__mid").alias("__f"),
+        F.max_by(edge, "__mid").alias("__l"),
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    stats = (
+        slim.join(F.broadcast(firsts), "__pid")
+        .groupBy("__pid")
+        .agg(
+            F.sum(F.when(_keq("__f"), one).otherwise(zero)).alias("n_fk"),
+            F.sum(F.when(_keq("__f") & _veq("__f"), one).otherwise(zero)).alias(
+                "n_fg"
+            ),
+            F.sum(F.when(_keq("__l"), one).otherwise(zero)).alias("n_lk"),
+            F.sum(F.when(_keq("__l") & _veq("__l"), one).otherwise(zero)).alias(
+                "n_lg"
+            ),
+            F.first("__f").alias("__f"),
+            F.first("__l").alias("__l"),
         )
+    )
+    with _no_aqe(spark):
+        summaries = sorted(stats.collect(), key=lambda r: r["__pid"])
 
     # ---- driver: chain boundary offsets + spanning-key totals ---------
     # infos[pid] = [off0, c0, n_first_total, n_last_total]
@@ -329,9 +296,9 @@ def with_keyed_min_rank(
 
     for r in summaries:
         pid = int(r["__pid"])
-        fk = tuple(_null_norm(r["fk_" + c]) for c in key_list)
-        lk = tuple(_null_norm(r["lk_" + c]) for c in key_list)
-        fv, lv = _null_norm(r["fv"]), _null_norm(r["lv"])
+        fk = tuple(_null_norm(r["__f"][c]) for c in key_list)
+        lk = tuple(_null_norm(r["__l"][c]) for c in key_list)
+        fv, lv = _null_norm(r["__f"][value_col]), _null_norm(r["__l"][value_col])
         infos[pid] = [0, 0, None, None]
         if chain_key is not None and fk == chain_key:
             infos[pid][0] = chain_total
