@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "dedup_exact",
     "near_dup_pairs",
+    "near_dup_incr",
     "simhash",
     "ann_topk",
     "ann_topk_batch",

@@ -174,6 +174,45 @@ def minhash_signatures(
     return hashed.groupBy("id").agg(*aggs)
 
 
+def lsh_band_frame(
+    signatures: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_ids: Optional[int] = None,
+) -> DataFrame:
+    """(id, band, band_key) rows from a signature frame — ONE explode of
+    an ``array(struct(band, key))`` column (a single scan, not one union
+    arm per band), with the optional bucket-width cap applied as a
+    map-combined width agg + left-anti join. Shared by the self-join
+    candidate generator and the incremental new-vs-corpus join."""
+    num_hashes = len([c for c in signatures.columns if c.startswith("mh_")])
+    assert bands * rows_per_band <= num_hashes, "bands*rows exceeds signature size"
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    frames = signatures.select(F.col("id"), F.explode(entries).alias("__e")).select(
+        "id", F.col("__e.band").alias("band"), F.col("__e.band_key").alias("band_key")
+    )
+    if max_bucket_ids is not None:
+        over = (
+            frames.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__width"))
+            .where(F.col("__width") > max_bucket_ids)
+            .drop("__width")
+        )
+        frames = frames.join(over, ["band", "band_key"], "left_anti")
+    return frames
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
@@ -212,31 +251,7 @@ def lsh_candidate_pairs(
     frame and OOM'd the driver). ``minhash_dedup_pairs`` wires this to
     its big-input policy so toy corpora keep their (correct) broadcasts.
     """
-    num_hashes = len([c for c in signatures.columns if c.startswith("mh_")])
-    assert bands * rows_per_band <= num_hashes, "bands*rows exceeds signature size"
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    *[f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)],
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    frames = signatures.select(F.col("id"), F.explode(entries).alias("__e")).select(
-        "id", F.col("__e.band").alias("band"), F.col("__e.band_key").alias("band_key")
-    )
-    if max_bucket_ids is not None:
-        over = (
-            frames.groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("__width"))
-            .where(F.col("__width") > max_bucket_ids)
-            .drop("__width")
-        )
-        frames = frames.join(over, ["band", "band_key"], "left_anti")
+    frames = lsh_band_frame(signatures, bands, rows_per_band, max_bucket_ids)
     left = frames.alias("a")
     right = frames.alias("b")
     if scale_safe_joins:
@@ -428,6 +443,107 @@ def minhash_dedup_pairs(
         sigs, bands, rows_per_band, max_bucket_ids, scale_safe_joins=safe_joins
     )
     return jaccard_pairs(cands, toks, threshold, scale_safe_joins=safe_joins)
+
+
+def near_dup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    cache_intermediates: Optional[bool] = None,
+    max_bucket_ids: Optional[int] = 1024,
+) -> DataFrame:
+    """Incremental near-dup: which NEW documents are near-duplicates of
+    an EXISTING corpus — the filter-new-crawl-against-training-set step,
+    the fuzzy sibling of ``dedup_against``.
+
+    Returns ``(id_new, id_corpus, jaccard)`` with ``jaccard >=
+    threshold``. Candidates come from an LSH band join of the new
+    batch's band frame against the corpus's band frame — new-vs-corpus
+    ONLY: the corpus is never self-paired, so incremental cost scales
+    with the new batch (the corpus contributes one signature pass and
+    its side of the band/verify joins). The bucket-width cap applies to
+    the CORPUS side, where degenerate buckets live; the exact-Jaccard
+    verify then runs two-sided against both token frames, so ids may
+    collide across the two inputs without corrupting the result.
+
+    Scale policy mirrors ``minhash_dedup_pairs``: above
+    ``AUTO_PERSIST_BYTES`` the token frames persist (each is consumed
+    by signatures AND verify) and the verify joins take MERGE hints
+    (compile-time size estimates lie for persisted frames). In steady
+    production the corpus band frame and token sizes would be
+    precomputed once and reused across batches — they are pure
+    functions of the corpus.
+    """
+    toks_new = tokens_frame(new_df, id_col, text_col, shingle_size)
+    toks_corp = tokens_frame(corpus_df, id_col, text_col, shingle_size)
+    if cache_intermediates is None:
+        cache_intermediates = (
+            _estimated_input_bytes(corpus_df) > AUTO_PERSIST_BYTES
+        )
+    safe_joins = bool(cache_intermediates)
+    if cache_intermediates:
+        from pyspark import StorageLevel
+
+        toks_new = toks_new.persist(StorageLevel.MEMORY_AND_DISK)
+        toks_corp = toks_corp.persist(StorageLevel.MEMORY_AND_DISK)
+    bands_new = lsh_band_frame(
+        minhash_signatures(toks_new, num_hashes), bands, rows_per_band, None
+    )
+    bands_corp = lsh_band_frame(
+        minhash_signatures(toks_corp, num_hashes),
+        bands,
+        rows_per_band,
+        max_bucket_ids,
+    )
+    if safe_joins:
+        bands_corp = bands_corp.hint("merge")
+    cands = (
+        bands_new.alias("n")
+        .join(
+            bands_corp.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col("n.id").alias("id_new"), F.col("c.id").alias("id_corpus")
+        )
+        .distinct()
+    )
+    sizes_new = toks_new.groupBy("id").agg(F.count("*").alias("n_new"))
+    sizes_corp = toks_corp.groupBy("id").agg(F.count("*").alias("n_corp"))
+    tn = toks_new.select(F.col("id").alias("id_new"), "token")
+    tc = toks_corp.select(F.col("id").alias("id_corpus"), "token")
+    if safe_joins:
+        tn, tc = tn.hint("merge"), tc.hint("merge")
+        sizes_new, sizes_corp = sizes_new.hint("merge"), sizes_corp.hint("merge")
+    inter = (
+        cands.join(tn, "id_new")
+        .join(tc, ["id_corpus", "token"])
+        .groupBy("id_new", "id_corpus")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes_new.withColumnRenamed("id", "id_new"), "id_new")
+        .join(sizes_corp.withColumnRenamed("id", "id_corpus"), "id_corpus")
+        .select(
+            "id_new",
+            "id_corpus",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_new") + F.col("n_corp") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0.0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -873,6 +873,99 @@ WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - i.n_inter),
 """
 
 
+def q_near_dup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the "new batch" (doc_id % 10 == 0) filtered
+    against the existing corpus (the other 90%) by MinHash-LSH band join
+    — new-vs-corpus only, the corpus is never self-paired, so the cost
+    scales with the batch. Same 3-shingle / 8-hash / 4x2-band / exact-
+    Jaccard-verify construction as near_dup_pairs, corpus-side bucket
+    cap active."""
+    from ml_hadoop_experiment_spark.operators.dedup import near_dup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return near_dup_against(
+        new, corpus, "doc_id", "text", shingle_size=3, num_hashes=8,
+        bands=4, rows_per_band=2, threshold=0.3,
+    )
+
+
+SQL_NEAR_DUP_INCR = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+toks AS (
+  SELECT DISTINCT doc_id AS id, sh AS token FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+    FROM base
+    WHERE len(t) >= 3
+    UNION ALL
+    SELECT doc_id, array_to_string(t, ' ') AS sh
+    FROM base
+    WHERE len(t) < 3
+  )
+),
+toks_new AS (SELECT * FROM toks WHERE id % 10 = 0),
+toks_corp AS (SELECT * FROM toks WHERE id % 10 != 0),
+sigs_new AS (
+  SELECT id, {_minhash_sql_aggs(8)}
+  FROM (SELECT id, CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) AS h
+        FROM toks_new)
+  GROUP BY id
+),
+sigs_corp AS (
+  SELECT id, {_minhash_sql_aggs(8)}
+  FROM (SELECT id, CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) AS h
+        FROM toks_corp)
+  GROUP BY id
+),
+bands_new AS (
+  SELECT band, band_key, id FROM (
+    SELECT 0 AS band, mh_0 || '|' || mh_1 AS band_key, id FROM sigs_new
+    UNION ALL SELECT 1, mh_2 || '|' || mh_3, id FROM sigs_new
+    UNION ALL SELECT 2, mh_4 || '|' || mh_5, id FROM sigs_new
+    UNION ALL SELECT 3, mh_6 || '|' || mh_7, id FROM sigs_new
+  )
+),
+bands_corp AS (
+  SELECT band, band_key, id FROM (
+    SELECT 0 AS band, mh_0 || '|' || mh_1 AS band_key, id FROM sigs_corp
+    UNION ALL SELECT 1, mh_2 || '|' || mh_3, id FROM sigs_corp
+    UNION ALL SELECT 2, mh_4 || '|' || mh_5, id FROM sigs_corp
+    UNION ALL SELECT 3, mh_6 || '|' || mh_7, id FROM sigs_corp
+  )
+  -- mirror of the operator's corpus-side max_bucket_ids=1024 width cap
+  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= 1024
+),
+cands AS (
+  SELECT DISTINCT n.id AS id_new, c.id AS id_corpus
+  FROM bands_new n JOIN bands_corp c
+    ON n.band = c.band AND n.band_key = c.band_key
+),
+sizes_new AS (SELECT id, count(*) AS n_new FROM toks_new GROUP BY id),
+sizes_corp AS (SELECT id, count(*) AS n_corp FROM toks_corp GROUP BY id),
+inter AS (
+  SELECT c.id_new, c.id_corpus, count(*) AS n_inter
+  FROM cands c
+  JOIN toks_new ta ON ta.id = c.id_new
+  JOIN toks_corp tb ON tb.id = c.id_corpus AND tb.token = ta.token
+  GROUP BY c.id_new, c.id_corpus
+)
+SELECT i.id_new, i.id_corpus,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.n_new + sb.n_corp - i.n_inter), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes_new sa ON sa.id = i.id_new
+JOIN sizes_corp sb ON sb.id = i.id_corpus
+WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.n_new + sb.n_corp - i.n_inter), 6)
+      >= 0.3
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash16"))
@@ -3965,13 +4058,14 @@ QUERIES = {
     "vocab_tokens": q_vocab_tokens,
     "weighted_sample": q_weighted_sample,
     # tier 1: NEW queries (round 6) - need their first green row
+    "near_dup_incr": q_near_dup_incr,
     "mixture_sample": q_mixture_sample,
     "rare_tokens": q_rare_tokens,
     "token_budget": q_token_budget,
     # tier 2: unchanged, oldest green rows (r04) - fill the window to 50
     "big_orders": q_big_orders,
-    "bootstrap_metrics": q_bootstrap_metrics,
     # ---- window boundary (first 50 above) ----
+    "bootstrap_metrics": q_bootstrap_metrics,
     # unchanged r04-green overflow: first in line for the r7 window
     "cohort_retention": q_cohort_retention,
     "doc_fingerprint": q_doc_fingerprint,
@@ -4036,6 +4130,7 @@ QUERIES = {
 NO_ORACLE: set = set()
 
 ORACLE_SQL = {
+    "near_dup_incr": SQL_NEAR_DUP_INCR,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "token_budget": SQL_TOKEN_BUDGET,
     "rare_tokens": SQL_RARE_TOKENS,

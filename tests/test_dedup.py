@@ -437,3 +437,68 @@ def test_connected_components_depth_guard_raises(spark, monkeypatch):
     out = dedup.connected_components(edges, max_iterations=25).collect()
     assert set(r["comp"] for r in out) == {200}
     assert dedup.LAST_CC_STATS["rounds"] >= 2
+
+
+class TestNearDupAgainst:
+    def test_finds_corpus_near_dups_only(self, spark):
+        from ml_hadoop_experiment_spark.operators.dedup import near_dup_against
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        corpus_rows = [
+            (100, base),
+            (101, "completely different text about spark planning internals"),
+            (102, base.replace("dog", "cat")),
+        ]
+        new_rows = [
+            (1, base),                                 # exact dup of 100
+            (2, base.replace("quick", "slow")),        # near dup
+            (3, "unrelated fresh content nothing shared with anything here"),
+        ]
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+        out = near_dup_against(new, corpus, "doc_id", "text",
+                               shingle_size=3, threshold=0.3)
+        got = {(r["id_new"], r["id_corpus"]) for r in out.collect()}
+        assert (1, 100) in got            # exact copy found
+        assert all(a != 3 for a, _ in got)  # fresh doc matches nothing
+        # corpus is never self-paired: every id_new is from the new batch
+        assert {a for a, _ in got} <= {1, 2}
+
+    def test_id_collision_between_inputs_is_safe(self, spark):
+        from ml_hadoop_experiment_spark.operators.dedup import near_dup_against
+
+        text = "shared sentence with enough words to form several shingles"
+        corpus = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        new = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        out = near_dup_against(new, corpus, "doc_id", "text",
+                               shingle_size=3, threshold=0.5).collect()
+        assert [(r["id_new"], r["id_corpus"], r["jaccard"]) for r in out] == [
+            (7, 7, 1.0)
+        ]
+
+    def test_matches_full_pipeline_on_split(self, spark):
+        """Incremental result == the cross-split subset of the full
+        self-join pipeline on the same corpus."""
+        from ml_hadoop_experiment_spark.operators.dedup import (
+            minhash_dedup_pairs,
+            near_dup_against,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(200)
+        new = docs.where(F.col("doc_id") % 10 == 0)
+        corpus = docs.where(F.col("doc_id") % 10 != 0)
+        incr = {(r["id_new"], r["id_corpus"], r["jaccard"]) for r in
+                near_dup_against(new, corpus, "doc_id", "text",
+                                 shingle_size=3, threshold=0.3).collect()}
+        full = minhash_dedup_pairs(docs, "doc_id", "text", shingle_size=3,
+                                   threshold=0.3).collect()
+        cross = set()
+        for r in full:
+            a, b = r["id_a"], r["id_b"]
+            if a % 10 == 0 and b % 10 != 0:
+                cross.add((a, b, r["jaccard"]))
+            elif b % 10 == 0 and a % 10 != 0:
+                cross.add((b, a, r["jaccard"]))
+        assert incr == cross
