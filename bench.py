@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "streaming_sessionize",
     "streaming_score",
     "streaming_interval_join",
+    "streaming_enrich",
 ]
 
 

@@ -2132,6 +2132,48 @@ SELECT doc_id FROM documents
 
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/joins.stream_static_enrich):
+    the orders table streamed as micro-batches, each batch inner-joined
+    to the STATIC customer dimension (broadcast — the stream never
+    shuffles, no state store, no watermark). The canonical streaming
+    feature-lookup; drained availableNow, the result set equals the
+    batch join, making the streaming plan fully oracle-checkable."""
+    import uuid
+
+    from ml_hadoop_experiment_spark.streaming.enrich import stream_static_enrich
+
+    wire_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    stream = (
+        spark.readStream.schema(wire_schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    out = stream_static_enrich(
+        stream, customer, stream["o_custkey"] == customer["c_custkey"]
+    ).select("o_orderkey", "c_mktsegment", "o_totalprice")
+    sink = f"streaming_enrich_{uuid.uuid4().hex}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+SQL_STREAMING_ENRICH = """
+SELECT o_orderkey, c_mktsegment, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral similarity: each user's event-type count vector vs user
     0's, cosine-ranked top-10 (distributed time-series/behavior similarity
@@ -4058,13 +4100,14 @@ QUERIES = {
     "vocab_tokens": q_vocab_tokens,
     "weighted_sample": q_weighted_sample,
     # tier 1: NEW queries (round 6) - need their first green row
+    "streaming_enrich": q_streaming_enrich,
     "near_dup_incr": q_near_dup_incr,
     "mixture_sample": q_mixture_sample,
     "rare_tokens": q_rare_tokens,
     "token_budget": q_token_budget,
-    # tier 2: unchanged, oldest green rows (r04) - fill the window to 50
+    # ---- window boundary (first 50 above: 45 changed + 5 new) ----
+    # tier 2: unchanged r04-green, first in line for the r7 window
     "big_orders": q_big_orders,
-    # ---- window boundary (first 50 above) ----
     "bootstrap_metrics": q_bootstrap_metrics,
     # unchanged r04-green overflow: first in line for the r7 window
     "cohort_retention": q_cohort_retention,
@@ -4130,6 +4173,7 @@ QUERIES = {
 NO_ORACLE: set = set()
 
 ORACLE_SQL = {
+    "streaming_enrich": SQL_STREAMING_ENRICH,
     "near_dup_incr": SQL_NEAR_DUP_INCR,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "token_budget": SQL_TOKEN_BUDGET,

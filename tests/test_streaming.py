@@ -188,3 +188,64 @@ def test_interval_join_boundary_semantics(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ij_sink").collect()
     }
     assert got == {(1, 2)}
+
+
+class TestStreamStaticEnrich:
+    def _stream(self, spark, tmp_path, rows, schema, name):
+        import pandas as pd  # noqa: F401
+
+        path = str(tmp_path / name)
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path)
+        wire = spark.read.parquet(path).schema
+        return spark.readStream.schema(wire).parquet(path)
+
+    def test_inner_enrich_equals_batch_join(self, spark, tmp_path):
+        from ml_hadoop_experiment_spark.streaming.enrich import (
+            stream_static_enrich,
+        )
+
+        stream = self._stream(
+            spark, tmp_path,
+            [(1, 10), (2, 20), (3, 99)], "id long, key long", "facts",
+        )
+        dim = spark.createDataFrame(
+            [(10, "a"), (20, "b"), (30, "c")], "key long, attr string"
+        )
+        out = stream_static_enrich(stream, dim, "key").select("id", "attr")
+        q = (out.writeStream.format("memory").queryName("enrich_sink")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["id"], r["attr"]) for r in
+               spark.sql("SELECT * FROM enrich_sink").collect()}
+        assert got == {(1, "a"), (2, "b")}  # unmatched key 99 dropped
+
+    def test_left_anti_is_streaming_blocklist(self, spark, tmp_path):
+        from ml_hadoop_experiment_spark.streaming.enrich import (
+            stream_static_enrich,
+        )
+
+        stream = self._stream(
+            spark, tmp_path,
+            [(1, 10), (2, 20), (3, 30)], "id long, key long", "facts2",
+        )
+        blocklist = spark.createDataFrame([(20,)], "key long")
+        out = stream_static_enrich(stream, blocklist, "key", how="left_anti")
+        q = (out.writeStream.format("memory").queryName("anti_sink")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(r["id"] for r in spark.sql("SELECT id FROM anti_sink").collect())
+        assert got == [1, 3]
+
+    def test_rejects_wrong_sides(self, spark, tmp_path):
+        import pytest
+
+        from ml_hadoop_experiment_spark.streaming.enrich import (
+            stream_static_enrich,
+        )
+
+        batch = spark.createDataFrame([(1, 10)], "id long, key long")
+        stream = self._stream(spark, tmp_path, [(1, 10)], "id long, key long", "f3")
+        with pytest.raises(ValueError, match="stream side"):
+            stream_static_enrich(batch, batch, "key")
+        with pytest.raises(ValueError, match="static side"):
+            stream_static_enrich(stream, stream, "key")
