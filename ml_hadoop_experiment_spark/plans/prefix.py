@@ -72,7 +72,7 @@ def with_global_running_sum(
     Values are summed as int64 (exact, associative); floats would make
     the two-phase result differ from a sequential sum in the last ulp.
     """
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = num_partitions or _auto_partitions(df)
     ordered = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
     ordered = ordered.sortWithinPartitions(*order_cols)
     # persist BEFORE the totals job: the offsets pass and the cumsum pass
@@ -158,6 +158,29 @@ class _no_aqe:
         self.spark.conf.set(self.KEY, self.prev)
 
 
+#: auto-partition sizing target for the range exchange (compressed-scan
+#: bytes per partition, from Catalyst's optimized-plan estimate). The
+#: buffered passes want partitions big enough to amortize task launch,
+#: AQE-off planning, and Arrow batch overhead: measured on the sf0.1
+#: 4-column cdf_normalize input (4.5 MB estimate, local[32]), 32
+#: partitions ran 1.44 s, 16 ran 1.21 s, 8 ran 1.30 s — the rule below
+#: picks 18. The clamp to defaultParallelism means the rule can only
+#: REDUCE partitions for small inputs; at cluster scale the estimate
+#: exceeds parallelism x target and the default (one partition per
+#: core) is unchanged.
+_TARGET_PARTITION_BYTES = 256 << 10
+
+
+def _auto_partitions(df: DataFrame) -> int:
+    spark = df.sparkSession
+    default = spark.sparkContext.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return default
+    return max(2, min(default, -(-est // _TARGET_PARTITION_BYTES)))
+
+
 def _null_norm(x):
     """Normalize a collected scalar for null-safe equality: None and NaN
     collapse to one sentinel so tie groups containing nulls chain
@@ -210,7 +233,7 @@ def with_keyed_min_rank(
     contract ``applyInPandas`` already imposes).
     """
     spark = df.sparkSession
-    parts = num_partitions or spark.sparkContext.defaultParallelism
+    parts = num_partitions or _auto_partitions(df)
     key_list = list(key_cols)
     order_cols = [*key_list, value_col]
     ordered = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
