@@ -881,6 +881,12 @@ def connected_components(
                 "levels; the partition structure is not reducing the graph "
                 "(raise max_iterations or repartition the edge input)"
             )
+        # materialize the edge frame ONCE before branching: the count and
+        # the union-find pass(es) below otherwise each re-execute the
+        # upstream subtree — at level 0 that subtree is the whole
+        # pair-generation pipeline (measured: dup_clusters ran its simhash
+        # blocking twice, ~1.2 s of pure recompute at sf0.1)
+        e = e.localCheckpoint()
         n_edges = e.count()
         LAST_CC_STATS["rounds"] += 1
         LAST_CC_STATS["changed"].append(int(n_edges))
