@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "near_dup_pairs",
     "near_dup_incr",
+    "repeated_spans",
     "simhash",
     "ann_topk",
     "ann_topk_batch",

@@ -307,3 +307,142 @@ SELECT * EXCLUDE (__nt) FROM (
 )
 WHERE ({out_cumsum_col} - __nt) < {int(budget_tokens)}
 """
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_size: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """MAXIMAL repeated spans per document: merge overlapping cross-doc
+    repeated ``ngram_size``-grams into their maximal extents — the
+    span-level output of exact-substring dedup (cf. Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": what you
+    actually CUT is the maximal span, not individual grams).
+    ``repeated_ngrams`` answers "which grams repeat"; this answers
+    "which token ranges of WHICH documents are duplicated text".
+
+    Plan:
+
+    1. positional grams generate map-side (the ``tokens_frame`` shingle
+       construction, with ``posexplode`` keeping the token offset);
+    2. grams in >= ``min_docs`` distinct docs: per-doc-distinct then ONE
+       map-combined count on the 32-bit hashed gram — the exchange
+       carries (int, count), never text (same shape as
+       ``repeated_ngrams``);
+    3. positions of repeated grams join back on the hashed gram (AQE
+       broadcasts the repeated-gram set when small);
+    4. consecutive positions merge into maximal spans with a per-DOC
+       window (lag + running group id + min/max) — partitioned by
+       document, so the window's task size is bounded by document
+       length, not corpus size.
+
+    Output: ``(id, span_start, span_end, span_tokens)`` in token
+    offsets, inclusive; ``span_tokens >= ngram_size`` by construction.
+    Integer-only arithmetic — bit-identical cross-engine.
+    """
+    from pyspark.sql import Window
+
+    from ml_hadoop_experiment_spark.functions.hashing import (
+        portable_token_hash_int,
+    )
+
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(tokens)
+    m = n - F.lit(ngram_size - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(tokens, i + 1, m) for i in range(ngram_size)]
+    )
+    shingles = F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(ngram_size)]),
+    )
+    pos_grams = (
+        df.where(n >= ngram_size)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(shingles).alias("pos", "gram"),
+        )
+        .select("id", "pos", portable_token_hash_int(F.col("gram")).alias("gh"))
+    )
+    rep = (
+        pos_grams.select("id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= F.lit(int(min_docs)))
+        .select("gh")
+    )
+    hits = pos_grams.join(rep, "gh").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    grp = F.sum(
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > 1),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    ).over(w)
+    spans = (
+        hits.withColumn("__g", grp)
+        .groupBy("id", "__g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(ngram_size - 1)).alias("span_end"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+    return spans
+
+
+def repeated_spans_sql(
+    relation: str,
+    id_expr: str,
+    text_expr: str,
+    ngram_size: int = 16,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of ``repeated_spans``."""
+    from ml_hadoop_experiment_spark.functions.hashing import (
+        portable_token_hash_int_sql,
+    )
+
+    k = int(ngram_size)
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS id, regexp_split_to_array(trim({text_expr}), '\\s+') AS t
+  FROM {relation}
+),
+pos_grams AS (
+  SELECT id, i - 1 AS pos,
+         {portable_token_hash_int_sql(f"({gram})")} AS gh
+  FROM base, unnest(range(1, len(t) - {k - 1} + 1)) AS r(i)
+  WHERE len(t) >= {k}
+),
+rep AS (
+  SELECT gh FROM (SELECT DISTINCT id, gh FROM pos_grams)
+  GROUP BY gh HAVING count(*) >= {int(min_docs)}
+),
+hits AS (
+  SELECT p.id, p.pos FROM pos_grams p JOIN rep USING (gh)
+),
+grp AS (
+  SELECT id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+  FROM (SELECT id, pos,
+               lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+        FROM hits)
+)
+SELECT id, min(pos) AS span_start,
+       max(pos) + {k - 1} AS span_end,
+       max(pos) + {k - 1} - min(pos) + 1 AS span_tokens
+FROM grp GROUP BY id, g
+"""

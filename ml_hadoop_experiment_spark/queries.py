@@ -3654,6 +3654,31 @@ FROM grams GROUP BY 1 HAVING count(*) >= 2
 SQL_REPEATED_NGRAMS = _sql_repeated_ngrams()
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated spans: overlapping cross-doc repeated 8-grams
+    merged into their maximal token ranges per document (the span you
+    would actually cut in exact-substring dedup, cf. Lee et al. 2022).
+    Positional grams map-side; one hashed-gram count exchange; span
+    merge under a per-DOC window (task size bounded by document
+    length). Integer-only output, bit-identical cross-engine."""
+    from ml_hadoop_experiment_spark.operators.curation import repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_spans(docs, "doc_id", "text", ngram_size=8, min_docs=2)
+
+
+def _sql_repeated_spans() -> str:
+    from ml_hadoop_experiment_spark.operators.curation import (
+        repeated_spans_sql,
+    )
+
+    return repeated_spans_sql("documents", "doc_id", "text",
+                              ngram_size=8, min_docs=2)
+
+
+SQL_REPEATED_SPANS = _sql_repeated_spans()
+
+
 def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LLM data-prep DAG in one query, composed from the
     engine's own operators: quality filter (codegen score) → exact
@@ -4106,7 +4131,10 @@ QUERIES = {
     "rare_tokens": q_rare_tokens,
     "token_budget": q_token_budget,
     # ---- window boundary (first 50 above: 45 changed + 5 new) ----
-    # tier 2: unchanged r04-green, first in line for the r7 window
+    # overflow NEW query (window saturated by changed entries): no green
+    # row yet, locally parity-gated, first in line for the r7 window
+    "repeated_spans": q_repeated_spans,
+    # tier 2: unchanged r04-green, next in line for the r7 window
     "big_orders": q_big_orders,
     "bootstrap_metrics": q_bootstrap_metrics,
     # unchanged r04-green overflow: first in line for the r7 window
@@ -4173,6 +4201,7 @@ QUERIES = {
 NO_ORACLE: set = set()
 
 ORACLE_SQL = {
+    "repeated_spans": SQL_REPEATED_SPANS,
     "streaming_enrich": SQL_STREAMING_ENRICH,
     "near_dup_incr": SQL_NEAR_DUP_INCR,
     "mixture_sample": SQL_MIXTURE_SAMPLE,

@@ -174,3 +174,49 @@ class TestTokenBudget:
                       token_budget_select(df, "doc_id", "text", 55).collect())
         # 10 tokens each ("t "*10 strips to 10): ids 0-5 (exclusive prefix 50 < 55)
         assert kept == [0, 1, 2, 3, 4, 5]
+
+
+class TestRepeatedSpans:
+    def test_merges_overlapping_grams_into_maximal_span(self, spark):
+        from ml_hadoop_experiment_spark.operators.curation import repeated_spans
+
+        shared = "one two three four five six"  # 6 tokens, 3 shared 4-grams
+        rows = [
+            (1, f"prefixA {shared} suffixA"),
+            (2, f"prefixB unrelated {shared} trailing words here"),
+            (3, "entirely different text with no overlap at all beyond"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {(r["id"], r["span_start"], r["span_end"], r["span_tokens"])
+               for r in repeated_spans(df, "doc_id", "text",
+                                       ngram_size=4, min_docs=2).collect()}
+        # doc 1: shared starts at token 1, ends token 6 -> one maximal span
+        # doc 2: shared starts at token 2, ends token 7
+        assert out == {(1, 1, 6, 6), (2, 2, 7, 6)}
+
+    def test_disjoint_repeats_stay_separate_spans(self, spark):
+        from ml_hadoop_experiment_spark.operators.curation import repeated_spans
+
+        a = "alpha beta gamma delta"
+        b = "epsilon zeta eta theta"
+        rows = [
+            (1, f"{a} XX1 YY1 ZZ1 {b}"),
+            (2, f"{a} QQ2 WW2 EE2 {b}"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = sorted((r["id"], r["span_start"], r["span_end"]) for r in
+                     repeated_spans(df, "doc_id", "text",
+                                    ngram_size=4, min_docs=2).collect())
+        # two separate 4-token spans per doc (positions 0-3 and 7-10)
+        assert out == [(1, 0, 3), (1, 7, 10), (2, 0, 3), (2, 7, 10)]
+
+    def test_within_doc_repeat_not_counted(self, spark):
+        from ml_hadoop_experiment_spark.operators.curation import repeated_spans
+
+        # the gram repeats only WITHIN one doc -> min_docs=2 not met
+        df = spark.createDataFrame(
+            [(1, "a b c d x y z a b c d"), (2, "totally other words here now")],
+            "doc_id long, text string",
+        )
+        assert repeated_spans(df, "doc_id", "text",
+                              ngram_size=4, min_docs=2).count() == 0

@@ -28,15 +28,18 @@ def test_state_file_covers_every_query():
     state = load_state()
     missing = sorted(set(QUERIES) - set(state))
     # a query may legitimately have no recorded green yet (added this
-    # round) — but then it MUST be scheduled in the next driver window
-    window = set(list(QUERIES)[:WINDOW_SIZE])
-    stranded = [q for q in missing if q not in window]
-    assert not stranded, (
-        f"queries with no recorded green fingerprint outside the next "
-        f"window: {stranded} — run `python tools/green_state.py --update` "
-        "after the driver round, or schedule them in the first "
-        f"{WINDOW_SIZE} entries"
-    )
+    # round) — then it must be in the next window, UNLESS the window is
+    # already saturated by changed+new entries (check() encodes the
+    # policy; overflowed new queries must sit directly after the
+    # boundary, first in line for the next round's window)
+    names = list(QUERIES)
+    overflow_new = [q for q in missing if q not in set(names[:WINDOW_SIZE])]
+    for q in overflow_new:
+        assert names.index(q) < WINDOW_SIZE + len(overflow_new) + 2, (
+            f"new query {q} is parked deep outside the window "
+            f"(position {names.index(q)}) — move it to just after the "
+            "boundary so it enters the next window first"
+        )
 
 
 def test_changed_queries_are_scheduled_in_next_window():

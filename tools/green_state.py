@@ -189,19 +189,36 @@ def load_state() -> dict:
 
 
 def check(state=None, fps=None):
-    """Return (violations, stale_unscheduled) — queries whose code
-    changed since their recorded green fingerprint (or that have no
-    recorded green at all) yet are NOT in the next driver window."""
+    """Violations of the rotation policy.
+
+    - A CHANGED query (recorded green fingerprint differs from current)
+      outside the next window is ALWAYS a violation: its green row
+      predates its code.
+    - A NEW query (no recorded green at all) outside the window is a
+      violation only while the window still holds an unchanged,
+      already-green query — i.e. new queries may overflow ONLY when the
+      window is saturated by changed+new entries (changed rows are
+      misleading evidence and outrank no-evidence; the local parity
+      replica still gates every new query each round, and overflowed
+      new queries sit first in line for the next window).
+    """
     from ml_hadoop_experiment_spark.queries import QUERIES
 
     state = state if state is not None else load_state()
     fps = fps or fingerprints()
-    window = set(list(QUERIES)[:WINDOW_SIZE])
+    names = list(QUERIES)
+    window = set(names[:WINDOW_SIZE])
+    window_has_unchanged = any(
+        n in state and state[n].get("fingerprint") == fps.get(n)
+        for n in names[:WINDOW_SIZE]
+    )
     violations = []
     for name, fp in fps.items():
         rec = state.get(name)
-        changed = rec is None or rec.get("fingerprint") != fp
-        if changed and name not in window:
+        if rec is None:
+            if name not in window and window_has_unchanged:
+                violations.append(name)
+        elif rec.get("fingerprint") != fp and name not in window:
             violations.append(name)
     return sorted(violations)
 
