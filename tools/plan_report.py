@@ -24,6 +24,7 @@ STREAMING = {
     "streaming_sessionize",
     "streaming_score",
     "streaming_interval_join",
+    "streaming_enrich",
 }
 
 
