@@ -723,9 +723,23 @@ def cdf_normalize(
     but get a NULL ``out_col`` themselves; the DuckDB oracle twin
     diverges on NULL values (NULLS LAST) exactly as the window form
     did, so the oracle contract stays "non-null value column".
+
+    Float NaN is normalized to NULL up front (NULL ``out_col``, counts
+    toward ``n`` like a missing value): ``with_keyed_min_rank``'s Arrow
+    pass cannot tell SQL NULL from NaN in a float64 frame (its
+    documented no-NaN contract), while Spark's own sort order would put
+    NaN LAST — silently mixing the two would corrupt neighboring ranks.
+    Treat-as-missing is the explicit, deterministic choice.
     """
     from ..plans.prefix import with_keyed_min_rank
 
+    if dict(df.dtypes).get(value_col) in ("float", "double"):
+        df = df.withColumn(
+            value_col,
+            F.when(F.isnan(F.col(value_col)), F.lit(None)).otherwise(
+                F.col(value_col)
+            ),
+        )
     ranked = with_keyed_min_rank(
         df, list(key_cols), value_col, rank_col="__rank", n_col="__n"
     )

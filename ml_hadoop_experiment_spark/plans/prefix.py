@@ -71,6 +71,12 @@ def with_global_running_sum(
 
     Values are summed as int64 (exact, associative); floats would make
     the two-phase result differ from a sequential sum in the last ulp.
+
+    Concurrency caveat: the internal offsets job briefly disables AQE
+    session-wide (see ``_no_aqe``) — in a session running concurrent
+    queries on OTHER threads, those queries may plan with AQE off while
+    this call's internal jobs run. Serial drivers (bench, the driver
+    gate, spark-submit batch jobs) are unaffected.
     """
     parts = num_partitions or _auto_partitions(df)
     ordered = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
@@ -172,19 +178,35 @@ _TARGET_PARTITION_BYTES = 256 << 10
 
 
 def _auto_partitions(df: DataFrame) -> int:
+    """Partition count for the range exchange. The Catalyst size
+    estimate can only SHRINK the count below ``defaultParallelism`` —
+    and never below the input's current partition count: mid-pipeline
+    frames (post-filter/join) carry stale compressed-size estimates,
+    and pass 2 buffers a whole partition, so an underestimate must not
+    collapse a genuinely large frame onto a few huge partitions."""
     spark = df.sparkSession
     default = spark.sparkContext.defaultParallelism
     try:
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return default
-    return max(2, min(default, -(-est // _TARGET_PARTITION_BYTES)))
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        current = default
+    floor = max(2, min(default, current))
+    return max(floor, min(default, -(-est // _TARGET_PARTITION_BYTES)))
 
 
 def _null_norm(x):
     """Normalize a collected scalar for null-safe equality: None and NaN
     collapse to one sentinel so tie groups containing nulls chain
-    correctly across partition boundaries."""
+    correctly across partition boundaries. The conflation is deliberate
+    and must MATCH pass 2, where the Arrow crossing renders SQL NULL as
+    ``float('nan')`` for float columns (NaN and NULL are
+    indistinguishable in a float64 pandas frame) — distinguishing them
+    here while pass 2 cannot would desynchronize the boundary offsets.
+    Hence the no-NaN contract on ``with_keyed_min_rank``."""
     if x is None:
         return ("__null__",)
     if isinstance(x, float) and x != x:
@@ -230,7 +252,22 @@ def with_keyed_min_rank(
     count toward ``n_col``, and occupy the lowest ranks; NULL keys form
     their own group. Partitions are buffered in memory during pass 4 —
     size ``num_partitions`` so a partition fits an executor (the same
-    contract ``applyInPandas`` already imposes).
+    contract ``applyInPandas`` already imposes); the automatic sizing
+    floors at the input's pre-exchange partition count, so a
+    mid-pipeline frame whose Catalyst size estimate is stale can shrink
+    parallelism but never below what the input already had.
+
+    Float-NaN contract: a float ``value_col`` must not contain real NaN
+    values — the Arrow crossing in pass 4 represents BOTH SQL NULL and
+    NaN as ``float('nan')``, so the two are conflated into one tie
+    group here, while Spark's own sort puts NULL first and NaN last.
+    Normalize NaN away first (``cdf_normalize`` maps NaN → NULL before
+    calling) or accept NaN ≡ NULL semantics.
+
+    Concurrency caveat: the internal boundary-summary job briefly
+    disables AQE session-wide (see ``_no_aqe``) — concurrent queries on
+    other threads of the same session may plan with AQE off during that
+    window. Serial drivers are unaffected.
     """
     spark = df.sparkSession
     parts = num_partitions or _auto_partitions(df)

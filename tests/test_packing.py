@@ -125,6 +125,22 @@ class TestKeyedMinRank:
         assert (out["rank"].values == exp["rank"].values).all()
         assert (out["n"].values == exp["n"].values).all()
 
+    def test_auto_partitions_floors_at_input_partition_count(self, spark):
+        """A stale/tiny Catalyst size estimate may shrink the range
+        exchange below defaultParallelism but never below the input's
+        current partition count (OOM guard: pass 2 buffers a whole
+        partition)."""
+        from ml_hadoop_experiment_spark.plans.prefix import _auto_partitions
+
+        pdf = pd.DataFrame({"k": ["a"] * 64, "v": range(64)})
+        df = spark.createDataFrame(pdf).repartition(4)
+        # estimate is a few KB -> est-based count would be 2; the floor
+        # keeps the input's 4 (== defaultParallelism in tests)
+        assert _auto_partitions(df) == 4
+        narrow = spark.createDataFrame(pdf).coalesce(1)
+        # genuinely narrow input: the estimate may shrink to 2
+        assert _auto_partitions(narrow) == 2
+
     def test_single_exchange_plan(self, spark):
         from ml_hadoop_experiment_spark.plans.prefix import with_keyed_min_rank
 

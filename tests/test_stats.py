@@ -323,6 +323,27 @@ class TestCdfNormalize:
         # single-value key -> 0.0
         assert [r["cdf"] for r in out if r["k"] == "b"] == [0.0]
 
+    def test_nan_normalized_to_null(self, spark):
+        """Real NaN in a float value column is treated as missing (NULL
+        cdf, counts toward n) — the documented resolution of the Arrow
+        crossing's NULL/NaN conflation in plans/prefix."""
+        from ml_hadoop_experiment_spark.operators.stats import cdf_normalize
+
+        nan = float("nan")
+        rows = [("a", nan), ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None)]
+        df = spark.createDataFrame(rows, "k string, v double")
+        out = cdf_normalize(df, ["k"], "v").collect()
+        got = sorted(
+            (r["cdf"] for r in out if r["v"] is not None and r["v"] == r["v"])
+        )
+        # NaN and NULL both occupy the two lowest ranks of n=5:
+        # non-null values rank 3,4,5 -> (r-1)/(n-1) = .5, .75, 1.0
+        assert got == [0.5, 0.75, 1.0]
+        missing = [
+            r["cdf"] for r in out if r["v"] is None or r["v"] != r["v"]
+        ]
+        assert missing == [None, None]
+
 
 class TestApproxProductionPaths:
     """The approx=True forms of the exact-yardstick operators (SCALE.md
