@@ -729,11 +729,32 @@ def cdf_normalize(
     pass cannot tell SQL NULL from NaN in a float64 frame (its
     documented no-NaN contract), while Spark's own sort order would put
     NaN LAST — silently mixing the two would corrupt neighboring ranks.
-    Treat-as-missing is the explicit, deterministic choice.
+    Treat-as-missing is the explicit, deterministic choice. NOTE this
+    means ``value_col`` in the RETURNED frame carries NULL where the
+    input had NaN — not an incidental implementation detail but the
+    only representable outcome: the Arrow crossing in the rank pass
+    renders every float payload column through pandas float64, whose
+    sole missing sentinel is NaN, so NaN→NULL on the way back happens
+    to ANY float column regardless of up-front normalization (ranking
+    on a hidden normalized copy was tried and measured: same output,
+    plus a duplicate float column through the range exchange).
     """
     from ..plans.prefix import with_keyed_min_rank
 
-    if dict(df.dtypes).get(value_col) in ("float", "double"):
+    # Resolve value_col to its ACTUAL schema name the way Spark does
+    # (exact match wins, else a unique case-insensitive one): a plain
+    # dict(df.dtypes) lookup would silently skip the NaN normalization
+    # for a value_col differing only in case (violating
+    # with_keyed_min_rank's no-NaN contract), and the rank pass's pandas
+    # frame indexes columns case-SENSITIVELY by the schema name.
+    fields = df.schema.fields
+    matches = [f for f in fields if f.name == value_col] or [
+        f for f in fields if f.name.lower() == value_col.lower()
+    ]
+    dtype = matches[0].dataType.simpleString() if len(matches) == 1 else None
+    if len(matches) == 1:
+        value_col = matches[0].name
+    if dtype in ("float", "double"):
         df = df.withColumn(
             value_col,
             F.when(F.isnan(F.col(value_col)), F.lit(None)).otherwise(

@@ -78,23 +78,38 @@ def with_global_running_sum(
     this call's internal jobs run. Serial drivers (bench, the driver
     gate, spark-submit batch jobs) are unaffected.
     """
+    spark = df.sparkSession
+    default = spark.sparkContext.defaultParallelism
     parts = num_partitions or _auto_partitions(df)
-    ordered = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
-    ordered = ordered.sortWithinPartitions(*order_cols)
-    # persist BEFORE the totals job: the offsets pass and the cumsum pass
-    # must observe the SAME range boundaries (a re-executed range exchange
-    # re-samples; persisting pins one materialization for both jobs).
+    # persist (inside _range_exchange) BEFORE the totals job: the offsets
+    # pass and the cumsum pass must observe the SAME range boundaries.
     # Lifetime is caller-owned; sweeping callers reclaim storage between
     # queries via release_prefix_caches().
-    with_pid = ordered.withColumn("__pid", F.spark_partition_id()).persist()
-    _CACHED.append(with_pid)
-    # one row per partition; collect is bounded by partition count
-    with _no_aqe(df.sparkSession):
-        totals = (
-            with_pid.groupBy("__pid")
-            .agg(F.sum(F.col(value_col).cast("long")).alias("t"))
-            .collect()
-        )
+    with_pid = _range_exchange(df, order_cols, parts)
+
+    def _totals(frame):
+        # one row per partition; collect is bounded by partition count
+        with _no_aqe(spark):
+            return (
+                frame.groupBy("__pid")
+                .agg(
+                    F.sum(F.col(value_col).cast("long")).alias("t"),
+                    F.count(F.lit(1)).alias("rows"),
+                )
+                .collect()
+            )
+
+    totals = _totals(with_pid)
+    if (
+        num_partitions is None
+        and parts < default
+        and any(int(r["rows"]) > _MAX_SHRUNK_PARTITION_ROWS for r in totals)
+    ):
+        # the Catalyst estimate was stale-small: redo the exchange at full
+        # parallelism FROM the persisted frame (no upstream recompute) so
+        # the cumsum pass never buffers an oversized partition.
+        with_pid = _range_exchange(with_pid.drop("__pid"), order_cols, default)
+        totals = _totals(with_pid)
     sums = {int(r["__pid"]): int(r["t"]) for r in totals}
     offsets = {}
     acc = 0
@@ -177,25 +192,59 @@ class _no_aqe:
 _TARGET_PARTITION_BYTES = 256 << 10
 
 
+#: OOM guard for an estimate-shrunk range exchange. The buffered passes
+#: hold one whole partition in memory (the same contract applyInPandas
+#: imposes); when the Catalyst estimate shrank the exchange below
+#: ``defaultParallelism``, the pass-1 summary job — which collects one
+#: row per partition anyway — verifies EXACT per-partition row counts
+#: against this bound and redoes the exchange at full parallelism from
+#: the already-persisted frame if any partition exceeds it. 2^20 rows is
+#: ~3 orders of magnitude above what an honest "small" estimate
+#: (defaultParallelism × 256 KiB compressed) can produce, so the retry
+#: fires only on genuinely stale statistics.
+_MAX_SHRUNK_PARTITION_ROWS = 1 << 20
+
+
 def _auto_partitions(df: DataFrame) -> int:
-    """Partition count for the range exchange. The Catalyst size
-    estimate can only SHRINK the count below ``defaultParallelism`` —
-    and never below the input's current partition count: mid-pipeline
-    frames (post-filter/join) carry stale compressed-size estimates,
-    and pass 2 buffers a whole partition, so an underestimate must not
-    collapse a genuinely large frame onto a few huge partitions."""
+    """Partition count for the range exchange: Catalyst's compressed-
+    size estimate may SHRINK the count below ``defaultParallelism``
+    (small frames want fewer, larger partitions), never raise it.
+
+    The estimate is verified, not trusted: mid-pipeline frames
+    (post-join/aggregate) can carry stale, far-too-small estimates, so
+    both prefix plans check the shrunk exchange's EXACT per-partition
+    row counts in their pass-1 summary job and re-exchange at full
+    parallelism when ``_MAX_SHRUNK_PARTITION_ROWS`` is exceeded.
+
+    Deliberately NOT consulted: the input's current partition count
+    (the round-7 floor). Under AQE, ``df.rdd`` eagerly materializes the
+    upstream query stages at planning time (work that is not reused by
+    the later range exchange), and any frame downstream of a
+    groupBy/join sits at ``spark.sql.shuffle.partitions`` — flooring on
+    that disables the shrink for every real pipeline, which is a
+    latency regression, while providing only a proxy (partition count,
+    not size) for the memory contract the row-count check now enforces
+    exactly."""
     spark = df.sparkSession
     default = spark.sparkContext.defaultParallelism
     try:
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return default
-    try:
-        current = df.rdd.getNumPartitions()
-    except Exception:
-        current = default
-    floor = max(2, min(default, current))
-    return max(floor, min(default, -(-est // _TARGET_PARTITION_BYTES)))
+    return max(2, min(default, -(-est // _TARGET_PARTITION_BYTES)))
+
+
+def _range_exchange(df: DataFrame, order_cols: List[str], parts: int) -> DataFrame:
+    """Range-partition + sort ``df`` by ``order_cols`` into ``parts``
+    partitions, tag rows with their partition id, and persist — the
+    summary pass and the data pass must observe the SAME range
+    boundaries (a re-executed range exchange re-samples). The pinned
+    frame is registered for :func:`release_prefix_caches`."""
+    ordered = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+    ordered = ordered.sortWithinPartitions(*order_cols)
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id()).persist()
+    _CACHED.append(with_pid)
+    return with_pid
 
 
 def _null_norm(x):
@@ -252,10 +301,12 @@ def with_keyed_min_rank(
     count toward ``n_col``, and occupy the lowest ranks; NULL keys form
     their own group. Partitions are buffered in memory during pass 4 —
     size ``num_partitions`` so a partition fits an executor (the same
-    contract ``applyInPandas`` already imposes); the automatic sizing
-    floors at the input's pre-exchange partition count, so a
-    mid-pipeline frame whose Catalyst size estimate is stale can shrink
-    parallelism but never below what the input already had.
+    contract ``applyInPandas`` already imposes); when the automatic
+    sizing shrinks the exchange below ``defaultParallelism`` from a
+    Catalyst size estimate, pass 2's per-partition row counts verify
+    the estimate and the exchange is redone at full parallelism if any
+    partition exceeds ``_MAX_SHRUNK_PARTITION_ROWS`` — the OOM guard is
+    the exact row count, not a pre-exchange partition-count proxy.
 
     Float-NaN contract: a float ``value_col`` must not contain real NaN
     values — the Arrow crossing in pass 4 represents BOTH SQL NULL and
@@ -270,17 +321,13 @@ def with_keyed_min_rank(
     window. Serial drivers are unaffected.
     """
     spark = df.sparkSession
+    default = spark.sparkContext.defaultParallelism
     parts = num_partitions or _auto_partitions(df)
     key_list = list(key_cols)
     order_cols = [*key_list, value_col]
-    ordered = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
-    ordered = ordered.sortWithinPartitions(*order_cols)
-    # persist: the summary pass and the rank pass must observe the SAME
-    # range boundaries (a re-executed range exchange re-samples).
-    with_pid = ordered.withColumn("__pid", F.spark_partition_id()).persist()
-    _CACHED.append(with_pid)
-
-    n_keys = len(key_list)
+    # persist (inside _range_exchange): the summary pass and the rank pass
+    # must observe the SAME range boundaries.
+    with_pid = _range_exchange(df, order_cols, parts)
 
     def _changes(pdf: pd.DataFrame):
         """(key_change, grp_change) bool arrays vs the PREVIOUS row;
@@ -312,34 +359,48 @@ def with_keyed_min_rank(
     def _veq(prefix):
         return F.col(value_col).eqNullSafe(F.col(f"{prefix}.{value_col}"))
 
-    slim = with_pid.select("__pid", *key_list, value_col).withColumn(
-        "__mid", F.monotonically_increasing_id()
-    )
-    edge = F.struct(*key_list, value_col)
-    firsts = slim.groupBy("__pid").agg(
-        F.min_by(edge, "__mid").alias("__f"),
-        F.max_by(edge, "__mid").alias("__l"),
-    )
-    one = F.lit(1)
-    zero = F.lit(0)
-    stats = (
-        slim.join(F.broadcast(firsts), "__pid")
-        .groupBy("__pid")
-        .agg(
-            F.sum(F.when(_keq("__f"), one).otherwise(zero)).alias("n_fk"),
-            F.sum(F.when(_keq("__f") & _veq("__f"), one).otherwise(zero)).alias(
-                "n_fg"
-            ),
-            F.sum(F.when(_keq("__l"), one).otherwise(zero)).alias("n_lk"),
-            F.sum(F.when(_keq("__l") & _veq("__l"), one).otherwise(zero)).alias(
-                "n_lg"
-            ),
-            F.first("__f").alias("__f"),
-            F.first("__l").alias("__l"),
+    def _pass1(frame):
+        slim = frame.select("__pid", *key_list, value_col).withColumn(
+            "__mid", F.monotonically_increasing_id()
         )
-    )
-    with _no_aqe(spark):
-        summaries = sorted(stats.collect(), key=lambda r: r["__pid"])
+        edge = F.struct(*key_list, value_col)
+        firsts = slim.groupBy("__pid").agg(
+            F.min_by(edge, "__mid").alias("__f"),
+            F.max_by(edge, "__mid").alias("__l"),
+        )
+        one = F.lit(1)
+        zero = F.lit(0)
+        stats = (
+            slim.join(F.broadcast(firsts), "__pid")
+            .groupBy("__pid")
+            .agg(
+                F.sum(F.when(_keq("__f"), one).otherwise(zero)).alias("n_fk"),
+                F.sum(
+                    F.when(_keq("__f") & _veq("__f"), one).otherwise(zero)
+                ).alias("n_fg"),
+                F.sum(F.when(_keq("__l"), one).otherwise(zero)).alias("n_lk"),
+                F.sum(
+                    F.when(_keq("__l") & _veq("__l"), one).otherwise(zero)
+                ).alias("n_lg"),
+                F.count(one).alias("rows"),
+                F.first("__f").alias("__f"),
+                F.first("__l").alias("__l"),
+            )
+        )
+        with _no_aqe(spark):
+            return sorted(stats.collect(), key=lambda r: r["__pid"])
+
+    summaries = _pass1(with_pid)
+    if (
+        num_partitions is None
+        and parts < default
+        and any(int(r["rows"]) > _MAX_SHRUNK_PARTITION_ROWS for r in summaries)
+    ):
+        # stale-small Catalyst estimate: re-exchange at full parallelism
+        # from the persisted frame so pass 2 never buffers an oversized
+        # partition (see _MAX_SHRUNK_PARTITION_ROWS).
+        with_pid = _range_exchange(with_pid.drop("__pid"), order_cols, default)
+        summaries = _pass1(with_pid)
 
     # ---- driver: chain boundary offsets + spanning-key totals ---------
     # infos[pid] = [off0, c0, n_first_total, n_last_total]

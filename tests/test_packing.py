@@ -125,21 +125,48 @@ class TestKeyedMinRank:
         assert (out["rank"].values == exp["rank"].values).all()
         assert (out["n"].values == exp["n"].values).all()
 
-    def test_auto_partitions_floors_at_input_partition_count(self, spark):
-        """A stale/tiny Catalyst size estimate may shrink the range
-        exchange below defaultParallelism but never below the input's
-        current partition count (OOM guard: pass 2 buffers a whole
-        partition)."""
+    def test_auto_partitions_est_shrink_ignores_partition_count(self, spark):
+        """The Catalyst size estimate may shrink the range exchange below
+        defaultParallelism regardless of the input's CURRENT partition
+        count — flooring on partition count (the round-7 guard) disabled
+        the shrink for every post-shuffle frame (they all sit at
+        spark.sql.shuffle.partitions) and the ``.rdd`` probe eagerly
+        materialized upstream AQE stages. The OOM guard lives in the
+        passes now (next test): exact pass-1 row counts, retry at full
+        parallelism."""
         from ml_hadoop_experiment_spark.plans.prefix import _auto_partitions
 
         pdf = pd.DataFrame({"k": ["a"] * 64, "v": range(64)})
-        df = spark.createDataFrame(pdf).repartition(4)
-        # estimate is a few KB -> est-based count would be 2; the floor
-        # keeps the input's 4 (== defaultParallelism in tests)
-        assert _auto_partitions(df) == 4
-        narrow = spark.createDataFrame(pdf).coalesce(1)
-        # genuinely narrow input: the estimate may shrink to 2
-        assert _auto_partitions(narrow) == 2
+        # estimate is a few KB -> est-based count is the 2 floor, even for
+        # an input fanned out to defaultParallelism partitions
+        assert _auto_partitions(spark.createDataFrame(pdf).repartition(4)) == 2
+        assert _auto_partitions(spark.createDataFrame(pdf).coalesce(1)) == 2
+
+    def test_row_guard_redoes_shrunk_exchange(self, spark, monkeypatch):
+        """OOM guard: when the estimate-shrunk exchange yields a partition
+        whose EXACT row count (from the pass-1 summary, collected anyway)
+        exceeds _MAX_SHRUNK_PARTITION_ROWS, the exchange is redone at
+        defaultParallelism from the persisted frame — results identical,
+        no oversized partition is ever buffered by pass 2."""
+        from ml_hadoop_experiment_spark.plans import prefix
+
+        monkeypatch.setattr(prefix, "_MAX_SHRUNK_PARTITION_ROWS", 64)
+        n = 1_000
+        pdf = pd.DataFrame({"k": ["a"] * n, "v": range(n), "w": [1] * n})
+        df = spark.createDataFrame(pdf)
+        assert prefix._auto_partitions(df) < 4  # the shrink fires first
+
+        ranked = prefix.with_keyed_min_rank(df, ["k"], "v")
+        out = ranked.toPandas().sort_values("v", ignore_index=True)
+        assert (out["rank"].values == np.arange(1, n + 1)).all()
+        assert (out["n"].values == n).all()
+        # the map-only rank pass preserves the redone exchange's layout
+        assert ranked.rdd.getNumPartitions() == 4
+
+        summed = prefix.with_global_running_sum(df, ["v"], "w")
+        spdf = summed.toPandas().sort_values("v", ignore_index=True)
+        assert (spdf["running_sum"].values == np.arange(1, n + 1)).all()
+        assert summed.rdd.getNumPartitions() == 4
 
     def test_single_exchange_plan(self, spark):
         from ml_hadoop_experiment_spark.plans.prefix import with_keyed_min_rank

@@ -343,6 +343,27 @@ class TestCdfNormalize:
             r["cdf"] for r in out if r["v"] is None or r["v"] != r["v"]
         ]
         assert missing == [None, None]
+        # the documented value-column mutation: NaN comes back as NULL
+        # (the Arrow crossing can't represent NaN-vs-NULL in float64
+        # payloads either way — see the cdf_normalize docstring)
+        assert sum(1 for r in out if r["v"] is None) == 2
+        assert all(r["v"] == r["v"] for r in out if r["v"] is not None)
+
+    def test_value_col_case_insensitive_resolution(self, spark):
+        """A value_col differing in case from the schema name still gets
+        the NaN normalization (Spark resolves columns case-insensitively
+        by default; the dtype lookup must too), and the output keeps the
+        schema's original column name."""
+        from ml_hadoop_experiment_spark.operators.stats import cdf_normalize
+
+        rows = [("a", float("nan")), ("a", 1.0), ("a", 2.0)]
+        df = spark.createDataFrame(rows, "k string, Val double")
+        out = cdf_normalize(df, ["k"], "val").collect()
+        assert "Val" in out[0].asDict()
+        assert sorted(
+            r["cdf"] for r in out if r["Val"] is not None
+        ) == [0.5, 1.0]
+        assert [r["cdf"] for r in out if r["Val"] is None] == [None]
 
 
 class TestApproxProductionPaths:
