@@ -259,6 +259,38 @@ def _bench_outlier_stats_approx(spark) -> None:
     ).mode("overwrite").save()
 
 
+_NEAR_DUP_INDEX_CACHE: dict = {}
+
+
+def _bench_near_dup_incr_steady(spark) -> None:
+    """near_dup_against_index steady state: the corpus index (persisted
+    token + LSH band frames) is built ONCE — during the warmup passes —
+    and every timed pass filters the new batch against it, exactly the
+    per-crawl-batch cost a production pipeline pays after amortizing the
+    index build. Pair with the declared near_dup_incr entry (which
+    rebuilds the corpus side per call) for the A/B."""
+    from pyspark.sql import functions as F
+
+    from ml_hadoop_experiment_spark.operators.dedup import (
+        build_corpus_index,
+        near_dup_against_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    index = _NEAR_DUP_INDEX_CACHE.get("index")
+    if index is None:
+        corpus = docs.where(F.col("doc_id") % 10 != 0)
+        index = build_corpus_index(
+            corpus, "doc_id", "text", shingle_size=3, num_hashes=8,
+            bands=4, rows_per_band=2,
+        )
+        _NEAR_DUP_INDEX_CACHE["index"] = index
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    near_dup_against_index(
+        new, index, "doc_id", "text", threshold=0.3
+    ).write.format("noop").mode("overwrite").save()
+
+
 def _bench_trimmed_stats_approx(spark) -> None:
     """trimmed_stats production path: approx_percentile fences — the
     exact-vs-approx pairing of the declared trimmed_stats query."""
@@ -278,6 +310,7 @@ EXTRA_BENCHES = {
     "profile_approx": _bench_profile_approx,
     "outlier_stats_approx": _bench_outlier_stats_approx,
     "trimmed_stats_approx": _bench_trimmed_stats_approx,
+    "near_dup_incr_steady": _bench_near_dup_incr_steady,
 }
 
 
@@ -352,6 +385,25 @@ def main() -> None:
         # convergence rounds of the connected-components pipelines: a CC
         # regression shows up here before it shows up as wall time
         out["cc_rounds"] = cc_rounds
+    # Durable full record: the driver's BENCH_r{N}.json keeps only the tail
+    # of stdout, which truncates the first ~15 per-query entries; write the
+    # complete dict next to it so every round has the full per-query sweep
+    # on disk (BASELINE.md "Durable bench records"). Round number = 1 + the
+    # newest driver round seen in CORRECTNESS_r*.json; overwrite-safe.
+    try:
+        import glob as _glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(_re.search(r"_r(\d+)", p).group(1))
+            for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        ]
+        rnd = max(rounds, default=0) + 1
+        with open(os.path.join(here, f"BENCH_LOCAL_r{rnd:02d}.json"), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except Exception:
+        pass  # the durable record must never fail the bench itself
     print(json.dumps(out))
     spark.stop()
 

@@ -23,10 +23,14 @@ from ml_hadoop_experiment_spark.operators.bootstrap import (
     poisson_bootstrap_metrics,
 )
 from ml_hadoop_experiment_spark.operators.dedup import (
+    NearDupCorpusIndex,
+    build_corpus_index,
     dedup_exact,
     jaccard_pairs,
     minhash_dedup_pairs,
     minhash_signatures,
+    near_dup_against,
+    near_dup_against_index,
     simhash,
     simhash_near_dup_pairs,
     tokens_frame,
@@ -64,6 +68,10 @@ __all__ = [
     "lsh_bucketed",
     "minhash_dedup_pairs",
     "minhash_signatures",
+    "NearDupCorpusIndex",
+    "build_corpus_index",
+    "near_dup_against",
+    "near_dup_against_index",
     "range_join",
     "sessionize",
     "simhash",

@@ -475,10 +475,10 @@ def near_dup_against(
     Scale policy mirrors ``minhash_dedup_pairs``: above
     ``AUTO_PERSIST_BYTES`` the token frames persist (each is consumed
     by signatures AND verify) and the verify joins take MERGE hints
-    (compile-time size estimates lie for persisted frames). In steady
-    production the corpus band frame and token sizes would be
-    precomputed once and reused across batches — they are pure
-    functions of the corpus.
+    (compile-time size estimates lie for persisted frames). For steady
+    production — many batches against one corpus — precompute the
+    corpus frames once with :func:`build_corpus_index` and filter each
+    batch via :func:`near_dup_against_index` instead.
     """
     toks_new = tokens_frame(new_df, id_col, text_col, shingle_size)
     toks_corp = tokens_frame(corpus_df, id_col, text_col, shingle_size)
@@ -501,7 +501,29 @@ def near_dup_against(
         rows_per_band,
         max_bucket_ids,
     )
-    if safe_joins:
+    return _near_dup_verify(
+        toks_new, bands_new, toks_corp, bands_corp, threshold,
+        safe_new=safe_joins, safe_corp=safe_joins,
+    )
+
+
+def _near_dup_verify(
+    toks_new: DataFrame,
+    bands_new: DataFrame,
+    toks_corp: DataFrame,
+    bands_corp: DataFrame,
+    threshold: float,
+    safe_new: bool,
+    safe_corp: bool,
+) -> DataFrame:
+    """Shared tail of the incremental near-dup paths: LSH band equi-join
+    (new-vs-corpus only) -> distinct candidate pairs -> two-sided exact
+    Jaccard verify. ``safe_new``/``safe_corp`` apply MERGE hints per
+    side — a persisted frame's compile-time size estimate lies
+    (compressed-scan bytes), so broadcast decisions must not be made
+    from it, while an un-persisted side keeps its honest estimate and
+    its (measured faster) broadcast plan."""
+    if safe_corp:
         bands_corp = bands_corp.hint("merge")
     cands = (
         bands_new.alias("n")
@@ -519,9 +541,10 @@ def near_dup_against(
     sizes_corp = toks_corp.groupBy("id").agg(F.count("*").alias("n_corp"))
     tn = toks_new.select(F.col("id").alias("id_new"), "token")
     tc = toks_corp.select(F.col("id").alias("id_corpus"), "token")
-    if safe_joins:
-        tn, tc = tn.hint("merge"), tc.hint("merge")
-        sizes_new, sizes_corp = sizes_new.hint("merge"), sizes_corp.hint("merge")
+    if safe_new:
+        tn, sizes_new = tn.hint("merge"), sizes_new.hint("merge")
+    if safe_corp:
+        tc, sizes_corp = tc.hint("merge"), sizes_corp.hint("merge")
     inter = (
         cands.join(tn, "id_new")
         .join(tc, ["id_corpus", "token"])
@@ -544,6 +567,117 @@ def near_dup_against(
     if threshold > 0.0:
         out = out.where(F.col("jaccard") >= threshold)
     return out
+
+
+class NearDupCorpusIndex:
+    """Persisted, reusable corpus side of the incremental near-dup
+    pipeline — the steady-state production shape: the shingle token
+    frame and the LSH band frame are pure functions of the corpus, so
+    filtering every new crawl batch against the same training corpus
+    should pay their computation ONCE, not once per batch
+    (``near_dup_against`` recomputes both per call).
+
+    Build with :func:`build_corpus_index`; feed to
+    :func:`near_dup_against_index`; release executor storage with
+    :meth:`unpersist` when the corpus rotates. The LSH parameters used
+    at build time travel with the index so every batch is banded
+    identically.
+    """
+
+    def __init__(
+        self,
+        tokens: DataFrame,
+        bands_frame: DataFrame,
+        shingle_size: int,
+        num_hashes: int,
+        bands: int,
+        rows_per_band: int,
+    ):
+        self.tokens = tokens
+        self.bands_frame = bands_frame
+        self.shingle_size = shingle_size
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+
+    def unpersist(self) -> None:
+        self.tokens.unpersist()
+        self.bands_frame.unpersist()
+
+
+def build_corpus_index(
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_ids: Optional[int] = 1024,
+    storage_level: Optional["StorageLevel"] = None,  # noqa: F821
+    eager: bool = True,
+) -> NearDupCorpusIndex:
+    """Precompute the corpus frames ``near_dup_against`` derives per
+    call: the distinct shingle token frame (consumed by the Jaccard
+    verify and the per-doc size aggregate) and the bucket-capped LSH
+    band frame (the corpus side of every batch's candidate join). Both
+    persist at MEMORY_AND_DISK (spill-safe: a 100 TB corpus's token
+    frame lands on local disk, never OOM) and, with ``eager``, are
+    materialized here so the first batch doesn't pay the build inside
+    its own job. Amortized steady-state cost per batch is then only the
+    batch's own shingle/signature work plus the band join and verify —
+    see SCALE.md "near_dup_incr steady-state index A/B"."""
+    from pyspark import StorageLevel
+
+    level = storage_level or StorageLevel.MEMORY_AND_DISK
+    toks = tokens_frame(corpus_df, id_col, text_col, shingle_size).persist(level)
+    band_frame = lsh_band_frame(
+        minhash_signatures(toks, num_hashes), bands, rows_per_band, max_bucket_ids
+    ).persist(level)
+    if eager:
+        # materialize bottom-up; banding reads the already-pinned tokens
+        toks.count()
+        band_frame.count()
+    return NearDupCorpusIndex(
+        toks, band_frame, shingle_size, num_hashes, bands, rows_per_band
+    )
+
+
+def near_dup_against_index(
+    new_df: DataFrame,
+    index: NearDupCorpusIndex,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    cache_new: Optional[bool] = None,
+) -> DataFrame:
+    """Steady-state sibling of ``near_dup_against``: filter a NEW batch
+    against a prebuilt :class:`NearDupCorpusIndex`. Same result frame
+    ``(id_new, id_corpus, jaccard >= threshold)``, same construction —
+    the batch is shingled and banded with the index's own LSH
+    parameters, then runs the shared band-join + exact-verify tail —
+    but the corpus contributes ZERO recomputation: both its frames come
+    out of the persisted index. The corpus side always takes the
+    persisted-frame MERGE posture; the batch side persists (it feeds
+    signatures, verify, and the size aggregate) when Catalyst estimates
+    it above ``AUTO_PERSIST_BYTES``, or per ``cache_new``."""
+    toks_new = tokens_frame(new_df, id_col, text_col, index.shingle_size)
+    if cache_new is None:
+        cache_new = _estimated_input_bytes(new_df) > AUTO_PERSIST_BYTES
+    if cache_new:
+        from pyspark import StorageLevel
+
+        toks_new = toks_new.persist(StorageLevel.MEMORY_AND_DISK)
+    bands_new = lsh_band_frame(
+        minhash_signatures(toks_new, index.num_hashes),
+        index.bands,
+        index.rows_per_band,
+        None,
+    )
+    return _near_dup_verify(
+        toks_new, bands_new, index.tokens, index.bands_frame, threshold,
+        safe_new=bool(cache_new), safe_corp=True,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -831,7 +965,9 @@ def _union_find_partition(batches):
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 25
+    edges: DataFrame,
+    max_iterations: int = 25,
+    single_task_edges: Optional[int] = None,
 ) -> DataFrame:
     """(id, component) labels for the undirected graph of (id_a, id_b)
     edges; component = smallest id reachable from the node.
@@ -865,7 +1001,18 @@ def connected_components(
     deterministic, engine-checkable (the ``dup_clusters`` oracle is a
     DuckDB recursive-CTE closure). ``LAST_CC_STATS`` records the level
     count and per-level edge counts.
+
+    ``single_task_edges`` overrides the module default
+    ``CC_SINGLE_TASK_EDGES`` (5M) — the edge count below which one task
+    finishes the graph exactly. At 100 TB a near-dup pair graph's
+    level-0 contraction can exceed any single task's budget, forcing
+    depth ≥ 2; locally that regime is reproduced by lowering this knob
+    (SCALE.md "CC depth-2 contraction", ``tests/test_dedup.py``) rather
+    than by fixtures too large to test.
     """
+    budget = (
+        single_task_edges if single_task_edges is not None else CC_SINGLE_TASK_EDGES
+    )
     sym = edges.select(
         F.col("id_a").cast("bigint").alias("src"),
         F.col("id_b").cast("bigint").alias("dst"),
@@ -890,7 +1037,7 @@ def connected_components(
         n_edges = e.count()
         LAST_CC_STATS["rounds"] += 1
         LAST_CC_STATS["changed"].append(int(n_edges))
-        if n_edges <= CC_SINGLE_TASK_EDGES:
+        if n_edges <= budget:
             # one task unions the whole (contracted) graph exactly
             return (
                 e.coalesce(1)
@@ -908,6 +1055,15 @@ def connected_components(
                 F.col("__r0").alias("src"), F.explode("__rs").alias("dst")
             )
             .where(F.col("src") != F.col("dst"))
+            # co-locate the contracted graph by component root before the
+            # next level's union-find: every edge of one (partial)
+            # component lands in one partition and collapses there, so
+            # levels track the CROSS-root structure instead of random
+            # placement. Measured on the adversarial scattered-chain
+            # graph (180k edges / 32 partitions, budget 20k): levels
+            # 7 -> 3, wall 14.8 -> 10.3 s (SCALE.md "CC depth-2
+            # contraction"). Single-level runs never build this frame.
+            .repartition("src")
         )
         sub = solve(contracted, depth + 1)
         return (

@@ -966,6 +966,30 @@ WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.n_new + sb.n_corp - i.n_inter), 6)
 """
 
 
+def q_near_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state incremental near-dup: the same new-vs-corpus filter
+    as ``near_dup_incr`` but through a prebuilt ``build_corpus_index``
+    (persisted corpus token + LSH band frames — the pure-functions-of-
+    corpus a production pipeline computes once and reuses per crawl
+    batch). Result contract is identical, so the oracle is the same
+    SQL; what differs is WHERE the corpus work happens (index build,
+    amortized across batches) — see SCALE.md "near_dup_incr
+    steady-state index A/B"."""
+    from ml_hadoop_experiment_spark.operators.dedup import (
+        build_corpus_index,
+        near_dup_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    index = build_corpus_index(
+        corpus, "doc_id", "text", shingle_size=3, num_hashes=8,
+        bands=4, rows_per_band=2,
+    )
+    return near_dup_against_index(new, index, "doc_id", "text", threshold=0.3)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash16"))
@@ -4127,6 +4151,7 @@ QUERIES = {
     # tier 1: NEW queries (round 6) - need their first green row
     "streaming_enrich": q_streaming_enrich,
     "near_dup_incr": q_near_dup_incr,
+    "near_dup_index": q_near_dup_index,
     "mixture_sample": q_mixture_sample,
     "rare_tokens": q_rare_tokens,
     "token_budget": q_token_budget,
@@ -4204,6 +4229,8 @@ ORACLE_SQL = {
     "repeated_spans": SQL_REPEATED_SPANS,
     "streaming_enrich": SQL_STREAMING_ENRICH,
     "near_dup_incr": SQL_NEAR_DUP_INCR,
+    # identical result contract; the Spark side runs the prebuilt-index path
+    "near_dup_index": SQL_NEAR_DUP_INCR,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "token_budget": SQL_TOKEN_BUDGET,
     "rare_tokens": SQL_RARE_TOKENS,

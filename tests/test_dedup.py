@@ -1,5 +1,7 @@
 """Dedup operator tests: exact, MinHash/LSH, SimHash, Jaccard."""
 
+import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -439,6 +441,52 @@ def test_connected_components_depth_guard_raises(spark, monkeypatch):
     assert dedup.LAST_CC_STATS["rounds"] >= 2
 
 
+def test_connected_components_multi_level_vs_recursive_cte(spark):
+    """Depth-2+ contraction on a partition-spanning clone graph, labels
+    checked against an independent DuckDB recursive-CTE closure — the
+    cluster-scale regime (level-0 contraction larger than one task's
+    edge budget) reproduced via the single_task_edges knob instead of
+    fixtures too large to test. SCALE.md "CC depth-2 contraction" holds
+    the timed version of this construction (180k edges, budget 20k:
+    3 levels, exact labels)."""
+    import duckdb
+
+    from ml_hadoop_experiment_spark.operators import dedup
+
+    G, L = 2_000, 10  # 2k clone groups x chain of 10, shuffled over 16 parts
+    src = np.concatenate([np.arange(g * L, g * L + L - 1) for g in range(G)])
+    pdf = pd.DataFrame({"id_a": src, "id_b": src + 1}).sample(
+        frac=1.0, random_state=7
+    )
+    edges = spark.createDataFrame(pdf).repartition(16)
+    out = (
+        dedup.connected_components(edges, single_task_edges=2_000)
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert dedup.LAST_CC_STATS["rounds"] >= 2, dedup.LAST_CC_STATS
+    con = duckdb.connect()
+    con.register("edges", pdf)
+    oracle = con.execute(
+        """
+        WITH RECURSIVE sym AS (
+          SELECT id_a AS a, id_b AS b FROM edges UNION
+          SELECT id_b, id_a FROM edges
+        ),
+        walk(id, comp) AS (
+          SELECT a, least(a, min(b)) FROM sym GROUP BY a
+          UNION
+          SELECT s.a, w.comp FROM sym s JOIN walk w ON w.id = s.b
+            WHERE w.comp < s.a
+        )
+        SELECT id, min(comp) AS comp FROM walk GROUP BY id
+        """
+    ).df().sort_values("id", ignore_index=True)
+    assert len(out) == len(oracle) == G * L
+    assert (out["id"].values == oracle["id"].values).all()
+    assert (out["comp"].values == oracle["comp"].values).all()
+
+
 class TestNearDupAgainst:
     def test_finds_corpus_near_dups_only(self, spark):
         from ml_hadoop_experiment_spark.operators.dedup import near_dup_against
@@ -502,3 +550,66 @@ class TestNearDupAgainst:
             elif b % 10 == 0 and a % 10 != 0:
                 cross.add((b, a, r["jaccard"]))
         assert incr == cross
+
+
+class TestNearDupCorpusIndex:
+    def test_index_path_equals_from_scratch(self, spark):
+        """build_corpus_index + near_dup_against_index returns exactly
+        the from-scratch near_dup_against result (same LSH params), for
+        multiple batches against ONE index — the steady-state contract."""
+        from ml_hadoop_experiment_spark.operators.dedup import (
+            build_corpus_index,
+            near_dup_against,
+            near_dup_against_index,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(300)
+        corpus = docs.where(F.col("doc_id") % 10 != 0)
+        index = build_corpus_index(corpus, "doc_id", "text",
+                                   shingle_size=3, num_hashes=8,
+                                   bands=4, rows_per_band=2)
+        try:
+            for m in (0, 5):  # two distinct "crawl batches", one index
+                new = docs.where(F.col("doc_id") % 10 == m)
+                got = {
+                    (r["id_new"], r["id_corpus"], r["jaccard"])
+                    for r in near_dup_against_index(
+                        new, index, "doc_id", "text", threshold=0.3
+                    ).collect()
+                }
+                want = {
+                    (r["id_new"], r["id_corpus"], r["jaccard"])
+                    for r in near_dup_against(
+                        new, corpus, "doc_id", "text", shingle_size=3,
+                        num_hashes=8, bands=4, rows_per_band=2,
+                        threshold=0.3,
+                    ).collect()
+                }
+                assert got == want and want  # non-vacuous: dups exist
+        finally:
+            index.unpersist()
+
+    def test_index_carries_lsh_params(self, spark):
+        """The batch is banded with the INDEX's parameters, so a
+        non-default build still joins bucket-compatibly."""
+        from ml_hadoop_experiment_spark.operators.dedup import (
+            build_corpus_index,
+            near_dup_against_index,
+        )
+
+        text = "shared sentence with enough words to form several shingles"
+        corpus = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        new = spark.createDataFrame([(8, text)], "doc_id long, text string")
+        index = build_corpus_index(corpus, "doc_id", "text",
+                                   shingle_size=2, num_hashes=6,
+                                   bands=3, rows_per_band=2)
+        try:
+            out = near_dup_against_index(
+                new, index, "doc_id", "text", threshold=0.5
+            ).collect()
+            assert [(r["id_new"], r["id_corpus"], r["jaccard"]) for r in out] \
+                == [(8, 7, 1.0)]
+        finally:
+            index.unpersist()
