@@ -4097,14 +4097,23 @@ SQL_RARE_TOKENS = _sql_rare_tokens()
 # Rotation history: r06 window = the 39 changed-since-green queries (the
 # verdict's 12, the r5 shared-module edits the fingerprint sweep surfaced,
 # and the r6 prefix/dedup/stats consumers) + 11 oldest unchanged r04-green.
-# See PARITY.md "Correctness rotation".
+# r08 window = repeated_spans (never driver-checked; leads) + near_dup_index
+# (new) + the 38 prefix/dedup/stats-closure queries the round-8 edits
+# flagged + 10 oldest unchanged r04-green. See PARITY.md "Correctness
+# rotation".
 QUERIES = {
-    # tier 0: operator/oracle/import-closure changed since last driver-
-    # green row (machine-checked by tools/green_state.py). Round-6 edits:
-    # prefix.py re-plan, dedup.py auto-bits, sampling.py mixture_sample,
-    # plus the r5-era changes the fingerprint sweep surfaced.
+    # --- driver window (first 50): tier 0 = new queries with no
+    #     driver row yet; tier 1 = queries whose operator/oracle import
+    #     closure changed since their last driver-green row (machine-
+    #     checked by tools/green_state.py); tier 2 = oldest-green
+    #     unchanged backfill. Regenerated programmatically each round —
+    #     round-8 edits: plans/prefix.py re-plan + row guard,
+    #     operators/dedup.py corpus index + CC root-repartition,
+    #     operators/stats.py cdf_normalize resolution.
+    "repeated_spans": q_repeated_spans,
+    "near_dup_index": q_near_dup_index,
+    # tier 1: changed since last green
     "bm25_topk": q_bm25_topk,
-    "cap_per_key": q_cap_per_key,
     "cdf_normalize": q_cdf_normalize,
     "chi_square": q_chi_square,
     "corr_matrix": q_corr_matrix,
@@ -4118,51 +4127,33 @@ QUERIES = {
     "dup_stats": q_dup_stats,
     "feature_hist": q_feature_hist,
     "fuzzy_match": q_fuzzy_match,
-    "gap_fill": q_gap_fill,
     "global_rank": q_global_rank,
-    "heavy_hitters": q_heavy_hitters,
     "impute_median": q_impute_median,
-    "kfold_assign": q_kfold_assign,
     "llm_pipeline": q_llm_pipeline,
     "minhash_signatures": q_minhash_signatures,
+    "near_dup_incr": q_near_dup_incr,
     "near_dup_pairs": q_near_dup_pairs,
     "outlier_stats": q_outlier_stats,
     "pack_bins": q_pack_bins,
     "profile_table": q_profile_table,
+    "rare_tokens": q_rare_tokens,
     "repeated_ngrams": q_repeated_ngrams,
     "robust_scale": q_robust_scale,
-    "sample_by_class": q_sample_by_class,
-    "sample_stratified": q_sample_stratified,
     "segment_trend": q_segment_trend,
     "semantic_dedup": q_semantic_dedup,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "snm_pairs": q_snm_pairs,
     "tfidf_topk": q_tfidf_topk,
+    "token_budget": q_token_budget,
     "tokens_to_ids": q_tokens_to_ids,
-    "trailing_window": q_trailing_window,
-    "train_split": q_train_split,
     "trimmed_stats": q_trimmed_stats,
-    "twap": q_twap,
     "vocab_build": q_vocab_build,
     "vocab_merged_keys": q_vocab_merged_keys,
     "vocab_tokens": q_vocab_tokens,
-    "weighted_sample": q_weighted_sample,
-    # tier 1: NEW queries (round 6) - need their first green row
-    "streaming_enrich": q_streaming_enrich,
-    "near_dup_incr": q_near_dup_incr,
-    "near_dup_index": q_near_dup_index,
-    "mixture_sample": q_mixture_sample,
-    "rare_tokens": q_rare_tokens,
-    "token_budget": q_token_budget,
-    # ---- window boundary (first 50 above: 45 changed + 5 new) ----
-    # overflow NEW query (window saturated by changed entries): no green
-    # row yet, locally parity-gated, first in line for the r7 window
-    "repeated_spans": q_repeated_spans,
-    # tier 2: unchanged r04-green, next in line for the r7 window
+    # tier 2: oldest-green unchanged backfill to 50
     "big_orders": q_big_orders,
     "bootstrap_metrics": q_bootstrap_metrics,
-    # unchanged r04-green overflow: first in line for the r7 window
     "cohort_retention": q_cohort_retention,
     "doc_fingerprint": q_doc_fingerprint,
     "event_transitions": q_event_transitions,
@@ -4171,6 +4162,20 @@ QUERIES = {
     "lag_features": q_lag_features,
     "null_default_fill": q_null_default_fill,
     "pricing_summary": q_pricing_summary,
+    # --- outside the driver window: unchanged, driver-green, and
+    #     re-gated locally every round by tests/test_oracle_parity.py
+    "cap_per_key": q_cap_per_key,
+    "gap_fill": q_gap_fill,
+    "heavy_hitters": q_heavy_hitters,
+    "kfold_assign": q_kfold_assign,
+    "sample_by_class": q_sample_by_class,
+    "sample_stratified": q_sample_stratified,
+    "trailing_window": q_trailing_window,
+    "train_split": q_train_split,
+    "twap": q_twap,
+    "weighted_sample": q_weighted_sample,
+    "streaming_enrich": q_streaming_enrich,
+    "mixture_sample": q_mixture_sample,
     "promo_share": q_promo_share,
     "region_revenue": q_region_revenue,
     "returned_customers": q_returned_customers,
@@ -4179,7 +4184,6 @@ QUERIES = {
     "text_stats": q_text_stats,
     "udf_linear_score": q_udf_linear_score,
     "zorder_stats": q_zorder_stats,
-    # tier 3: unchanged, driver-green in r05
     "event_pivot": q_event_pivot,
     "funnel_counts": q_funnel_counts,
     "image_dims": q_image_dims,

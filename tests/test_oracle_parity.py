@@ -78,6 +78,11 @@ def test_query_matches_oracle(spark, duck, name):
     _assert_frames_match(name, spark_pdf, duck_pdf)
 
 
+# NO_ORACLE is EMPTY right now — every declared query has a DuckDB twin —
+# so pytest reports this parametrization as the suite's single SKIP
+# ("got empty parameter set"). That skip is the desired steady state: it
+# only turns into real tests if a future non-SQL-expressible query joins
+# NO_ORACLE, and the guard below keeps the two sets partitioning QUERIES.
 @pytest.mark.parametrize("name", sorted(NO_ORACLE))
 def test_no_oracle_query_runs(spark, name):
     """Rows-only check for the declared non-SQL-expressible queries —
