@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "text_stats",
     "doc_fingerprint",
     "tfidf_topk",
+    "bpe_pairs",
     "dedup_exact",
     "near_dup_pairs",
     "near_dup_incr",

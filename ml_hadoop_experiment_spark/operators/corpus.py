@@ -320,3 +320,76 @@ SELECT t.id AS {id_expr},
 FROM toks t JOIN cnt c ON t.tok = c.tok
 GROUP BY 1
 """
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 200,
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair frequencies — the statistic one
+    BPE/WordPiece tokenizer-training iteration is built on (count every
+    adjacent character pair inside every word, weighted by how often
+    the word occurs; the most frequent pair is the next merge).
+
+    Plan exploits the classic trainer optimization — aggregate over
+    DISTINCT words, not word occurrences: the corpus stream collapses
+    to a (word, count) table first (map-combined; the shuffle carries
+    distinct words, never text), and the character-bigram explode +
+    weighted sum then run over vocabulary-sized data. At 100 TB the
+    distinct-word table is millions of rows where the raw token stream
+    is trillions — the pair aggregation's cost is corpus-size-
+    independent after the first shuffle. Top-k orders by
+    (count desc, pair asc) — a total order, so the k-th row is engine-
+    deterministic — via TakeOrderedAndProject (no global sort).
+
+    Output: (pair string2, pair_count long), the ``top_k`` most
+    frequent. Words shorter than 2 characters contribute nothing
+    (nothing to merge). Pure codegen expressions end to end — no
+    Python in the pipeline.
+    """
+    words = df.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("__w")
+    ).where(F.length("__w") >= 2)
+    wc = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    pairs = wc.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))"
+            )
+        ).alias("pair"),
+        F.col("__c"),
+    )
+    out = (
+        pairs.groupBy("pair")
+        .agg(F.sum("__c").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(int(top_k))
+    )
+    return out
+
+
+def bpe_pair_counts_sql(relation: str, text_expr: str, top_k: int = 200) -> str:
+    """DuckDB twin of ``bpe_pair_counts`` (same tie-break total order)."""
+    return f"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower({text_expr})), '\\s+')) AS w
+  FROM {relation}
+),
+wc AS (
+  SELECT w, count(*) AS c FROM words WHERE len(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(
+           range(1, len(w)), i -> substring(w, i, 2))) AS pair,
+         c
+  FROM wc
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {int(top_k)}
+"""

@@ -873,6 +873,37 @@ WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - i.n_inter),
 """
 
 
+def q_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment detection: same MinHash-LSH candidate pipeline as
+    near_dup_pairs, verified with the OVERLAP COEFFICIENT
+    |A∩B|/min(|A|,|B|) >= 0.5 (jaccard rides along) — catches the
+    short-doc-quoted-inside-long-doc asymmetric duplication symmetric
+    Jaccard under-scores. Recall caveat (LSH recalls by Jaccard)
+    documented on operators/dedup.overlap_pairs."""
+    from ml_hadoop_experiment_spark.operators.dedup import minhash_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_overlap_pairs(
+        docs, "doc_id", "text", shingle_size=3, num_hashes=8, bands=4,
+        rows_per_band=2, threshold=0.5,
+    )
+
+
+# same CTE chain as SQL_NEAR_DUP_PAIRS; only the verifier differs
+SQL_OVERLAP_PAIRS = SQL_NEAR_DUP_PAIRS.rsplit("SELECT i.id_a", 1)[0] + """
+SELECT i.id_a, i.id_b,
+       round(CAST(i.n_inter AS DOUBLE) / least(sa.n_tokens, sb.n_tokens), 6)
+         AS overlap,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.n_tokens + sb.n_tokens - i.n_inter), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE round(CAST(i.n_inter AS DOUBLE) / least(sa.n_tokens, sb.n_tokens), 6)
+      >= 0.5
+"""
+
+
 def q_near_dup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: the "new batch" (doc_id % 10 == 0) filtered
     against the existing corpus (the other 90%) by MinHash-LSH band join
@@ -4078,6 +4109,27 @@ def _sql_rare_tokens() -> str:
 SQL_RARE_TOKENS = _sql_rare_tokens()
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training statistic: top-200 adjacent character pairs
+    weighted by word frequency — one BPE merge-selection iteration.
+    Aggregates over DISTINCT words (the trainer optimization: the pair
+    explode runs on vocabulary-sized data, not the token stream);
+    deterministic (count desc, pair asc) top-k; codegen end to end."""
+    from ml_hadoop_experiment_spark.operators.corpus import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, "text", top_k=200)
+
+
+def _sql_bpe_pairs() -> str:
+    from ml_hadoop_experiment_spark.operators.corpus import bpe_pair_counts_sql
+
+    return bpe_pair_counts_sql("documents", "text", top_k=200)
+
+
+SQL_BPE_PAIRS = _sql_bpe_pairs()
+
+
 # Ordering contract: the driver's correctness gate verifies the FIRST 50
 # entries of this dict, in order (CORRECTNESS_r03/r04 each recorded exactly
 # the first 50 keys). The dict is therefore ROTATED each round:
@@ -4108,10 +4160,13 @@ QUERIES = {
     #     checked by tools/green_state.py); tier 2 = oldest-green
     #     unchanged backfill. Regenerated programmatically each round —
     #     round-8 edits: plans/prefix.py re-plan + row guard,
-    #     operators/dedup.py corpus index + CC root-repartition,
+    #     operators/dedup.py corpus index + overlap verify + CC
+    #     root-repartition, operators/corpus.py bpe_pair_counts,
     #     operators/stats.py cdf_normalize resolution.
     "repeated_spans": q_repeated_spans,
     "near_dup_index": q_near_dup_index,
+    "overlap_pairs": q_overlap_pairs,
+    "bpe_pairs": q_bpe_pairs,
     # tier 1: changed since last green
     "bm25_topk": q_bm25_topk,
     "cdf_normalize": q_cdf_normalize,
@@ -4160,10 +4215,10 @@ QUERIES = {
     "events_long": q_events_long,
     "feature_hash": q_feature_hash,
     "lag_features": q_lag_features,
-    "null_default_fill": q_null_default_fill,
-    "pricing_summary": q_pricing_summary,
     # --- outside the driver window: unchanged, driver-green, and
     #     re-gated locally every round by tests/test_oracle_parity.py
+    "null_default_fill": q_null_default_fill,
+    "pricing_summary": q_pricing_summary,
     "cap_per_key": q_cap_per_key,
     "gap_fill": q_gap_fill,
     "heavy_hitters": q_heavy_hitters,
@@ -4235,6 +4290,8 @@ ORACLE_SQL = {
     "near_dup_incr": SQL_NEAR_DUP_INCR,
     # identical result contract; the Spark side runs the prebuilt-index path
     "near_dup_index": SQL_NEAR_DUP_INCR,
+    "overlap_pairs": SQL_OVERLAP_PAIRS,
+    "bpe_pairs": SQL_BPE_PAIRS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "token_budget": SQL_TOKEN_BUDGET,
     "rare_tokens": SQL_RARE_TOKENS,

@@ -147,3 +147,86 @@ class TestRareTokenRatio:
         # 'foo' appears 3x after lowercasing -> not rare; 'bar' is
         assert out[1]["n_rare"] == 0
         assert out[2]["n_rare"] == 1
+
+
+class TestBpePairCounts:
+    def test_pair_counts_weighted_by_word_frequency(self, spark):
+        """Hand-computed merge statistics: 'aab aab ab' -> words
+        aab(x2), ab(x1); pairs: aa +1*2, ab +1*2 +1*1 = 3."""
+        from ml_hadoop_experiment_spark.operators.corpus import bpe_pair_counts
+
+        df = spark.createDataFrame([("aab aab ab",)], "text string")
+        got = {r["pair"]: r["pair_count"] for r in bpe_pair_counts(df, "text").collect()}
+        assert got == {"ab": 3, "aa": 2}
+
+    def test_distinct_word_aggregation_and_short_words(self, spark):
+        """Single-char words contribute nothing; counts accumulate
+        across rows; lower/trim normalization applies."""
+        from ml_hadoop_experiment_spark.operators.corpus import bpe_pair_counts
+
+        df = spark.createDataFrame(
+            [("  The the  ",), ("a the",)], "text string"
+        )
+        got = {r["pair"]: r["pair_count"] for r in bpe_pair_counts(df, "text").collect()}
+        # 'the' x3 -> th:3, he:3; 'a' too short
+        assert got == {"th": 3, "he": 3}
+
+    def test_topk_total_order(self, spark):
+        """k-th row is deterministic: ties break on pair ascending."""
+        from ml_hadoop_experiment_spark.operators.corpus import bpe_pair_counts
+
+        df = spark.createDataFrame([("xy zw xy zw",)], "text string")
+        rows = bpe_pair_counts(df, "text", top_k=1).collect()
+        assert [(r["pair"], r["pair_count"]) for r in rows] == [("xy", 2)]
+
+
+class TestOverlapPairs:
+    def test_subset_inclusion_scores_full_overlap(self, spark):
+        """A short doc fully contained in a long doc: overlap 1.0 while
+        jaccard is well below — the asymmetric case the operator exists
+        for. The verifier is driven with EXPLICIT candidates (its
+        documented pluggable-blocker contract): this exact pair is one
+        MinHash-LSH itself may never band, because LSH recalls by
+        JACCARD and this pair's jaccard is deliberately tiny — the
+        recall caveat on overlap_pairs, demonstrated rather than
+        papered over."""
+        from ml_hadoop_experiment_spark.operators.dedup import (
+            overlap_pairs,
+            tokens_frame,
+        )
+
+        short = "alpha beta gamma delta epsilon"
+        long = short + " zeta eta theta iota kappa lambda mu nu xi"
+        df = spark.createDataFrame(
+            [(1, short), (2, long)], "doc_id long, text string"
+        )
+        toks = tokens_frame(df, "doc_id", "text", shingle_size=3)
+        cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        rows = overlap_pairs(cands, toks, threshold=0.9).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["id_a"], r["id_b"]) == (1, 2)
+        assert r["overlap"] == 1.0
+        assert r["jaccard"] < 0.5
+
+    def test_matches_jaccard_pipeline_candidates(self, spark):
+        """Same candidates as the Jaccard pipeline; overlap >= jaccard
+        always (min <= union)."""
+        from ml_hadoop_experiment_spark.operators.dedup import (
+            minhash_dedup_pairs,
+            minhash_overlap_pairs,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(200)
+        ov = {(r["id_a"], r["id_b"]): (r["overlap"], r["jaccard"])
+              for r in minhash_overlap_pairs(docs, "doc_id", "text",
+                                             threshold=0.0).collect()}
+        jc = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in minhash_dedup_pairs(docs, "doc_id", "text",
+                                           threshold=0.0).collect()}
+        assert set(ov) == set(jc) and ov
+        for k, (o, j) in ov.items():
+            assert j == jc[k]
+            assert o >= j
