@@ -142,6 +142,64 @@ class TestKeyedMinRank:
         assert _auto_partitions(spark.createDataFrame(pdf).repartition(4)) == 2
         assert _auto_partitions(spark.createDataFrame(pdf).coalesce(1)) == 2
 
+    def test_summary_pass_dtype_matrix(self, spark):
+        """The pass-1 Arrow summary crosses key/value columns of
+        arbitrary Spark type through pandas (the round-8 fused form);
+        this pins correctness for the types the old JVM aggregation
+        handled natively: decimal and timestamp values (ties share the
+        min rank), date values with NULLs (nulls-first, counted in n),
+        int keys with NULLs (own group), and multi-column keys."""
+        import datetime
+        import decimal
+
+        from ml_hadoop_experiment_spark.plans.prefix import with_keyed_min_rank
+
+        dec = decimal.Decimal
+        df = spark.createDataFrame(
+            [("a", dec("1.10")), ("a", dec("1.10")), ("a", dec("2.30")),
+             ("b", dec("0.50"))],
+            "k string, v decimal(18,2)",
+        )
+        out = {(r["k"], str(r["v"]), r["rank"], r["n"])
+               for r in with_keyed_min_rank(df, ["k"], "v",
+                                            num_partitions=3).collect()}
+        assert out == {("a", "1.10", 1, 3), ("a", "2.30", 3, 3),
+                       ("b", "0.50", 1, 1)}
+
+        t0 = datetime.datetime(2020, 1, 1)
+        df = spark.createDataFrame(
+            [("a", t0), ("a", t0), ("a", t0 + datetime.timedelta(days=1)),
+             ("b", t0)],
+            "k string, v timestamp",
+        )
+        out = {(r["k"], r["v"], r["rank"], r["n"])
+               for r in with_keyed_min_rank(df, ["k"], "v",
+                                            num_partitions=3).collect()}
+        assert out == {("a", t0, 1, 3),
+                       ("a", t0 + datetime.timedelta(days=1), 3, 3),
+                       ("b", t0, 1, 1)}
+
+        d1, d2 = datetime.date(2020, 1, 1), datetime.date(2020, 1, 2)
+        df = spark.createDataFrame(
+            [(None, d1), (None, d1), (1, d2), (1, None)], "k int, v date"
+        )
+        rows = with_keyed_min_rank(df, ["k"], "v", num_partitions=3).collect()
+        nullkey = {(r["v"], r["rank"], r["n"]) for r in rows if r["k"] is None}
+        assert nullkey == {(d1, 1, 2)}
+        k1 = {(r["v"], r["rank"], r["n"]) for r in rows if r["k"] == 1}
+        assert k1 == {(None, 1, 2), (d2, 2, 2)}  # NULL value sorts first
+
+        df = spark.createDataFrame(
+            [("x", 1, 5), ("x", 1, 5), ("x", 2, 5), ("y", 1, 7),
+             (None, None, None)],
+            "k1 string, k2 int, v int",
+        )
+        rows = with_keyed_min_rank(df, ["k1", "k2"], "v",
+                                   num_partitions=3).collect()
+        got = {(r["k1"], r["k2"], r["v"], r["rank"], r["n"]) for r in rows}
+        assert got == {("x", 1, 5, 1, 2), ("x", 2, 5, 1, 1),
+                       ("y", 1, 7, 1, 1), (None, None, None, 1, 1)}
+
     def test_row_guard_redoes_shrunk_exchange(self, spark, monkeypatch):
         """OOM guard: when the estimate-shrunk exchange yields a partition
         whose EXACT row count (from the pass-1 summary, collected anyway)
