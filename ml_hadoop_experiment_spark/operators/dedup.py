@@ -883,30 +883,18 @@ def simhash_block_bounds(bits: int, max_hamming: int) -> List[tuple]:
     return bounds
 
 
-def simhash_pairs_from_fingerprints(
-    fp: DataFrame, bits: int = 16, max_hamming: int = 2
+def _simhash_block_frame(
+    fp: DataFrame, bits: int, max_hamming: int
 ) -> DataFrame:
-    """Candidate-join + exact-verify stage of SimHash near-dup, on a frame
-    with columns ``(id, fp)``. Exposed separately so recall can be tested
-    against brute-force popcount on crafted fingerprints.
-
-    Blocking: one row per (segment index, segment value) per doc —
-    ``max_hamming + 1`` disjoint segments (see ``simhash_block_bounds``).
-    Pigeonhole guarantees every true pair collides in at least one segment;
-    ``bit_count(xor)`` then verifies exactly, so the result is exact recall
-    at the declared ``max_hamming`` (the old two-half blocking only
-    guaranteed recall at hamming <= 1). Scale shape is unchanged: a
-    segment-keyed self-join, never all-pairs; segments shrink as
-    max_hamming grows, so degenerate-block fan-out is the cost of deeper
-    radius — cap with an upstream filter if a segment value dominates.
-    """
-    # Single-scan blocking (the round-3 minhash banding lesson): ONE
-    # explode of an array(struct(part, block)) column, not one union arm
-    # per segment — union arms re-evaluate the fingerprint expression per
-    # arm AND per join side (8x the 32 bit-vote scans at 4 blocks;
-    # measured 2.6x slower at sf0.1). The exploded frame auto-persists
-    # above the measured crossover so the fingerprint computes exactly
-    # once; toy inputs skip the materialization stage overhead.
+    """(id, fp, part, block) pigeonhole rows for a ``(id, fp)`` frame —
+    one row per disjoint fingerprint segment per doc. Single-scan
+    blocking (the round-3 minhash banding lesson): ONE explode of an
+    array(struct(part, block)) column, not one union arm per segment —
+    union arms re-evaluate the fingerprint expression per arm AND per
+    join side (8x the 32 bit-vote scans at 4 blocks; measured 2.6x
+    slower at sf0.1). The exploded frame auto-persists above the
+    measured crossover so the fingerprint computes exactly once; toy
+    inputs skip the materialization stage overhead."""
     entries = F.array(
         *[
             F.struct(
@@ -928,6 +916,86 @@ def simhash_pairs_from_fingerprints(
     )
     if _estimated_input_bytes(fp) > AUTO_PERSIST_BYTES:
         parts = parts.persist()
+    return parts
+
+
+def simhash_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Incremental SimHash near-dup: NEW documents within
+    ``max_hamming`` bit flips of an EXISTING corpus document — the
+    fingerprint-space sibling of ``near_dup_against``, for the
+    filter-new-crawl-batch step when the dedup policy is SimHash-based.
+
+    Returns ``(id_new, id_corpus, hamming)`` with ``hamming <=
+    max_hamming``. Candidates come from the same pigeonhole segment
+    blocking as the full pipeline, joined new-vs-corpus ONLY: the
+    corpus is never self-paired, so per-batch cost scales with the
+    batch's side of the segment join (the corpus contributes one
+    fingerprint scan + its block rows). Unlike Jaccard-recalled
+    MinHash-LSH, recall here is EXACT at the declared radius
+    (pigeonhole over ``max_hamming + 1`` disjoint segments), so the
+    incremental result equals the full self-join restricted to cross
+    pairs — pytest-gated. Ids may collide across the two inputs without
+    corrupting the result (sides are joined by role, not pooled).
+
+    Steady-state posture: the corpus block frame is a pure function of
+    the corpus — persist ``_simhash_block_frame`` of the corpus
+    fingerprints across batches the same way ``build_corpus_index``
+    persists the MinHash band frame (the frame auto-persists above
+    ``AUTO_PERSIST_BYTES`` within one call already).
+    """
+    fp_new = new_df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("fp")
+    )
+    fp_corp = corpus_df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("fp")
+    )
+    n = _simhash_block_frame(fp_new, bits, max_hamming).alias("n")
+    c = _simhash_block_frame(fp_corp, bits, max_hamming).alias("c")
+    cands = (
+        n.join(
+            c,
+            (F.col("n.part") == F.col("c.part"))
+            & (F.col("n.block") == F.col("c.block")),
+        )
+        .select(
+            F.col("n.id").alias("id_new"),
+            F.col("c.id").alias("id_corpus"),
+            F.col("n.fp").alias("fp_a"),
+            F.col("c.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cands.select("id_new", "id_corpus", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Candidate-join + exact-verify stage of SimHash near-dup, on a frame
+    with columns ``(id, fp)``. Exposed separately so recall can be tested
+    against brute-force popcount on crafted fingerprints.
+
+    Blocking: one row per (segment index, segment value) per doc —
+    ``max_hamming + 1`` disjoint segments (see ``simhash_block_bounds``).
+    Pigeonhole guarantees every true pair collides in at least one segment;
+    ``bit_count(xor)`` then verifies exactly, so the result is exact recall
+    at the declared ``max_hamming`` (the old two-half blocking only
+    guaranteed recall at hamming <= 1). Scale shape is unchanged: a
+    segment-keyed self-join, never all-pairs; segments shrink as
+    max_hamming grows, so degenerate-block fan-out is the cost of deeper
+    radius — cap with an upstream filter if a segment value dominates.
+    """
+    parts = _simhash_block_frame(fp, bits, max_hamming)
     a, b = parts.alias("a"), parts.alias("b")
     cands = (
         a.join(
@@ -1201,4 +1269,39 @@ def dedup_clusters(
         df.select(F.col(id_col).cast("bigint").alias("id"))
         .join(comp, "id", "left")
         .select("id", F.coalesce("comp", F.col("id")).alias("cluster"))
+    )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware near-dup retention: label every row with its
+    duplicate cluster (connected components over ``pairs``) and keep
+    the highest-``score_col`` row per cluster — the curation decision
+    production pipelines actually make: keep the BEST copy of each
+    duplicate group, not an arbitrary (min-id) one. Singletons keep
+    themselves. Ties break on ascending id — a total order, so the
+    survivor is engine-deterministic.
+
+    Output: the kept rows with their original columns plus ``cluster``.
+    The per-cluster window is partitioned on the cluster label, whose
+    cardinality is ~corpus-sized by construction (clusters are small),
+    so there is no low-cardinality window hazard; the only data
+    movements are the cluster join and the window's hash exchange on
+    ``cluster``.
+    """
+    comp = dedup_clusters(df, pairs, id_col)
+    joined = df.join(
+        comp, F.col(id_col).cast("bigint") == comp["id"]
+    ).drop(comp["id"])
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(score_col).desc(), F.col(id_col).cast("bigint").asc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )

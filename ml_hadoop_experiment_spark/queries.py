@@ -2407,6 +2407,85 @@ FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 3
 SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
 
 
+def q_simhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash near-dup: the new batch (doc_id % 10 == 0)
+    fingerprint-matched against the existing corpus within hamming <= 3
+    of a 32-bit SimHash — new-vs-corpus only, corpus never self-paired,
+    recall EXACT at the declared radius (pigeonhole segments), unlike
+    the Jaccard-recalled near_dup_incr."""
+    from ml_hadoop_experiment_spark.operators.dedup import simhash_against
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return simhash_against(new, corpus, "doc_id", "text", bits=32, max_hamming=3)
+
+
+def _sql_simhash_incr() -> str:
+    from ml_hadoop_experiment_spark.operators.dedup import (
+        simhash_blocks_sql,
+        simhash_sql,
+    )
+
+    fp = simhash_sql("text", 32)
+    blocks = simhash_blocks_sql(32, 3)
+    return f"""
+WITH fps AS (SELECT doc_id AS id, {fp} AS fp FROM documents),
+blocks AS (
+  {blocks}
+),
+cands AS (
+  SELECT DISTINCT n.id AS id_new, c.id AS id_corpus, n.fp AS fp_a, c.fp AS fp_b
+  FROM blocks n JOIN blocks c
+    ON n.part = c.part AND n.block = c.block
+   AND n.id % 10 = 0 AND c.id % 10 != 0
+)
+SELECT id_new, id_corpus, bit_count(xor(fp_a, fp_b)) AS hamming
+FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+
+SQL_SIMHASH_INCR = _sql_simhash_incr()
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup retention: simhash clusters (hamming <= 3,
+    32-bit) + keep the highest-quality_score doc per cluster (ties by
+    ascending id) — the keep-the-BEST-copy curation decision, vs
+    dup_clusters' label-only view. Returns (doc_id, cluster, q) of the
+    kept rows."""
+    from ml_hadoop_experiment_spark.functions.text import quality_score
+    from ml_hadoop_experiment_spark.operators.dedup import (
+        keep_best_per_cluster,
+        simhash_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text", bits=32, max_hamming=3)
+    scored = docs.withColumn("q", quality_score(F.col("text")))
+    kept = keep_best_per_cluster(scored, pairs, "doc_id", "q")
+    return kept.select("doc_id", "cluster", "q")
+
+
+def _sql_dedup_keep_best() -> str:
+    from ml_hadoop_experiment_spark.functions.text import quality_score_sql
+
+    q = quality_score_sql("text")
+    closure = SQL_DUP_CLUSTERS.rstrip()
+    return f"""
+WITH clusters AS (
+{closure}
+)
+SELECT doc_id, cluster, q FROM (
+  SELECT d.doc_id, c.cluster, {q} AS q,
+         row_number() OVER (
+           PARTITION BY c.cluster ORDER BY {q} DESC, d.doc_id ASC
+         ) AS rn
+  FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+) WHERE rn = 1
+"""
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: connected components over the simhash near-dup
     pairs (hamming <= 3), every document labeled with its cluster = the
@@ -2465,6 +2544,10 @@ GROUP BY id
 
 
 SQL_DUP_CLUSTERS = _sql_dup_clusters()
+
+# defined above next to q_dedup_keep_best; built here because it embeds
+# the SQL_DUP_CLUSTERS closure text
+SQL_DEDUP_KEEP_BEST = _sql_dedup_keep_best()
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4160,13 +4243,16 @@ QUERIES = {
     #     checked by tools/green_state.py); tier 2 = oldest-green
     #     unchanged backfill. Regenerated programmatically each round —
     #     round-8 edits: plans/prefix.py re-plan + row guard,
-    #     operators/dedup.py corpus index + overlap verify + CC
-    #     root-repartition, operators/corpus.py bpe_pair_counts,
-    #     operators/stats.py cdf_normalize resolution.
+    #     operators/dedup.py corpus index + overlap/containment +
+    #     simhash_against + keep_best_per_cluster + CC root-repartition,
+    #     operators/corpus.py bpe_pair_counts, operators/stats.py
+    #     cdf_normalize resolution.
     "repeated_spans": q_repeated_spans,
     "near_dup_index": q_near_dup_index,
     "overlap_pairs": q_overlap_pairs,
     "bpe_pairs": q_bpe_pairs,
+    "simhash_incr": q_simhash_incr,
+    "dedup_keep_best": q_dedup_keep_best,
     # tier 1: changed since last green
     "bm25_topk": q_bm25_topk,
     "cdf_normalize": q_cdf_normalize,
@@ -4213,10 +4299,10 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "event_transitions": q_event_transitions,
     "events_long": q_events_long,
-    "feature_hash": q_feature_hash,
-    "lag_features": q_lag_features,
     # --- outside the driver window: unchanged, driver-green, and
     #     re-gated locally every round by tests/test_oracle_parity.py
+    "feature_hash": q_feature_hash,
+    "lag_features": q_lag_features,
     "null_default_fill": q_null_default_fill,
     "pricing_summary": q_pricing_summary,
     "cap_per_key": q_cap_per_key,
@@ -4292,6 +4378,8 @@ ORACLE_SQL = {
     "near_dup_index": SQL_NEAR_DUP_INCR,
     "overlap_pairs": SQL_OVERLAP_PAIRS,
     "bpe_pairs": SQL_BPE_PAIRS,
+    "simhash_incr": SQL_SIMHASH_INCR,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "token_budget": SQL_TOKEN_BUDGET,
     "rare_tokens": SQL_RARE_TOKENS,

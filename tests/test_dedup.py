@@ -613,3 +613,77 @@ class TestNearDupCorpusIndex:
                 == [(8, 7, 1.0)]
         finally:
             index.unpersist()
+
+
+class TestSimhashAgainst:
+    def test_matches_full_pipeline_cross_pairs(self, spark):
+        """Incremental result == the full self-join restricted to cross
+        pairs — EXACT, not probabilistic (pigeonhole recall)."""
+        from ml_hadoop_experiment_spark.operators.dedup import (
+            simhash_against,
+            simhash_near_dup_pairs,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(300)
+        new = docs.where(F.col("doc_id") % 10 == 0)
+        corpus = docs.where(F.col("doc_id") % 10 != 0)
+        incr = {(r["id_new"], r["id_corpus"], r["hamming"]) for r in
+                simhash_against(new, corpus, "doc_id", "text",
+                                bits=32, max_hamming=3).collect()}
+        full = simhash_near_dup_pairs(docs, "doc_id", "text",
+                                      bits=32, max_hamming=3).collect()
+        cross = set()
+        for r in full:
+            a, b = r["id_a"], r["id_b"]
+            if a % 10 == 0 and b % 10 != 0:
+                cross.add((a, b, r["hamming"]))
+            elif b % 10 == 0 and a % 10 != 0:
+                cross.add((b, a, r["hamming"]))
+        assert incr == cross and incr
+
+    def test_id_collision_between_inputs_is_safe(self, spark):
+        from ml_hadoop_experiment_spark.operators.dedup import simhash_against
+
+        text = "the very same sentence of words for both sides here"
+        corpus = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        new = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        rows = simhash_against(new, corpus, "doc_id", "text",
+                               bits=32, max_hamming=0).collect()
+        assert [(r["id_new"], r["id_corpus"], r["hamming"]) for r in rows] \
+            == [(7, 7, 0)]
+
+
+class TestKeepBestPerCluster:
+    def test_keeps_highest_score_not_min_id(self, spark):
+        """The survivor is the best-quality doc, which here is NOT the
+        min id — the behavioral difference vs dup_clusters retention."""
+        from ml_hadoop_experiment_spark.operators.dedup import (
+            keep_best_per_cluster,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0.2), (2, 0.9), (3, 0.5), (9, 0.1)],
+            "doc_id long, score double",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        kept = keep_best_per_cluster(df, pairs, "doc_id", "score").collect()
+        got = {(r["doc_id"], r["cluster"], r["score"]) for r in kept}
+        # cluster {1,2,3} -> survivor 2 (score .9), labeled min id 1;
+        # singleton 9 keeps itself
+        assert got == {(2, 1, 0.9), (9, 9, 0.1)}
+
+    def test_score_tie_breaks_on_ascending_id(self, spark):
+        from ml_hadoop_experiment_spark.operators.dedup import (
+            keep_best_per_cluster,
+        )
+
+        df = spark.createDataFrame(
+            [(5, 1.0), (6, 1.0)], "doc_id long, score double"
+        )
+        pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+        kept = keep_best_per_cluster(df, pairs, "doc_id", "score").collect()
+        assert [(r["doc_id"], r["cluster"]) for r in kept] == [(5, 5)]
