@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "near_dup_incr",
     "repeated_spans",
     "simhash",
+    "simhash_incr",
+    "overlap_pairs",
+    "dedup_keep_best",
     "ann_topk",
     "ann_topk_batch",
     "ivf_topk",
