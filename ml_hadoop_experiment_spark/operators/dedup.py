@@ -306,17 +306,16 @@ def lsh_bucket_overflow(
     )
 
 
-def jaccard_pairs(
+def _candidate_pair_metrics(
     candidates: DataFrame,
     tokens: DataFrame,
-    threshold: float = 0.0,
-    scale_safe_joins: bool = True,
+    scale_safe_joins: bool,
+    keep_empty: bool,
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs from the distinct token sets.
-
-    |A∩B| via a two-sided token join restricted to candidate pairs; |A∪B| =
-    |A|+|B|-|A∩B|. Output: (id_a, id_b, jaccard) with jaccard >= threshold.
-    Cost scales with candidate count (LSH already pruned), never all-pairs.
+    """Shared verifier core for ``jaccard_pairs``/``overlap_pairs``:
+    (id_a, id_b, n_inter, n_a, n_b) per candidate pair. |A∩B| via a
+    two-sided token join restricted to the candidates (never all-pairs);
+    sizes from one groupBy over the token frame.
 
     ``scale_safe_joins`` MERGE-hints the token-frame joins: the token frame
     is corpus-sized (one row per distinct token per document) and must
@@ -325,6 +324,13 @@ def jaccard_pairs(
     the planner would happily broadcast millions of rows (observed OOM on
     the 10x corpus). ``minhash_dedup_pairs`` wires this to its big-input
     policy; direct callers get the scale-safe default.
+
+    ``keep_empty`` backfills candidate pairs whose docs share no token
+    (n_inter = 0) via a left join from the candidate frame — only needed
+    when a threshold <= 0 promises every candidate a scored row, so the
+    extra join is gated on it. Pairs naming a doc with NO tokens at all
+    still drop at the sizes join: both metrics are undefined there
+    (division by a zero-token set) and the doc never entered blocking.
     """
     sizes = tokens.groupBy("id").agg(F.count("*").alias("n_tokens"))
     ta = tokens.select(F.col("id").alias("id_a"), "token")
@@ -339,18 +345,55 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_tokens", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_tokens", "n_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+    if keep_empty:
+        if scale_safe_joins:
+            inter = inter.hint("merge")
+        inter = (
+            candidates.select("id_a", "id_b")
+            .join(inter, ["id_a", "id_b"], "left")
+            .select(
+                "id_a", "id_b",
+                F.coalesce("n_inter", F.lit(0).cast("long")).alias("n_inter"),
+            )
         )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_tokens", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_tokens", "n_b"),
+            "id_b",
+        )
+    )
+
+
+def jaccard_pairs(
+    candidates: DataFrame,
+    tokens: DataFrame,
+    threshold: float = 0.0,
+    scale_safe_joins: bool = True,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from the distinct token sets.
+
+    |A∩B| via a two-sided token join restricted to candidate pairs; |A∪B| =
+    |A|+|B|-|A∩B|. Output: (id_a, id_b, jaccard) with jaccard >= threshold;
+    at threshold <= 0 every candidate pair appears, zero-intersection ones
+    with jaccard = 0.0 (see ``_candidate_pair_metrics`` for the one caveat:
+    pairs naming a doc with no tokens at all). Cost scales with candidate
+    count (LSH already pruned), never all-pairs. Join/broadcast discipline
+    in ``_candidate_pair_metrics``.
+    """
+    out = _candidate_pair_metrics(
+        candidates, tokens, scale_safe_joins, keep_empty=threshold <= 0.0
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
     )
     if threshold > 0.0:
         out = out.where(F.col("jaccard") >= threshold)
@@ -384,48 +427,25 @@ def overlap_pairs(
     standard fix is banding the shorter side's bottom-k sketch; here
     the candidate generator is pluggable — pass candidates from any
     blocker (equi-key, simhash segment, LSH) and this verifier stays
-    exact for whatever reaches it.
+    exact for whatever reaches it (at threshold <= 0 every candidate
+    pair appears, zero-intersection ones scored 0.0 — see
+    ``_candidate_pair_metrics`` for the zero-token-doc caveat).
     """
-    sizes = tokens.groupBy("id").agg(F.count("*").alias("n_tokens"))
-    ta = tokens.select(F.col("id").alias("id_a"), "token")
-    tb = tokens.select(F.col("id").alias("id_b"), "token")
-    if scale_safe_joins:
-        sizes = sizes.hint("merge")
-        ta = ta.hint("merge")
-        tb = tb.hint("merge")
-    inter = (
-        candidates.join(ta, "id_a")
-        .join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    out = (
-        inter.join(
-            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
-                "n_tokens", "n_a"
-            ),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
-                "n_tokens", "n_b"
-            ),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / F.least(F.col("n_a"), F.col("n_b")),
-                6,
-            ).alias("overlap"),
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
-        )
+    out = _candidate_pair_metrics(
+        candidates, tokens, scale_safe_joins, keep_empty=threshold <= 0.0
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter").cast("double")
+            / F.least(F.col("n_a"), F.col("n_b")),
+            6,
+        ).alias("overlap"),
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
     )
     if threshold > 0.0:
         out = out.where(F.col("overlap") >= threshold)
@@ -1293,10 +1313,20 @@ def keep_best_per_cluster(
     movements are the cluster join and the window's hash exchange on
     ``cluster``.
     """
-    comp = dedup_clusters(df, pairs, id_col)
+    if "cluster" in df.columns:
+        raise ValueError(
+            "keep_best_per_cluster adds a 'cluster' column; rename the "
+            "existing one first"
+        )
+    # Alias the component frame's columns before joining: its id column
+    # is literally named "id", so an unqualified join condition would be
+    # AMBIGUOUS whenever id_col == "id" (the common case).
+    comp = dedup_clusters(df, pairs, id_col).select(
+        F.col("id").alias("__cc_id"), "cluster"
+    )
     joined = df.join(
-        comp, F.col(id_col).cast("bigint") == comp["id"]
-    ).drop(comp["id"])
+        comp, df[id_col].cast("bigint") == comp["__cc_id"]
+    ).drop("__cc_id")
     w = Window.partitionBy("cluster").orderBy(
         F.col(score_col).desc(), F.col(id_col).cast("bigint").asc()
     )

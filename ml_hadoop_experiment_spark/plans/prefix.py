@@ -205,6 +205,65 @@ _TARGET_PARTITION_BYTES = 256 << 10
 #: fires only on genuinely stale statistics.
 _MAX_SHRUNK_PARTITION_ROWS = 1 << 20
 
+#: companion BYTE cap for the same guard in ``with_keyed_min_rank``,
+#: whose pass 2 buffers the FULL row (payload columns included) while
+#: the row cap alone would wave through a few-hundred-thousand-row
+#: partition of multi-KB documents. Raw payload bytes, measured by a
+#: codegen expression in the pass-1 scan (only when the estimate
+#: actually shrank the exchange); pandas buffering expands ~2-4x, so
+#: 256 MiB raw keeps the buffered partition under ~1 GiB.
+_MAX_SHRUNK_PARTITION_BYTES = 256 << 20
+
+#: fixed in-memory widths for the byte-estimate expression; variable-
+#: width types are measured per value (octet_length / size), anything
+#: nested falls back to its JSON rendering's length — an overestimate,
+#: which only makes the OOM guard fire earlier.
+_FIXED_WIDTHS = {
+    T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4,
+    T.FloatType: 4, T.DateType: 4, T.LongType: 8, T.DoubleType: 8,
+    T.TimestampType: 8, T.TimestampNTZType: 8, T.DecimalType: 16,
+}
+
+
+def _row_bytes_expr(schema: T.StructType):
+    """Codegen per-row payload-byte estimate over ``schema``'s columns:
+    fixed-width types contribute a constant, string/binary their
+    octet_length, fixed-element arrays size()*width, everything else
+    the octet_length of a JSON rendering. Evaluated JVM-side in the
+    pass-1 scan so only one extra int64 crosses Arrow per row."""
+    fixed = 0
+    terms = []
+    for f in schema.fields:
+        dt = f.dataType
+        w = _FIXED_WIDTHS.get(type(dt))
+        if w is not None:
+            fixed += w
+        elif isinstance(dt, (T.StringType, T.BinaryType)):
+            terms.append(
+                F.coalesce(F.octet_length(F.col(f.name)).cast("long"), F.lit(0))
+            )
+        elif (
+            isinstance(dt, T.ArrayType)
+            and _FIXED_WIDTHS.get(type(dt.elementType)) is not None
+        ):
+            ew = _FIXED_WIDTHS[type(dt.elementType)]
+            terms.append(
+                (F.coalesce(F.size(F.col(f.name)), F.lit(0)) * ew).cast("long")
+            )
+        else:
+            terms.append(
+                F.coalesce(
+                    F.octet_length(
+                        F.to_json(F.struct(F.col(f.name)))
+                    ).cast("long"),
+                    F.lit(0),
+                )
+            )
+    out = F.lit(int(fixed)).cast("long")
+    for t in terms:
+        out = out + t
+    return out
+
 
 def _auto_partitions(df: DataFrame) -> int:
     """Partition count for the range exchange: Catalyst's compressed-
@@ -306,8 +365,11 @@ def with_keyed_min_rank(
     sizing shrinks the exchange below ``defaultParallelism`` from a
     Catalyst size estimate, pass 2's per-partition row counts verify
     the estimate and the exchange is redone at full parallelism if any
-    partition exceeds ``_MAX_SHRUNK_PARTITION_ROWS`` — the OOM guard is
-    the exact row count, not a pre-exchange partition-count proxy.
+    partition exceeds ``_MAX_SHRUNK_PARTITION_ROWS`` rows or
+    ``_MAX_SHRUNK_PARTITION_BYTES`` payload bytes (measured in the same
+    scan — pass 4 buffers the FULL row, so wide payload columns count)
+    — the OOM guard is exact observed data, not a pre-exchange
+    partition-count proxy.
 
     Float-NaN contract: a float ``value_col`` must not contain real NaN
     values — the Arrow crossing in pass 4 represents BOTH SQL NULL and
@@ -361,7 +423,7 @@ def with_keyed_min_rank(
     bound_cols = [*key_list, value_col]
     sum_fields = [T.StructField("__pid", T.IntegerType())] + [
         T.StructField(n, T.LongType())
-        for n in ("n_fk", "n_fg", "n_lk", "n_lg", "rows")
+        for n in ("n_fk", "n_fg", "n_lk", "n_lg", "rows", "bytes")
     ]
     for c in bound_cols:
         dt = with_pid.schema[c].dataType
@@ -390,29 +452,45 @@ def with_keyed_min_rank(
             "n_lk": n - int(kidx[-1]),
             "n_lg": n - int(gidx[-1]),
             "rows": n,
+            "bytes": (
+                int(pdf["__rowbytes"].sum()) if "__rowbytes" in pdf.columns else 0
+            ),
         }
         for c in bound_cols:
             row[f"__f_{c}"] = pdf[c].iloc[0]
             row[f"__l_{c}"] = pdf[c].iloc[-1]
         yield pd.DataFrame([row])
 
-    def _pass1(frame):
-        slim = frame.select("__pid", *bound_cols)
+    def _pass1(frame, measure_bytes=False):
+        # measure_bytes: only when the estimate shrank the exchange (the
+        # retry-guard case) — pass 2 buffers the FULL row, so the guard
+        # must see payload bytes, not just the slim key/value columns.
+        # The byte expression reads payload columns from the persisted
+        # frame JVM-side; only one extra int64 per row crosses Arrow.
+        cols = ["__pid", *bound_cols]
+        if measure_bytes:
+            slim = frame.select(
+                *cols,
+                _row_bytes_expr(frame.drop("__pid").schema).alias("__rowbytes"),
+            )
+        else:
+            slim = frame.select(*cols)
         with _no_aqe(spark):
             return sorted(
                 slim.mapInPandas(summarize, sum_schema).collect(),
                 key=lambda r: r["__pid"],
             )
 
-    summaries = _pass1(with_pid)
-    if (
-        num_partitions is None
-        and parts < default
-        and any(int(r["rows"]) > _MAX_SHRUNK_PARTITION_ROWS for r in summaries)
+    guarded = num_partitions is None and parts < default
+    summaries = _pass1(with_pid, measure_bytes=guarded)
+    if guarded and any(
+        int(r["rows"]) > _MAX_SHRUNK_PARTITION_ROWS
+        or int(r["bytes"]) > _MAX_SHRUNK_PARTITION_BYTES
+        for r in summaries
     ):
         # stale-small Catalyst estimate: re-exchange at full parallelism
         # from the persisted frame so pass 2 never buffers an oversized
-        # partition (see _MAX_SHRUNK_PARTITION_ROWS).
+        # partition (see _MAX_SHRUNK_PARTITION_ROWS/_BYTES).
         with_pid = _range_exchange(with_pid.drop("__pid"), order_cols, default)
         summaries = _pass1(with_pid)
 

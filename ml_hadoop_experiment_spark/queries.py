@@ -4232,10 +4232,11 @@ SQL_BPE_PAIRS = _sql_bpe_pairs()
 # Rotation history: r06 window = the 39 changed-since-green queries (the
 # verdict's 12, the r5 shared-module edits the fingerprint sweep surfaced,
 # and the r6 prefix/dedup/stats consumers) + 11 oldest unchanged r04-green.
-# r08 window = repeated_spans (never driver-checked; leads) + near_dup_index
-# (new) + the 38 prefix/dedup/stats-closure queries the round-8 edits
-# flagged + 10 oldest unchanged r04-green. See PARITY.md "Correctness
-# rotation".
+# r08 window = 6 tier-0 queries with no driver row (repeated_spans leads,
+# plus the round-8 additions near_dup_index / overlap_pairs / bpe_pairs /
+# simhash_incr / dedup_keep_best) + the 38 prefix/dedup/stats-closure
+# queries the round-8 edits flagged + 6 oldest unchanged r04-green
+# backfill (ending at events_long). See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50): tier 0 = new queries with no
     #     driver row yet; tier 1 = queries whose operator/oracle import

@@ -687,3 +687,60 @@ class TestKeepBestPerCluster:
         pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
         kept = keep_best_per_cluster(df, pairs, "doc_id", "score").collect()
         assert [(r["doc_id"], r["cluster"]) for r in kept] == [(5, 5)]
+
+    def test_id_col_named_id(self, spark):
+        """The component frame's own id column is literally 'id'; the
+        join must not be ambiguous when the input uses that name too."""
+        from ml_hadoop_experiment_spark.operators.dedup import (
+            keep_best_per_cluster,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0.2), (2, 0.9), (7, 0.3)], "id long, score double"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        kept = keep_best_per_cluster(df, pairs, "id", "score").collect()
+        assert {(r["id"], r["cluster"]) for r in kept} == {(2, 1), (7, 7)}
+
+    def test_existing_cluster_column_rejected(self, spark):
+        from ml_hadoop_experiment_spark.operators.dedup import (
+            keep_best_per_cluster,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0.2, 0)], "doc_id long, score double, cluster long"
+        )
+        pairs = spark.createDataFrame([(1, 1)], "id_a long, id_b long")
+        with pytest.raises(ValueError, match="cluster"):
+            keep_best_per_cluster(df, pairs, "doc_id", "score")
+
+
+class TestZeroThresholdPairs:
+    def test_zero_intersection_candidates_scored_not_dropped(self, spark):
+        """At threshold <= 0 every candidate pair gets a scored row —
+        a supplied pair whose docs share no token appears with 0.0, so
+        a custom blocker's candidate set can be audited 1:1."""
+        from ml_hadoop_experiment_spark.operators.dedup import (
+            jaccard_pairs,
+            overlap_pairs,
+            tokens_frame,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "b c d"), (3, "x y z")],
+            "id bigint, text string",
+        )
+        toks = tokens_frame(df, "id", "text", 1)
+        cands = spark.createDataFrame(
+            [(1, 2), (1, 3)], "id_a bigint, id_b bigint"
+        )
+        j = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in jaccard_pairs(cands, toks, threshold=0.0).collect()}
+        assert j == {(1, 2): 0.5, (1, 3): 0.0}
+        o = {(r["id_a"], r["id_b"]): (r["overlap"], r["jaccard"])
+             for r in overlap_pairs(cands, toks, threshold=0.0).collect()}
+        assert o == {(1, 2): (0.666667, 0.5), (1, 3): (0.0, 0.0)}
+        # positive threshold keeps the pruned inner-join shape
+        assert {(r["id_a"], r["id_b"])
+                for r in jaccard_pairs(cands, toks, threshold=0.1).collect()
+                } == {(1, 2)}

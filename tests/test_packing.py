@@ -226,6 +226,53 @@ class TestKeyedMinRank:
         assert (spdf["running_sum"].values == np.arange(1, n + 1)).all()
         assert summed.rdd.getNumPartitions() == 4
 
+    def test_byte_guard_redoes_shrunk_exchange(self, spark, monkeypatch):
+        """OOM guard, byte half: pass 2 of with_keyed_min_rank buffers the
+        FULL row, so a few hundred wide rows can exceed memory while
+        passing the row cap. The pass-1 scan (guard armed) measures
+        payload bytes via a codegen expression; exceeding
+        _MAX_SHRUNK_PARTITION_BYTES redoes the exchange at
+        defaultParallelism — results identical."""
+        from ml_hadoop_experiment_spark.plans import prefix
+
+        monkeypatch.setattr(prefix, "_MAX_SHRUNK_PARTITION_BYTES", 4096)
+        n = 200
+        pdf = pd.DataFrame(
+            {"k": ["a"] * n, "v": range(n), "payload": ["x" * 200] * n}
+        )
+        df = spark.createDataFrame(pdf)
+        assert prefix._auto_partitions(df) < 4  # the shrink fires first
+        # rows stay far under the row cap; only the byte cap trips
+        assert n < prefix._MAX_SHRUNK_PARTITION_ROWS
+
+        ranked = prefix.with_keyed_min_rank(df, ["k"], "v")
+        out = ranked.toPandas().sort_values("v", ignore_index=True)
+        assert (out["rank"].values == np.arange(1, n + 1)).all()
+        assert (out["n"].values == n).all()
+        assert (out["payload"] == "x" * 200).all()
+        assert ranked.rdd.getNumPartitions() == 4
+
+    def test_row_bytes_expr_measures_variable_width(self, spark):
+        """The byte-estimate expression counts string/binary payloads by
+        octet_length, fixed-width arrays by size*width, and nested types
+        by their JSON rendering — NULLs count zero."""
+        from ml_hadoop_experiment_spark.plans.prefix import _row_bytes_expr
+
+        df = spark.createDataFrame(
+            [(1, "abcd", [1.0, 2.0], {"x": 1}), (2, None, None, None)],
+            "id bigint, s string, arr array<double>, m map<string,bigint>",
+        )
+        got = [
+            r["b"]
+            for r in df.select(F.col("id"), _row_bytes_expr(df.schema).alias("b"))
+            .orderBy("id")
+            .collect()
+        ]
+        # row 1: 8 (id) + 4 (s) + 16 (arr) + len('{"m":{"x":1}}') = 41
+        assert got[0] == 8 + 4 + 16 + len('{"m":{"x":1}}')
+        # row 2: nulls contribute 0 for s/arr; JSON renders '{}' for m
+        assert got[1] == 8 + len("{}")
+
     def test_single_exchange_plan(self, spark):
         from ml_hadoop_experiment_spark.plans.prefix import with_keyed_min_rank
 

@@ -53,7 +53,15 @@ def main() -> int:
         .alias("text"),
         "lang",
         "source",
-        "n_chars",
+        # recompute over the rewritten text: cloned rows are ~11 chars
+        # longer, and a stale n_chars would skew length-gated paths
+        F.length(
+            F.when(F.col("k") == 0, F.col("text")).otherwise(
+                F.concat(
+                    F.col("text"), F.lit(" copytoken"), F.col("k").cast("string")
+                )
+            )
+        ).cast("bigint").alias("n_chars"),
     ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").join(k10)
