@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "bpe_pairs",
     "dedup_exact",
+    "dedup_bloom",
     "near_dup_pairs",
     "near_dup_incr",
     "repeated_spans",

@@ -2572,6 +2572,37 @@ WHERE doc_id >= 100
 """
 
 
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup — same semantics as
+    `dedup_incremental` (exact cross-corpus anti-join) but the filter
+    is built over the SMALL batch (doc_id < 300) and the LARGE corpus
+    is only scanned: each corpus partition probes the broadcast filter
+    and forwards just the digests possibly matching the batch, and
+    that tiny candidate set broadcast-anti-joins back
+    (operators/bloom.py) — no corpus-sized exchange anywhere.
+    ``max_bits`` is forced tiny so the filter saturates and the
+    false-positive path (candidates that match no batch row) executes
+    at test scale — the output is exact either way, which is the
+    operator's whole contract."""
+    from ml_hadoop_experiment_spark.operators.bloom import dedup_against_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= 300)
+    out = dedup_against_bloom(
+        docs.where(F.col("doc_id") < 300), corpus, ["text"], max_bits=4096
+    )
+    return out.select("doc_id")
+
+
+SQL_DEDUP_BLOOM = """
+SELECT doc_id FROM documents
+WHERE doc_id < 300
+  AND coalesce(text, chr(0) || 'null') NOT IN (
+    SELECT coalesce(text, chr(0) || 'null') FROM documents WHERE doc_id >= 300
+  )
+"""
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — corpus statistics as a relational
     composition (explode → tf agg → df agg → one-row broadcast → window).
@@ -4232,11 +4263,12 @@ SQL_BPE_PAIRS = _sql_bpe_pairs()
 # Rotation history: r06 window = the 39 changed-since-green queries (the
 # verdict's 12, the r5 shared-module edits the fingerprint sweep surfaced,
 # and the r6 prefix/dedup/stats consumers) + 11 oldest unchanged r04-green.
-# r08 window = 6 tier-0 queries with no driver row (repeated_spans leads,
+# r08 window = 7 tier-0 queries with no driver row (repeated_spans leads,
 # plus the round-8 additions near_dup_index / overlap_pairs / bpe_pairs /
-# simhash_incr / dedup_keep_best) + the 38 prefix/dedup/stats-closure
-# queries the round-8 edits flagged + 6 oldest unchanged r04-green
-# backfill (ending at events_long). See PARITY.md "Correctness rotation".
+# simhash_incr / dedup_keep_best / dedup_bloom) + the 38
+# prefix/dedup/stats-closure queries the round-8 edits flagged + 5 oldest
+# unchanged r04-green backfill (ending at event_transitions). See
+# PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50): tier 0 = new queries with no
     #     driver row yet; tier 1 = queries whose operator/oracle import
@@ -4254,6 +4286,7 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "simhash_incr": q_simhash_incr,
     "dedup_keep_best": q_dedup_keep_best,
+    "dedup_bloom": q_dedup_bloom,
     # tier 1: changed since last green
     "bm25_topk": q_bm25_topk,
     "cdf_normalize": q_cdf_normalize,
@@ -4299,9 +4332,9 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "doc_fingerprint": q_doc_fingerprint,
     "event_transitions": q_event_transitions,
-    "events_long": q_events_long,
     # --- outside the driver window: unchanged, driver-green, and
     #     re-gated locally every round by tests/test_oracle_parity.py
+    "events_long": q_events_long,
     "feature_hash": q_feature_hash,
     "lag_features": q_lag_features,
     "null_default_fill": q_null_default_fill,
@@ -4405,6 +4438,7 @@ ORACLE_SQL = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "dedup_bloom": SQL_DEDUP_BLOOM,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "decontaminate": SQL_DECONTAMINATE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
