@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "tokens_to_ids",
     "llm_pipeline",
+    # round-8 diagnostics tier
+    "skew_report",
+    "snapshot_diff",
+    "dq_audit",
     "gap_fill",
     "trimmed_stats",
     "kfold_assign",

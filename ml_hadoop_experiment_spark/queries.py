@@ -2603,6 +2603,117 @@ WHERE doc_id < 300
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — top-15 heaviest `user_id` keys of the
+    events table with share, skew factor, and the recommended
+    `salted_join` salt count per hot key (operators/diagnostics.py).
+    The grand totals reduce the SAME exchange as the per-key counts
+    (ReusedExchange: the table is scanned once), and the top-N is
+    TakeOrderedAndProject with a key-ascending tiebreak."""
+    from ml_hadoop_experiment_spark.operators.diagnostics import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), ["user_id"], top_n=15)
+
+
+def _sql_skew_report() -> str:
+    from ml_hadoop_experiment_spark.operators.diagnostics import (
+        skew_report_sql,
+    )
+
+    return skew_report_sql("events", ["user_id"], top_n=15)
+
+
+SQL_SKEW_REPORT = _sql_skew_report()
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot delta — two overlapping crawls of `documents`
+    (old: doc_id < 400; new: doc_id >= 100, with every 7th doc's text
+    revised) diffed into added/removed/changed rows
+    (operators/diagnostics.py). Unchanged keys vanish before the one
+    (key, digest) exchange; payloads never shuffle. The revision is a
+    pure string concat so both engines derive the identical changed
+    set (upper() was rejected: Unicode case mapping is
+    engine-dependent)."""
+    from ml_hadoop_experiment_spark.operators.diagnostics import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    revised = F.when(
+        (F.col("doc_id") % 7 == 0) & F.col("text").isNotNull(),
+        F.concat(F.col("text"), F.lit(" [rev2]")),
+    ).otherwise(F.col("text"))
+    old = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 100).withColumn("text", revised)
+    return snapshot_diff(old, new, ["doc_id"], ["text", "lang", "source"])
+
+
+def _sql_snapshot_diff() -> str:
+    from ml_hadoop_experiment_spark.operators.diagnostics import (
+        snapshot_diff_sql,
+    )
+
+    new_side = (
+        "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 AND text IS NOT NULL "
+        "THEN text || ' [rev2]' ELSE text END AS text, lang, source "
+        "FROM documents WHERE doc_id >= 100)"
+    )
+    return snapshot_diff_sql(
+        "(SELECT * FROM documents WHERE doc_id < 400)",
+        new_side,
+        ["doc_id"],
+        ["text", "lang", "source"],
+    )
+
+
+SQL_SNAPSHOT_DIFF = _sql_snapshot_diff()
+
+
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate — six predicate rules over lineitem evaluated
+    in ONE scan (operators/diagnostics.py): every rule is a
+    sum(CASE...) column of a single aggregate, so rule evaluation is
+    map-side codegen and the only exchange is the one-row combine."""
+    from ml_hadoop_experiment_spark.operators.diagnostics import dq_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return dq_audit(
+        li,
+        [
+            (
+                "quantity_out_of_range",
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            ),
+            ("discount_above_cap", F.col("l_discount") > 0.08),
+            ("negative_tax", F.col("l_tax") < 0),
+            ("price_not_positive", F.col("l_extendedprice") <= 0),
+            (
+                "returnflag_bad_domain",
+                ~F.col("l_returnflag").isin("A", "N", "R"),
+            ),
+            ("null_shipdate", F.col("l_shipdate").isNull()),
+        ],
+    )
+
+
+def _sql_dq_audit() -> str:
+    from ml_hadoop_experiment_spark.operators.diagnostics import dq_audit_sql
+
+    return dq_audit_sql(
+        "lineitem",
+        [
+            ("quantity_out_of_range", "l_quantity < 1 OR l_quantity > 50"),
+            ("discount_above_cap", "l_discount > 0.08"),
+            ("negative_tax", "l_tax < 0"),
+            ("price_not_positive", "l_extendedprice <= 0"),
+            ("returnflag_bad_domain", "l_returnflag NOT IN ('A','N','R')"),
+            ("null_shipdate", "l_shipdate IS NULL"),
+        ],
+    )
+
+
+SQL_DQ_AUDIT = _sql_dq_audit()
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — corpus statistics as a relational
     composition (explode → tf agg → df agg → one-row broadcast → window).
@@ -4263,12 +4374,12 @@ SQL_BPE_PAIRS = _sql_bpe_pairs()
 # Rotation history: r06 window = the 39 changed-since-green queries (the
 # verdict's 12, the r5 shared-module edits the fingerprint sweep surfaced,
 # and the r6 prefix/dedup/stats consumers) + 11 oldest unchanged r04-green.
-# r08 window = 7 tier-0 queries with no driver row (repeated_spans leads,
+# r08 window = 10 tier-0 queries with no driver row (repeated_spans leads,
 # plus the round-8 additions near_dup_index / overlap_pairs / bpe_pairs /
-# simhash_incr / dedup_keep_best / dedup_bloom) + the 38
-# prefix/dedup/stats-closure queries the round-8 edits flagged + 5 oldest
-# unchanged r04-green backfill (ending at event_transitions). See
-# PARITY.md "Correctness rotation".
+# simhash_incr / dedup_keep_best / dedup_bloom / skew_report /
+# snapshot_diff / dq_audit) + the 38 prefix/dedup/stats-closure queries
+# the round-8 edits flagged + 2 oldest unchanged r04-green backfill
+# (big_orders, bootstrap_metrics). See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50): tier 0 = new queries with no
     #     driver row yet; tier 1 = queries whose operator/oracle import
@@ -4287,6 +4398,9 @@ QUERIES = {
     "simhash_incr": q_simhash_incr,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_bloom": q_dedup_bloom,
+    "skew_report": q_skew_report,
+    "snapshot_diff": q_snapshot_diff,
+    "dq_audit": q_dq_audit,
     # tier 1: changed since last green
     "bm25_topk": q_bm25_topk,
     "cdf_normalize": q_cdf_normalize,
@@ -4329,11 +4443,11 @@ QUERIES = {
     # tier 2: oldest-green unchanged backfill to 50
     "big_orders": q_big_orders,
     "bootstrap_metrics": q_bootstrap_metrics,
+    # --- outside the driver window: unchanged, driver-green, and
+    #     re-gated locally every round by tests/test_oracle_parity.py
     "cohort_retention": q_cohort_retention,
     "doc_fingerprint": q_doc_fingerprint,
     "event_transitions": q_event_transitions,
-    # --- outside the driver window: unchanged, driver-green, and
-    #     re-gated locally every round by tests/test_oracle_parity.py
     "events_long": q_events_long,
     "feature_hash": q_feature_hash,
     "lag_features": q_lag_features,
@@ -4439,6 +4553,9 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_bloom": SQL_DEDUP_BLOOM,
+    "skew_report": SQL_SKEW_REPORT,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "dq_audit": SQL_DQ_AUDIT,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "decontaminate": SQL_DECONTAMINATE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
