@@ -2714,6 +2714,35 @@ def _sql_dq_audit() -> str:
 SQL_DQ_AUDIT = _sql_dq_audit()
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=8, 3 iterations) over the 64-dim
+    embeddings: smallest-id init, argmin assignment as a codegen
+    expression (zero shuffle — centroids are literals), decimal-exact
+    rounded centroid updates. The oracle replays the ENTIRE iterative
+    algorithm in DuckDB (unrolled CTE chain, same fold order, same
+    quantization), so this is an oracle-gated iterative algorithm, not
+    a rows-only check. Returns (vec_id, cluster)."""
+    from ml_hadoop_experiment_spark.operators.clustering import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lloyd(
+        emb, "vec_id", "embedding", dim=64, k=8, iters=3
+    )
+    return assigned.withColumnRenamed("id", "vec_id")
+
+
+def _sql_kmeans_clusters() -> str:
+    from ml_hadoop_experiment_spark.operators.clustering import kmeans_lloyd_sql
+
+    return kmeans_lloyd_sql(
+        "embeddings", "vec_id", "embedding", dim=64, k=8, iters=3,
+        out_id="vec_id",
+    )
+
+
+SQL_KMEANS_CLUSTERS = _sql_kmeans_clusters()
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — corpus statistics as a relational
     composition (explode → tf agg → df agg → one-row broadcast → window).
@@ -4392,6 +4421,7 @@ QUERIES = {
     #     operators/corpus.py bpe_pair_counts, operators/stats.py
     #     cdf_normalize resolution.
     "repeated_spans": q_repeated_spans,
+    "kmeans_clusters": q_kmeans_clusters,
     "near_dup_index": q_near_dup_index,
     "overlap_pairs": q_overlap_pairs,
     "bpe_pairs": q_bpe_pairs,
@@ -4520,6 +4550,7 @@ NO_ORACLE: set = set()
 
 ORACLE_SQL = {
     "repeated_spans": SQL_REPEATED_SPANS,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "streaming_enrich": SQL_STREAMING_ENRICH,
     "near_dup_incr": SQL_NEAR_DUP_INCR,
     # identical result contract; the Spark side runs the prebuilt-index path
