@@ -2743,6 +2743,48 @@ def _sql_kmeans_clusters() -> str:
 SQL_KMEANS_CLUSTERS = _sql_kmeans_clusters()
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized similarity search: SYMMETRIC global-scale codes
+    (one 1-scalar absmax pass; zero-point-free so int dot preserves
+    dot-product order), then top-20 neighbors of vec_id=0 by EXACT
+    int64 dot product over the codes — map-only scoring into
+    TakeOrderedAndProject, zero shuffle, and an oracle with no rounding
+    contract at all on the scoring path (pure integer arithmetic). The
+    4x-smaller scan is the memory path ANN takes at 100 TB.
+
+    The corpus-level reconstruction-error audit of the STORAGE codes
+    (per-dim affine int8, operators/quantize.quantization_error — the
+    go/no-go check before switching the ANN scan to quantized codes)
+    rides along as a broadcast one-row ``mse`` column, so both
+    quantization schemes are oracle-gated by this one query."""
+    from ml_hadoop_experiment_spark.operators.quantize import (
+        quantization_error,
+        quantized_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantized_topk(emb, "vec_id", "embedding", dim=64, query_id=0, k=20)
+    audit = quantization_error(emb, "embedding", dim=64).select("mse")
+    return out.withColumnRenamed("id", "vec_id").crossJoin(F.broadcast(audit))
+
+
+def _sql_quantized_topk() -> str:
+    from ml_hadoop_experiment_spark.operators.quantize import (
+        quantization_error_sql,
+        quantized_topk_sql,
+    )
+
+    topk = quantized_topk_sql(
+        "embeddings", "vec_id", "embedding", dim=64, query_id=0, k=20,
+        out_id="vec_id",
+    )
+    err = quantization_error_sql("embeddings", "vec_id", "embedding", dim=64)
+    return f"SELECT t.*, e.mse FROM ({topk}) t, ({err}) e"
+
+
+SQL_QUANTIZED_TOPK = _sql_quantized_topk()
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — corpus statistics as a relational
     composition (explode → tf agg → df agg → one-row broadcast → window).
@@ -4422,6 +4464,7 @@ QUERIES = {
     #     cdf_normalize resolution.
     "repeated_spans": q_repeated_spans,
     "kmeans_clusters": q_kmeans_clusters,
+    "quantized_topk": q_quantized_topk,
     "near_dup_index": q_near_dup_index,
     "overlap_pairs": q_overlap_pairs,
     "bpe_pairs": q_bpe_pairs,
@@ -4551,6 +4594,7 @@ NO_ORACLE: set = set()
 ORACLE_SQL = {
     "repeated_spans": SQL_REPEATED_SPANS,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "quantized_topk": SQL_QUANTIZED_TOPK,
     "streaming_enrich": SQL_STREAMING_ENRICH,
     "near_dup_incr": SQL_NEAR_DUP_INCR,
     # identical result contract; the Spark side runs the prebuilt-index path
