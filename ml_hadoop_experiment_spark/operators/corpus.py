@@ -393,3 +393,92 @@ GROUP BY pair
 ORDER BY pair_count DESC, pair ASC
 LIMIT {int(top_k)}
 """
+
+
+def unigram_xent(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document unigram cross-entropy under the corpus's own token
+    distribution: ``(id, n_tokens, xent)`` with
+    ``xent = -avg_t ln(count(t) / T)`` over the doc's token instances
+    (T = total corpus token instances). The log-space cousin of
+    :func:`rare_token_ratio` — CCNet-style LM quality filtering:
+    boilerplate scores low, gibberish/OCR noise scores high.
+
+    An earlier round rejected this operator as cross-engine-unverifiable
+    ("log-space hits float-sum divergence" — rare_token_ratio's
+    docstring). The round-then-decimal-sum contract retires that: each
+    DISTINCT (doc, token)'s ``ln(c/T)`` is rounded to ``round_digits``
+    and multiplied by its integer term frequency in ``decimal(28,6)``,
+    so the per-doc sum is exact and addition-order independent; the
+    only float steps left are one ln on identical IEEE inputs and one
+    final correctly-rounded division — the same parity the green
+    TF-IDF/BM25 scores already rely on.
+
+    Plan: explode tokens once; corpus counts are a map-combined agg on
+    the exploded stream; tf is a per-(doc, token) agg; the count table
+    joins back keyed on token (AQE broadcasts when small) and one
+    per-doc agg finishes. Raw text never shuffles. The corpus includes
+    the scored doc itself — the usual corpus-level-filter convention.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "__tok"
+        ),
+    )
+    tf = toks.groupBy("id", "__tok").agg(F.count(F.lit(1)).alias("__tf"))
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    contrib = F.round(
+        F.log(F.col("__cnt").cast("double") / F.col("__total")), round_digits
+    ).cast("decimal(28,6)") * F.col("__tf").cast("decimal(28,6)")
+    per_doc = (
+        tf.join(counts, on="__tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.sum("__tf").alias("n_tokens"),
+            F.sum(contrib).alias("__lp"),
+        )
+    )
+    return per_doc.select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            -(F.col("__lp").cast("double")) / F.col("n_tokens"), round_digits
+        ).alias("xent"),
+    )
+
+
+def unigram_xent_sql(
+    relation: str,
+    id_expr: str,
+    text_expr: str,
+    round_digits: int = 6,
+    out_id: str = "id",
+) -> str:
+    """DuckDB twin of :func:`unigram_xent` (same rounding points, same
+    decimal summation, same final division)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_expr} AS id,
+         unnest(regexp_split_to_array(trim(lower({text_expr})), '\\s+')) AS tok
+  FROM {relation}
+),
+tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY id, tok),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT count(*) AS t FROM toks)
+SELECT tf.id AS {out_id},
+       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       round(-CAST(sum(
+           CAST(round(ln(CAST(cnt.c AS DOUBLE) / tot.t), {round_digits})
+                AS DECIMAL(28,6))
+           * CAST(tf.tf AS DECIMAL(28,6))
+         ) AS DOUBLE) / sum(tf.tf), {round_digits}) AS xent
+FROM tf JOIN cnt ON tf.tok = cnt.tok, tot
+GROUP BY tf.id
+"""

@@ -4589,7 +4589,46 @@ QUERIES = {
 #: queries with no DuckDB oracle. Empty since round 2: ivf_topk gained a
 #: frozen-centroid oracle (the iterative-KMeans adaptive path stays
 #: recall-tested in tests/test_similarity.py).
+def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy under the corpus's own token
+    distribution (operators/corpus.unigram_xent) — CCNet-style LM
+    quality filtering, made cross-engine exact by rounding each
+    distinct token's ln before an order-independent decimal sum."""
+    from ml_hadoop_experiment_spark.operators.corpus import unigram_xent
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_xent(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _sql_unigram_xent() -> str:
+    from ml_hadoop_experiment_spark.operators.corpus import unigram_xent_sql
+
+    return unigram_xent_sql("documents", "doc_id", "text", out_id="doc_id")
+
+
+SQL_UNIGRAM_XENT = _sql_unigram_xent()
+
+
 NO_ORACLE: set = set()
+
+#: Queries implemented and locally oracle-gated (tests/test_oracle_parity
+#: runs them exactly like declared ones) but NOT yet declared to the
+#: driver: the 50-entry verification window is at capacity this round
+#: (every slot holds a new or changed-since-green query — see
+#: tools/green_state.py). Next round, after the green fold frees the
+#: re-verified tier-1 slots, merge these into QUERIES/ORACLE_SQL at the
+#: window head. Keeping them out of QUERIES (rather than declared past
+#: index 50) is deliberate: a declared query without a driver row is a
+#: coverage gap; a staged one is a scheduling decision with a local gate.
+PENDING_QUERIES = {
+    "unigram_xent": q_unigram_xent,
+}
+
+PENDING_ORACLE_SQL = {
+    "unigram_xent": SQL_UNIGRAM_XENT,
+}
 
 ORACLE_SQL = {
     "repeated_spans": SQL_REPEATED_SPANS,

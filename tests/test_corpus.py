@@ -230,3 +230,33 @@ class TestOverlapPairs:
         for k, (o, j) in ov.items():
             assert j == jc[k]
             assert o >= j
+
+
+class TestUnigramXent:
+    def test_hand_computed_two_docs(self, spark):
+        import math
+
+        from ml_hadoop_experiment_spark.operators.corpus import unigram_xent
+
+        # corpus: "a a b" + "b c" -> T=5, counts a=2 b=2 c=1
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c")], "id long, t string"
+        )
+        out = {r["id"]: r for r in unigram_xent(df, "id", "t").collect()}
+        lp = lambda c: round(math.log(c / 5), 6)
+        x1 = round(-(2 * lp(2) + 1 * lp(2)) / 3, 6)
+        x2 = round(-(lp(2) + lp(1)) / 2, 6)
+        assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+        assert out[1]["xent"] == x1
+        assert out[2]["xent"] == x2
+        # the all-common-tokens doc is the lower-entropy one
+        assert out[1]["xent"] < out[2]["xent"]
+
+    def test_repeated_boilerplate_scores_below_gibberish(self, spark):
+        from ml_hadoop_experiment_spark.operators.corpus import unigram_xent
+
+        rows = [(i, "click here to subscribe now") for i in range(20)]
+        rows.append((99, "qzx vbnm wkrt ploy jhgf"))
+        df = spark.createDataFrame(rows, "id long, t string")
+        out = {r["id"]: r["xent"] for r in unigram_xent(df, "id", "t").collect()}
+        assert out[99] > out[0]

@@ -15,7 +15,13 @@ import pandas as pd
 import pytest
 
 from ml_hadoop_experiment_spark.plans.prefix import release_prefix_caches
-from ml_hadoop_experiment_spark.queries import NO_ORACLE, ORACLE_SQL, QUERIES
+from ml_hadoop_experiment_spark.queries import (
+    NO_ORACLE,
+    ORACLE_SQL,
+    PENDING_ORACLE_SQL,
+    PENDING_QUERIES,
+    QUERIES,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.001")
 
@@ -68,10 +74,16 @@ def _assert_frames_match(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFr
                 assert a == b, f"{name}.{col}[{i}]: {a!r} != {b!r}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - NO_ORACLE))
+# staged queries (window at capacity — see PENDING_QUERIES in queries.py)
+# are gated here exactly like declared ones
+_ALL_QUERIES = {**QUERIES, **PENDING_QUERIES}
+_ALL_ORACLES = {**ORACLE_SQL, **PENDING_ORACLE_SQL}
+
+
+@pytest.mark.parametrize("name", sorted(set(_ALL_QUERIES) - NO_ORACLE))
 def test_query_matches_oracle(spark, duck, name):
-    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
-    duck_pdf = duck.execute(ORACLE_SQL[name]).df()
+    spark_pdf = _ALL_QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(_ALL_ORACLES[name]).df()
     # prefix-sum queries pin one persisted copy of their ranged input;
     # the sweep reclaims it between queries (the result is materialized).
     release_prefix_caches()
