@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "returned_customers",
     "promo_share",
     "big_orders",
+    # round-8 additions: oracle-gated iterative clustering + quantized ANN
+    "kmeans_clusters",
+    "quantized_topk",
     # connected-components pipelines (round 5: benched with convergence
     # round counts — the two most expensive plans must be tracked, not
     # excluded; see "cc_rounds" in the output JSON)

@@ -1,0 +1,134 @@
+"""Exact set-similarity join: ALL pairs with n-gram Jaccard >= t.
+
+The MinHash-LSH pipeline (operators/dedup.py) is probabilistic — its
+banding scheme trades recall for candidate sparsity, and the recall gap
+is real (the ``lsh_bucket_overflow`` audit exists because of it). Some
+curation decisions need the complete answer: legal/contamination
+sweeps, eval-set leakage checks, dedup QA sampling. This module gives
+the exact join with the candidate-explosion problem handled by PREFIX
+FILTERING (the PPJoin family — Chaudhuri/Ganti/Kaushik ICDE'06,
+Xiao et al. WWW'08 — both public literature):
+
+  order every document's distinct shingles by GLOBAL ascending document
+  frequency (rarest first, ties by token text); a pair can only reach
+  Jaccard ``t`` if its two PREFIXES intersect, where a set of size n
+  keeps its first ``n - ceil(t*n) + 1`` rarest tokens. So the candidate
+  equi-join runs over the prefix inverted index only — and because the
+  ordering puts the most common shingles LAST, the high-fan-out index
+  entries (stopword shingles, boilerplate) never enter the join. That
+  is the scale story: candidate cost tracks rare-token co-occurrence,
+  not raw index squaring, and the skewed head of the token distribution
+  is structurally excluded.
+
+Completeness argument (why the prefix join loses nothing): Jaccard
+J(A,B) >= t implies |A∩B| >= t*|A∪B| >= t*max(|A|,|B|), so the overlap
+is at least alpha = ceil(t*|A|) and at least ceil(t*|B|). Under one
+global token order, if |A∩B| >= alpha then the first |A|-alpha+1 tokens
+of A and the first |B|-alpha+1 tokens of B must share an element
+(outside the prefix, A has only alpha-1 tokens left — too few to hold
+the whole overlap; same for B; a shared token minimal in the global
+order lies in both prefixes). Our per-set prefixes use the per-set
+alpha, which is <= the pair's alpha, so they are supersets of the
+lemma's prefixes — still complete, merely more candidates.
+
+Verification reuses the exact :func:`~.dedup.jaccard_pairs` scorer, so
+the result contract (rounding, thresholds, zero-token caveats) is
+identical to the LSH pipeline's — only the candidate generator changes
+from probabilistic to complete.
+
+Reference parity: criteo/ml-hadoop-experiment has no similarity join
+(its ~2.1k LoC are ML-inference glue; see SURVEY.md §2). This is
+north-star extension surface for training-data curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import jaccard_pairs, tokens_frame
+
+#: nudge for float ceil/threshold comparisons: when t*n lands exactly on
+#: an integer, IEEE rounding can push the product one ulp ABOVE it and
+#: ceil then over-shortens the prefix (losing completeness). Subtracting
+#: an epsilon can only lengthen a prefix / admit a borderline candidate
+#: — errs toward more candidates, never toward a missed pair.
+_CEIL_EPS = 1e-9
+
+
+def prefix_filter_candidates(tokens: DataFrame, threshold: float) -> DataFrame:
+    """COMPLETE candidate pairs (id_a < id_b) for Jaccard >= ``threshold``
+    from a distinct ``(id, token)`` frame (see module docstring for the
+    prefix-filtering lemma).
+
+    Plan: one agg for per-doc sizes, one for global doc-frequency; the
+    rank window partitions by id (per-document width — never a
+    single-partition global window); the candidate equi-join touches
+    prefix tokens only, then a symmetric length filter
+    (min >= t * max, necessary since J <= min/max) prunes before the
+    pair distinct. Shuffles: token (df join + candidate join), id
+    (sizes + rank) — all keyed, none all-pairs.
+    """
+    sizes = tokens.groupBy("id").agg(F.count("*").alias("__n"))
+    dfreq = tokens.groupBy("token").agg(F.count("*").alias("__df"))
+    ranked = tokens.join(dfreq, "token").withColumn(
+        "__pos",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("__df", "token")
+        ),
+    )
+    prefix = (
+        ranked.join(sizes, "id")
+        .where(
+            F.col("__pos")
+            <= F.col("__n")
+            - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(_CEIL_EPS))
+            + F.lit(1)
+        )
+        .select("id", "token", "__n")
+    )
+    a = prefix.select(
+        F.col("id").alias("id_a"), "token", F.col("__n").alias("__n_a")
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), "token", F.col("__n").alias("__n_b")
+    )
+    return (
+        a.join(b, "token")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("__n_a", "__n_b")
+                >= F.lit(threshold) * F.greatest("__n_a", "__n_b")
+                - F.lit(_CEIL_EPS)
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact, complete n-gram Jaccard similarity self-join:
+    ``(id_a, id_b, jaccard)`` for every pair with
+    ``round(jaccard, 6) >= threshold``, id_a < id_b.
+
+    Same tokenization (:func:`~.dedup.tokens_frame`, short-doc
+    whole-text rule included) and the same exact verifier
+    (:func:`~.dedup.jaccard_pairs`) as the MinHash pipeline — so a
+    recall audit is one EXCEPT between this join and the LSH one.
+
+    The token frame is recomputed per consumer (sizes/df/verify) rather
+    than persisted: tokenization is a map-only scan stage and at corpus
+    scale re-reading pruned parquet columns is cheaper than caching an
+    exploded (id, token) frame bigger than the corpus itself.
+    """
+    toks = tokens_frame(df, id_col, text_col, shingle_size)
+    cands = prefix_filter_candidates(toks, threshold)
+    return jaccard_pairs(cands, toks, threshold=threshold)

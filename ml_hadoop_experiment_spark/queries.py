@@ -4611,6 +4611,52 @@ def _sql_unigram_xent() -> str:
 SQL_UNIGRAM_XENT = _sql_unigram_xent()
 
 
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard similarity self-join via prefix filtering
+    (operators/setsim.jaccard_join): complete — every pair >= 0.4, not
+    an LSH-recalled subset — with candidate cost bounded by the
+    rarest-first prefix index. The oracle is the brute-force all-pairs
+    token join, so parity IS the completeness proof."""
+    from ml_hadoop_experiment_spark.operators.setsim import jaccard_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_join(docs, "doc_id", "text", threshold=0.4, shingle_size=3)
+
+
+# brute-force twin: no prefix filter — DuckDB joins the full inverted
+# index; identical tokenization (3-shingles, short-doc whole-text rule)
+# and identical rounding, so any pair the prefix filter missed fails the
+# row-count gate immediately.
+SQL_JACCARD_JOIN = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+toks AS (
+  SELECT DISTINCT doc_id AS id, sh AS token FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+    FROM base WHERE len(t) >= 3
+    UNION ALL
+    SELECT doc_id, array_to_string(t, ' ') AS sh FROM base WHERE len(t) < 3
+  )
+),
+sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.4
+"""
+
+
 NO_ORACLE: set = set()
 
 #: Queries implemented and locally oracle-gated (tests/test_oracle_parity
@@ -4624,10 +4670,12 @@ NO_ORACLE: set = set()
 #: coverage gap; a staged one is a scheduling decision with a local gate.
 PENDING_QUERIES = {
     "unigram_xent": q_unigram_xent,
+    "jaccard_join": q_jaccard_join,
 }
 
 PENDING_ORACLE_SQL = {
     "unigram_xent": SQL_UNIGRAM_XENT,
+    "jaccard_join": SQL_JACCARD_JOIN,
 }
 
 ORACLE_SQL = {

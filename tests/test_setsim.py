@@ -1,0 +1,106 @@
+"""Exact prefix-filtered set-similarity join (operators/setsim.py)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+from ml_hadoop_experiment_spark.operators.dedup import tokens_frame
+from ml_hadoop_experiment_spark.operators.setsim import (
+    jaccard_join,
+    prefix_filter_candidates,
+)
+
+
+def _brute_pairs(docs, shingle_size, threshold):
+    """Driver-side brute force: exact Jaccard over ALL pairs."""
+
+    def shingles(text):
+        t = text.strip().split()
+        if len(t) < shingle_size:
+            return {" ".join(t)}
+        return {
+            " ".join(t[i : i + shingle_size])
+            for i in range(len(t) - shingle_size + 1)
+        }
+
+    sets = {i: shingles(txt) for i, txt in docs}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        j = round(inter / (len(sa) + len(sb) - inter), 6)
+        if j >= threshold:
+            out[(a, b)] = j
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # overlapping word streams: many near-dup pairs at varied similarity,
+    # plus short docs (whole-text shingle rule) and an exact duplicate
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    base = [rng.choice(words) for _ in range(40)]
+    for i in range(25):
+        doc = list(base)
+        for _ in range(rng.randrange(0, 25)):
+            doc[rng.randrange(len(doc))] = rng.choice(words)
+        rows.append((i, " ".join(doc)))
+    rows.append((100, " ".join(base)))  # exact dup of doc built from base
+    rows.append((101, "one two"))  # short: whole-text shingle
+    rows.append((102, "one two"))  # short exact dup -> jaccard 1.0
+    rows.append((103, "solitary"))
+    return rows
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_jaccard_join_matches_brute_force(spark, corpus, threshold):
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_join(
+            df, "doc_id", "text", threshold=threshold, shingle_size=3
+        ).collect()
+    }
+    want = _brute_pairs(corpus, 3, threshold)
+    assert got == want  # completeness AND exactness, no LSH recall gap
+
+
+def test_prefix_candidates_complete_at_integer_boundary(spark):
+    # t*n exactly integral (t=0.5, sizes 4 and 8): the float-ceil nudge
+    # must keep the prefix long enough — a pair at exactly J=0.5 survives
+    rows = [
+        (1, "a b c d e"),  # 3-shingles: {abc bcd cde} size 3
+        (2, "a b c d f"),  # {abc bcd cdf} inter=2 union=4 J=0.5
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    toks = tokens_frame(df, "doc_id", "text", shingle_size=3)
+    cands = prefix_filter_candidates(toks, 0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cands] == [(1, 2)]
+    out = jaccard_join(df, "doc_id", "text", threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(1, 2, 0.5)]
+
+
+def test_prefix_join_prunes_vs_full_index(spark, corpus):
+    # the point of prefix filtering: candidate pairs strictly fewer than
+    # the full inverted-index join would produce (here the corpus shares
+    # `base`, so the full index is near-all-pairs)
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    toks = tokens_frame(df, "doc_id", "text", shingle_size=3)
+    n_cand = prefix_filter_candidates(toks, 0.8).count()
+    ta = toks.selectExpr("id AS id_a", "token")
+    tb = toks.selectExpr("id AS id_b", "token")
+    n_full = (
+        ta.join(tb, "token")
+        .where("id_a < id_b")
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert n_cand < n_full
