@@ -482,3 +482,119 @@ SELECT tf.id AS {out_id},
 FROM tf JOIN cnt ON tf.tok = cnt.tok, tot
 GROUP BY tf.id
 """
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    ``(w1, w2, n_pair, pmi)`` with
+    ``pmi = ln(p(w1,w2) / (p(w1)*p(w2)))``, p over the corpus's bigram
+    and unigram instance distributions respectively. The standard
+    collocation detector (Church & Hanks 1990): multi-word entities and
+    idioms score high, chance co-occurrences of frequent words score
+    ~0/negative — a tokenizer-vocab and corpus-QA primitive.
+
+    Cross-engine determinism: the PMI argument is assembled from the
+    four integer counts in one fixed expression shape —
+    ``(cast(c_xy) * t_u * t_u) / (cast(t_b) * c_x * c_y)`` — so both
+    engines execute the identical sequence of IEEE double ops on
+    identical integers; one ln + one round ends it. ``min_count``
+    (standard PMI practice — PMI of a hapax pair is pure noise) doubles
+    as the scale guard: it filters the bigram tally BEFORE the unigram
+    joins, so the joined frame is the collocation candidates, not the
+    corpus. Ordering ``(pmi DESC, w1, w2)`` is total, making LIMIT
+    deterministic (TakeOrderedAndProject — no global sort materializes).
+
+    Plan: one explode for unigrams, one zip-slice explode for bigrams
+    (both map-side from the same scan; raw text never shuffles), three
+    map-combined aggs, two keyed joins on the filtered tally, broadcast
+    scalar totals.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(toks.alias("__t"))
+    uni = base.select(F.explode("__t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("__c"))
+    utot = uni.agg(F.count(F.lit(1)).alias("__tu"))
+    n = F.size("__t")
+    m = n - F.lit(1)
+    pairs = F.arrays_zip(F.slice("__t", 1, m), F.slice("__t", 2, m))
+    big = (
+        base.where(n >= 2)
+        .select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.0").alias("w1"), F.col("__p.1").alias("w2"))
+    )
+    btot = big.agg(F.count(F.lit(1)).alias("__tb"))
+    bcnt = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__cxy"))
+        .where(F.col("__cxy") >= min_count)
+    )
+    ratio = (
+        F.col("__cxy").cast("double") * F.col("__tu") * F.col("__tu")
+    ) / (F.col("__tb").cast("double") * F.col("__cx") * F.col("__cy"))
+    return (
+        bcnt.join(
+            ucnt.select(F.col("w").alias("w1"), F.col("__c").alias("__cx")),
+            "w1",
+        )
+        .join(
+            ucnt.select(F.col("w").alias("w2"), F.col("__c").alias("__cy")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("__cxy").cast("long").alias("n_pair"),
+            F.round(F.log(ratio), round_digits).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def pmi_bigrams_sql(
+    relation: str,
+    text_expr: str,
+    min_count: int = 5,
+    top_k: int = 100,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pmi_bigrams`: identical tokenization,
+    identical count-ratio expression shape, same total ordering."""
+    return f"""
+WITH base AS (
+  SELECT regexp_split_to_array(trim(lower({text_expr})), '\\s+') AS t
+  FROM {relation}
+),
+uni AS (SELECT unnest(t) AS w FROM base),
+ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+utot AS (SELECT count(*) AS tu FROM uni),
+big AS (
+  SELECT unnest(list_transform(
+           range(1, len(t)),
+           i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+  FROM base WHERE len(t) >= 2
+),
+bpairs AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM big),
+btot AS (SELECT count(*) AS tb FROM bpairs),
+bcnt AS (
+  SELECT w1, w2, count(*) AS cxy FROM bpairs GROUP BY w1, w2
+  HAVING count(*) >= {min_count}
+)
+SELECT b.w1, b.w2, CAST(b.cxy AS BIGINT) AS n_pair,
+       round(ln((CAST(b.cxy AS DOUBLE) * utot.tu * utot.tu)
+                / (CAST(btot.tb AS DOUBLE) * cx.c * cy.c)),
+             {round_digits}) AS pmi
+FROM bcnt b
+JOIN ucnt cx ON cx.w = b.w1
+JOIN ucnt cy ON cy.w = b.w2, utot, btot
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT {top_k}
+"""

@@ -4657,6 +4657,27 @@ WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.4
 """
 
 
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information
+    (operators/corpus.pmi_bigrams) — Church-&-Hanks collocation
+    detection for tokenizer-vocab and corpus QA; deterministic via a
+    fixed integer-count ratio expression and a total (pmi, w1, w2)
+    order."""
+    from ml_hadoop_experiment_spark.operators.corpus import pmi_bigrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, "text", min_count=5, top_k=100)
+
+
+def _sql_pmi_bigrams() -> str:
+    from ml_hadoop_experiment_spark.operators.corpus import pmi_bigrams_sql
+
+    return pmi_bigrams_sql("documents", "text", min_count=5, top_k=100)
+
+
+SQL_PMI_BIGRAMS = _sql_pmi_bigrams()
+
+
 NO_ORACLE: set = set()
 
 #: Queries implemented and locally oracle-gated (tests/test_oracle_parity
@@ -4671,11 +4692,13 @@ NO_ORACLE: set = set()
 PENDING_QUERIES = {
     "unigram_xent": q_unigram_xent,
     "jaccard_join": q_jaccard_join,
+    "pmi_bigrams": q_pmi_bigrams,
 }
 
 PENDING_ORACLE_SQL = {
     "unigram_xent": SQL_UNIGRAM_XENT,
     "jaccard_join": SQL_JACCARD_JOIN,
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
 }
 
 ORACLE_SQL = {

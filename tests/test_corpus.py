@@ -260,3 +260,54 @@ class TestUnigramXent:
         df = spark.createDataFrame(rows, "id long, t string")
         out = {r["id"]: r["xent"] for r in unigram_xent(df, "id", "t").collect()}
         assert out[99] > out[0]
+
+
+class TestPmiBigrams:
+    def test_golden(self, spark):
+        import math
+
+        from ml_hadoop_experiment_spark.operators.corpus import pmi_bigrams
+
+        # "a b" appears 3x; unigrams: a=5, b=4, c=2 (11); bigrams total = 8
+        rows = [
+            (1, "a b a b c"),   # bigrams: ab, ba, ab, bc
+            (2, "a b c a"),     # bigrams: ab, bc, ca
+            (3, "b a"),         # bigrams: ba
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = pmi_bigrams(df, "text", min_count=2, top_k=10).collect()
+        got = {(r["w1"], r["w2"]): (r["n_pair"], r["pmi"]) for r in out}
+
+        def pmi(cxy, cx, cy, tu=11, tb=8):
+            return round(math.log((float(cxy) * tu * tu) / (float(tb) * cx * cy)), 6)
+
+        assert got == {
+            ("a", "b"): (3, pmi(3, 5, 4)),
+            ("b", "a"): (2, pmi(2, 5, 4)),
+            ("b", "c"): (2, pmi(2, 4, 2)),
+        }
+        # ordering: rarer-unigram pair (b,c) outranks (a,b)
+        assert [(r["w1"], r["w2"]) for r in out][0] == ("b", "c")
+
+    def test_min_count_prunes_and_short_docs_skip_bigrams(self, spark):
+        from ml_hadoop_experiment_spark.operators.corpus import pmi_bigrams
+
+        rows = [(1, "x y"), (2, "z"), (3, "  "), (4, "x y")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = pmi_bigrams(df, "text", min_count=2, top_k=10).collect()
+        # only (x,y) survives; 1-token and blank docs emit no bigrams
+        assert [(r["w1"], r["w2"], r["n_pair"]) for r in out] == [("x", "y", 2)]
+
+    def test_topk_order_is_total(self, spark):
+        from ml_hadoop_experiment_spark.operators.corpus import pmi_bigrams
+
+        # two pairs with IDENTICAL pmi (symmetric counts) -> (w1, w2)
+        # lexicographic tie-break decides who enters a k=1 cut
+        rows = [(1, "p q p q"), (2, "s r s r")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = pmi_bigrams(df, "text", min_count=1, top_k=1).collect()
+        assert len(out) == 1
+        top = (out[0]["w1"], out[0]["w2"])
+        full = pmi_bigrams(df, "text", min_count=1, top_k=100).collect()
+        best = sorted(full, key=lambda r: (-r["pmi"], r["w1"], r["w2"]))[0]
+        assert top == (best["w1"], best["w2"])
