@@ -446,3 +446,66 @@ SELECT id, min(pos) AS span_start,
        max(pos) + {k - 1} - min(pos) + 1 AS span_tokens
 FROM grp GROUP BY id, g
 """
+
+
+def source_overlap(
+    df: DataFrame,
+    content_cols: List[str],
+    group_col: str,
+    fingerprint_tokens: int | None = None,
+) -> DataFrame:
+    """Cross-group exact-duplicate leakage matrix:
+    ``(group_a, group_b, n_shared)`` — for every unordered pair of
+    groups (data sources, crawl snapshots, dataset shards), the number
+    of DISTINCT contents present in both. The pre-merge audit a
+    curation pipeline runs before unioning corpora: a high-overlap
+    source pair means the union double-counts documents (and a
+    train/eval source pair with nonzero overlap is leakage).
+
+    Plan: one md5 digest per row (``content_digest`` — null-safe, the
+    same digest the exact-dedup family keys on), distinct
+    (digest, group), then a digest-keyed self-join restricted to
+    ``group_a < group_b`` and one count per pair. The join is keyed on
+    the digest — never all-pairs of rows — and the output is bounded by
+    |groups|², which for real corpora is dozens, so the final agg
+    broadcasts trivially. Groups NULL on ``group_col`` are kept as a
+    group of their own (digest rows with NULL group compare unequal in
+    the join and drop — documented: NULL-source rows never pair).
+
+    ``fingerprint_tokens=k`` switches the key from the exact content
+    digest to a digest of the first ``k`` whitespace tokens of the
+    lower-cased, trimmed content (single content column only) — the
+    prefix-fingerprint audit: catches near-identical docs whose tails
+    diverged (boilerplate edits, truncation, appended noise) that an
+    exact digest misses entirely. k trades precision for recall the
+    usual way; the pair counts are then "shared fingerprints", an
+    upper-bound signal to route into the exact/Jaccard verifiers.
+    """
+    if fingerprint_tokens is not None:
+        if len(content_cols) != 1:
+            raise ValueError(
+                "fingerprint_tokens requires exactly one content column"
+            )
+        toks = F.split(
+            F.trim(F.lower(F.col(content_cols[0]))), r"\s+"
+        )
+        key = F.md5(
+            F.concat_ws(" ", F.slice(toks, 1, int(fingerprint_tokens)))
+        )
+    else:
+        key = content_digest([F.col(c) for c in content_cols])
+    d = (
+        df.select(
+            key.alias("__dig"),
+            F.col(group_col).alias("__grp"),
+        )
+        .distinct()
+    )
+    a = d.select(F.col("__dig"), F.col("__grp").alias("group_a"))
+    b = d.select(F.col("__dig"), F.col("__grp").alias("group_b"))
+    return (
+        a.join(b, "__dig")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

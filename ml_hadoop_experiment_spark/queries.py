@@ -4678,6 +4678,41 @@ def _sql_pmi_bigrams() -> str:
 SQL_PMI_BIGRAMS = _sql_pmi_bigrams()
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-leakage matrix
+    (operators/curation.source_overlap): shared content fingerprints
+    (first-8-token prefix digests — the fixture has no byte-exact
+    cross-source dups, so the exact-digest mode would gate on an empty
+    frame) per unordered source pair — the pre-merge audit for
+    double-counting and train/eval leakage between corpora."""
+    from ml_hadoop_experiment_spark.operators.curation import source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_overlap(
+        docs, ["text"], "source", fingerprint_tokens=8
+    ).select(
+        F.col("group_a").alias("source_a"),
+        F.col("group_b").alias("source_b"),
+        "n_shared",
+    )
+
+
+# twin of the fingerprint_tokens=8 key: md5 over the space-joined first
+# 8 tokens of the normalized text (DuckDB's arr[1:8] slice = Spark's
+# slice(arr, 1, 8): up to 8 elements, whole array when shorter)
+SQL_SOURCE_OVERLAP = r"""
+WITH d AS (
+  SELECT DISTINCT md5(array_to_string(
+           regexp_split_to_array(trim(lower(text)), '\s+')[1:8], ' ')) AS dig,
+         source
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+FROM d a JOIN d b ON a.dig = b.dig AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 NO_ORACLE: set = set()
 
 #: Queries implemented and locally oracle-gated (tests/test_oracle_parity
@@ -4693,12 +4728,14 @@ PENDING_QUERIES = {
     "unigram_xent": q_unigram_xent,
     "jaccard_join": q_jaccard_join,
     "pmi_bigrams": q_pmi_bigrams,
+    "source_overlap": q_source_overlap,
 }
 
 PENDING_ORACLE_SQL = {
     "unigram_xent": SQL_UNIGRAM_XENT,
     "jaccard_join": SQL_JACCARD_JOIN,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
+    "source_overlap": SQL_SOURCE_OVERLAP,
 }
 
 ORACLE_SQL = {

@@ -220,3 +220,76 @@ class TestRepeatedSpans:
         )
         assert repeated_spans(df, "doc_id", "text",
                               ngram_size=4, min_docs=2).count() == 0
+
+
+class TestSourceOverlap:
+    def test_matrix_counts_distinct_shared_contents(self, spark):
+        from ml_hadoop_experiment_spark.operators.curation import source_overlap
+
+        rows = [
+            (1, "dup one", "cc"),
+            (2, "dup one", "cc"),      # same content twice in cc: counts ONCE
+            (3, "dup one", "books"),
+            (4, "dup two", "cc"),
+            (5, "dup two", "wiki"),
+            (6, "dup two", "books"),
+            (7, "only cc", "cc"),
+            (8, None, "cc"),           # NULL content: digest is null-safe
+            (9, None, "wiki"),
+            (10, "null src", None),    # NULL group never pairs
+            (11, "null src", "cc"),
+        ]
+        df = spark.createDataFrame(rows, "id bigint, text string, source string")
+        got = {
+            (r["group_a"], r["group_b"]): r["n_shared"]
+            for r in source_overlap(df, ["text"], "source").collect()
+        }
+        assert got == {
+            ("books", "cc"): 2,   # "dup one", "dup two"
+            ("books", "wiki"): 1, # "dup two"
+            ("cc", "wiki"): 2,    # "dup two", NULL content
+        }
+
+    def test_empty_when_sources_disjoint(self, spark):
+        from ml_hadoop_experiment_spark.operators.curation import source_overlap
+
+        rows = [(1, "a", "x"), (2, "b", "y")]
+        df = spark.createDataFrame(rows, "id bigint, text string, source string")
+        assert source_overlap(df, ["text"], "source").count() == 0
+
+    def test_fingerprint_mode_catches_tail_divergence(self, spark):
+        from ml_hadoop_experiment_spark.operators.curation import source_overlap
+
+        rows = [
+            (1, "The QUICK brown fox jumps over the lazy dog original tail", "a"),
+            (2, "the quick brown fox jumps over the lazy dog EDITED ending", "b"),
+            (3, "completely different text with no shared prefix at all", "b"),
+            (4, "short", "a"),
+            (5, "short", "c"),  # < k tokens: whole text is the fingerprint
+        ]
+        df = spark.createDataFrame(rows, "id bigint, text string, source string")
+        # exact mode sees only the byte-identical "short" pair (a, c);
+        # the prefix-divergent pair (a, b) is invisible to it
+        exact = {
+            (r["group_a"], r["group_b"]): r["n_shared"]
+            for r in source_overlap(df, ["text"], "source").collect()
+        }
+        assert exact == {("a", "c"): 1}
+        got = {
+            (r["group_a"], r["group_b"]): r["n_shared"]
+            for r in source_overlap(
+                df, ["text"], "source", fingerprint_tokens=8
+            ).collect()
+        }
+        assert got == {("a", "b"): 1, ("a", "c"): 1}
+
+    def test_fingerprint_requires_single_content_col(self, spark):
+        import pytest as _pytest
+
+        from ml_hadoop_experiment_spark.operators.curation import source_overlap
+
+        df = spark.createDataFrame(
+            [(1, "t", "u", "s")], "id bigint, a string, b string, src string"
+        )
+        with _pytest.raises(ValueError, match="exactly one content column"):
+            source_overlap(df, ["a", "b"], "src", fingerprint_tokens=4)
