@@ -314,6 +314,19 @@ def _bench_trimmed_stats_approx(spark) -> None:
     ).mode("overwrite").save()
 
 
+def _bench_pending(name: str):
+    """Time a PENDING_QUERIES entry (staged for the next driver window;
+    locally oracle-gated) so its cost history starts before declaration."""
+    from ml_hadoop_experiment_spark.queries import PENDING_QUERIES
+
+    fn = PENDING_QUERIES[name]
+
+    def run(spark) -> None:
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    return run
+
+
 EXTRA_BENCHES = {
     "tfrecord_sink": _bench_shuffle_sink,
     "quantiles_approx": _bench_quantiles_approx,
@@ -323,6 +336,10 @@ EXTRA_BENCHES = {
     "outlier_stats_approx": _bench_outlier_stats_approx,
     "trimmed_stats_approx": _bench_trimmed_stats_approx,
     "near_dup_incr_steady": _bench_near_dup_incr_steady,
+    "unigram_xent": _bench_pending("unigram_xent"),
+    "jaccard_join": _bench_pending("jaccard_join"),
+    "pmi_bigrams": _bench_pending("pmi_bigrams"),
+    "source_overlap": _bench_pending("source_overlap"),
 }
 
 

@@ -43,10 +43,17 @@ north-star extension surface for training-data curation.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import jaccard_pairs, tokens_frame
+from .dedup import (
+    AUTO_PERSIST_BYTES,
+    _estimated_input_bytes,
+    jaccard_pairs,
+    tokens_frame,
+)
 
 #: nudge for float ceil/threshold comparisons: when t*n lands exactly on
 #: an integer, IEEE rounding can push the product one ulp ABOVE it and
@@ -85,13 +92,27 @@ def prefix_filter_candidates(tokens: DataFrame, threshold: float) -> DataFrame:
             - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(_CEIL_EPS))
             + F.lit(1)
         )
-        .select("id", "token", "__n")
+        .select("id", "token", "__n", "__pos")
     )
     a = prefix.select(
-        F.col("id").alias("id_a"), "token", F.col("__n").alias("__n_a")
+        F.col("id").alias("id_a"), "token",
+        F.col("__n").alias("__n_a"), F.col("__pos").alias("__pa"),
     )
     b = prefix.select(
-        F.col("id").alias("id_b"), "token", F.col("__n").alias("__n_b")
+        F.col("id").alias("id_b"), "token",
+        F.col("__n").alias("__n_b"), F.col("__pos").alias("__pb"),
+    )
+    # positional filter (PPJoin): the pair's required overlap is
+    # alpha = ceil(t/(1+t) * (n_a+n_b)) (from J = i/(n_a+n_b-i) >= t);
+    # a shared prefix token at positions (pa, pb) bounds the overlap by
+    # 1 + min(n_a-pa, n_b-pb) (everything else shared comes later in
+    # BOTH rarest-first lists). A true pair's EARLIEST shared token row
+    # passes this bound, and the pair-distinct needs only one surviving
+    # row — so dropping later-position rows loses nothing.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("__n_a") + F.col("__n_b"))
+        - F.lit(_CEIL_EPS)
     )
     return (
         a.join(b, "token")
@@ -101,6 +122,14 @@ def prefix_filter_candidates(tokens: DataFrame, threshold: float) -> DataFrame:
                 F.least("__n_a", "__n_b")
                 >= F.lit(threshold) * F.greatest("__n_a", "__n_b")
                 - F.lit(_CEIL_EPS)
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("__n_a") - F.col("__pa"),
+                    F.col("__n_b") - F.col("__pb"),
+                )
+                >= alpha
             )
         )
         .select("id_a", "id_b")
@@ -114,6 +143,7 @@ def jaccard_join(
     text_col: str,
     threshold: float = 0.4,
     shingle_size: int = 3,
+    cache_intermediates: Optional[bool] = None,
 ) -> DataFrame:
     """Exact, complete n-gram Jaccard similarity self-join:
     ``(id_a, id_b, jaccard)`` for every pair with
@@ -124,11 +154,25 @@ def jaccard_join(
     (:func:`~.dedup.jaccard_pairs`) as the MinHash pipeline — so a
     recall audit is one EXCEPT between this join and the LSH one.
 
-    The token frame is recomputed per consumer (sizes/df/verify) rather
-    than persisted: tokenization is a map-only scan stage and at corpus
-    scale re-reading pruned parquet columns is cheaper than caching an
-    exploded (id, token) frame bigger than the corpus itself.
+    The token frame has FIVE consumers here (sizes, doc-frequency, the
+    rank join, and the verifier's two sides), so the MinHash family's
+    auto-persist rule (``AUTO_PERSIST_BYTES``, measured A/B in
+    dedup.py) applies with even more force: ``cache_intermediates=None``
+    persists the distinct token frame when the input's Catalyst
+    estimate says recomputing five shingle+distinct subtrees costs more
+    than caching; explicit True/False overrides. When persisted, the
+    verifier runs with merge hints (``scale_safe_joins`` — persisted
+    frames lie about their size to the broadcast planner).
     """
     toks = tokens_frame(df, id_col, text_col, shingle_size)
+    if cache_intermediates is None:
+        cache_intermediates = _estimated_input_bytes(df) > AUTO_PERSIST_BYTES
+    if cache_intermediates:
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     cands = prefix_filter_candidates(toks, threshold)
-    return jaccard_pairs(cands, toks, threshold=threshold)
+    return jaccard_pairs(
+        cands, toks, threshold=threshold,
+        scale_safe_joins=bool(cache_intermediates),
+    )
