@@ -340,6 +340,7 @@ EXTRA_BENCHES = {
     "jaccard_join": _bench_pending("jaccard_join"),
     "pmi_bigrams": _bench_pending("pmi_bigrams"),
     "source_overlap": _bench_pending("source_overlap"),
+    "cms_audit": _bench_pending("cms_audit"),
 }
 
 

@@ -4713,6 +4713,39 @@ GROUP BY 1, 2
 """
 
 
+def q_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch est-vs-truth audit
+    (operators/sketches.cms_topk_audit): token frequencies from a
+    depth×width counter table whose exchange is bounded by depth*width
+    cells regardless of corpus size. width=8 on the 31-token fixture
+    vocabulary forces real collisions, so the gate exercises the
+    over-count path (n_cms >= n_exact row-for-row), not a trivially
+    collision-free sketch."""
+    from ml_hadoop_experiment_spark.operators.sketches import cms_topk_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    return cms_topk_audit(toks, "tok", width=8, depth=4, k=30)
+
+
+def _sql_cms_audit() -> str:
+    from ml_hadoop_experiment_spark.operators.sketches import cms_topk_audit_sql
+
+    return cms_topk_audit_sql(
+        "(SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+        " AS tok FROM documents)",
+        "tok",
+        width=8,
+        depth=4,
+        k=30,
+    )
+
+
+SQL_CMS_AUDIT = _sql_cms_audit()
+
+
 NO_ORACLE: set = set()
 
 #: Queries implemented and locally oracle-gated (tests/test_oracle_parity
@@ -4729,6 +4762,7 @@ PENDING_QUERIES = {
     "jaccard_join": q_jaccard_join,
     "pmi_bigrams": q_pmi_bigrams,
     "source_overlap": q_source_overlap,
+    "cms_audit": q_cms_audit,
 }
 
 PENDING_ORACLE_SQL = {
@@ -4736,6 +4770,7 @@ PENDING_ORACLE_SQL = {
     "jaccard_join": SQL_JACCARD_JOIN,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "source_overlap": SQL_SOURCE_OVERLAP,
+    "cms_audit": SQL_CMS_AUDIT,
 }
 
 ORACLE_SQL = {

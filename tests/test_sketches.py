@@ -65,3 +65,48 @@ def test_validation(spark):
         kmv_distinct(df, ["grp"], "k", mode="hll")
     with pytest.raises(ValueError, match="native-mode"):
         kmv_distinct(df, ["grp"], "k", mode="portable", prefilter_factor=4.0)
+
+
+class TestCountMin:
+    def test_invariant_and_exactness_under_collisions(self, spark):
+        from pyspark.sql import functions as F
+
+        from ml_hadoop_experiment_spark.operators.sketches import cms_topk_audit
+
+        # zipf-ish stream of 20 keys into width=4: heavy collisions
+        rows = [(f"k{i % 20}",) for i in range(400)] + [("k0",)] * 100
+        df = spark.createDataFrame(rows, "tok string")
+        out = cms_topk_audit(df, "tok", width=4, depth=3, k=20).collect()
+        assert len(out) == 20
+        exact = {}
+        for (t,) in rows:
+            exact[t] = exact.get(t, 0) + 1
+        for r in out:
+            assert r["n_exact"] == exact[r["key"]]
+            assert r["n_cms"] >= r["n_exact"]  # CMS never undercounts
+        # width=4 over 20 keys MUST collide somewhere
+        assert any(r["n_cms"] > r["n_exact"] for r in out)
+
+    def test_wide_sketch_is_exact(self, spark):
+        from ml_hadoop_experiment_spark.operators.sketches import cms_topk_audit
+
+        rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+        df = spark.createDataFrame(rows, "tok string")
+        out = {
+            r["key"]: (r["n_exact"], r["n_cms"])
+            for r in cms_topk_audit(df, "tok", width=4096, depth=4, k=10).collect()
+        }
+        # 3 keys in 4096 buckets x 4 rows: no collisions, est == exact
+        assert out == {"a": (5, 5), "b": (3, 3), "c": (2, 2)}
+
+    def test_counter_table_bounded(self, spark):
+        from ml_hadoop_experiment_spark.operators.sketches import cms_counters
+
+        rows = [(f"k{i}",) for i in range(500)]
+        df = spark.createDataFrame(rows, "tok string")
+        counters = cms_counters(df, "tok", width=16, depth=3)
+        n = counters.count()
+        assert n <= 16 * 3  # cells, not keys
+        # total mass conservation: every instance lands in every row
+        total = counters.groupBy("i").sum("cnt").collect()
+        assert sorted(r["sum(cnt)"] for r in total) == [500, 500, 500]
