@@ -341,6 +341,7 @@ EXTRA_BENCHES = {
     "pmi_bigrams": _bench_pending("pmi_bigrams"),
     "source_overlap": _bench_pending("source_overlap"),
     "cms_audit": _bench_pending("cms_audit"),
+    "neyman_sample": _bench_pending("neyman_sample"),
 }
 
 

@@ -4746,6 +4746,42 @@ def _sql_cms_audit() -> str:
 SQL_CMS_AUDIT = _sql_cms_audit()
 
 
+def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sample
+    (operators/sampling.neyman_sample): a 1000-row budget allocated
+    across l_returnflag strata proportional to N_h*sigma_h of
+    l_extendedprice (the minimum-variance allocation for estimating the
+    population mean), rows drawn by deterministic portable-hash rank —
+    allocation AND draw replayed exactly by the DuckDB twin."""
+    from ml_hadoop_experiment_spark.operators.sampling import neyman_sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    return neyman_sample(
+        li, "l_returnflag", "l_extendedprice", key, total_n=1000
+    ).select(
+        "stratum",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("key"),
+        "n_rows",
+        "alloc",
+    )
+
+
+def _sql_neyman_sample() -> str:
+    from ml_hadoop_experiment_spark.operators.sampling import neyman_sample_sql
+
+    return neyman_sample_sql(
+        "lineitem",
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey * 10 + l_linenumber",
+        total_n=1000,
+    )
+
+
+SQL_NEYMAN_SAMPLE = _sql_neyman_sample()
+
+
 NO_ORACLE: set = set()
 
 #: Queries implemented and locally oracle-gated (tests/test_oracle_parity
@@ -4763,9 +4799,11 @@ PENDING_QUERIES = {
     "pmi_bigrams": q_pmi_bigrams,
     "source_overlap": q_source_overlap,
     "cms_audit": q_cms_audit,
+    "neyman_sample": q_neyman_sample,
 }
 
 PENDING_ORACLE_SQL = {
+    "neyman_sample": SQL_NEYMAN_SAMPLE,
     "unigram_xent": SQL_UNIGRAM_XENT,
     "jaccard_join": SQL_JACCARD_JOIN,
     "pmi_bigrams": SQL_PMI_BIGRAMS,

@@ -489,3 +489,87 @@ class TestMixtureSample:
         # the corpus side joins the broadcast rate table: no sort-merge
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+class TestNeymanSample:
+    def _df(self, spark):
+        # stratum A: high variance, stratum B: low variance, same size;
+        # stratum C: tiny (quota must cap at population)
+        rows = []
+        for i in range(100):
+            rows.append((i, "A", float(100 + (i % 10) * 50)))
+        for i in range(100, 200):
+            rows.append((i, "B", 100.0 + (i % 2)))
+        for i in range(200, 203):
+            rows.append((i, "C", float(i * 1000)))
+        return spark.createDataFrame(rows, "id bigint, grp string, val double")
+
+    def test_allocation_follows_n_sigma_and_caps(self, spark):
+        from ml_hadoop_experiment_spark.operators.sampling import neyman_sample
+
+        out = neyman_sample(
+            self._df(spark), "grp", "val", F.col("id"), total_n=50
+        )
+        alloc = {
+            r["stratum"]: r["alloc"]
+            for r in out.select("stratum", "alloc").distinct().collect()
+        }
+        counts = {
+            r["stratum"]: r["cnt"]
+            for r in out.groupBy("stratum").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert counts == {k: v for k, v in alloc.items() if v > 0}
+        # high-variance A gets more than low-variance B at equal size
+        # (B's sigma is so small its quota rounds to zero here)
+        assert alloc["A"] > alloc.get("B", 0)
+        # C's quota caps at its population
+        assert alloc.get("C", 0) <= 3
+        # budget met or under-filled only by the capped stratum
+        assert sum(alloc.values()) <= 50
+
+    def test_budget_exact_when_uncapped(self, spark):
+        from ml_hadoop_experiment_spark.operators.sampling import neyman_sample
+
+        df = self._df(spark).where("grp != 'C'")
+        out = neyman_sample(df, "grp", "val", F.col("id"), total_n=37)
+        assert out.count() == 37  # largest-remainder hits the budget exactly
+
+    def test_constant_value_falls_back_to_proportional(self, spark):
+        from ml_hadoop_experiment_spark.operators.sampling import neyman_sample
+
+        rows = [(i, "X" if i < 90 else "Y", 5.0) for i in range(120)]
+        df = spark.createDataFrame(rows, "id bigint, grp string, val double")
+        out = neyman_sample(df, "grp", "val", F.col("id"), total_n=12)
+        alloc = {
+            r["stratum"]: r["alloc"]
+            for r in out.select("stratum", "alloc").distinct().collect()
+        }
+        assert alloc == {"X": 9, "Y": 3}  # 90:30 -> 9:3
+
+    def test_deterministic_across_partitionings(self, spark):
+        from ml_hadoop_experiment_spark.operators.sampling import neyman_sample
+
+        df = self._df(spark)
+        a = set(
+            r["id"]
+            for r in neyman_sample(df, "grp", "val", F.col("id"), 20)
+            .select("id")
+            .collect()
+        )
+        b = set(
+            r["id"]
+            for r in neyman_sample(
+                df.repartition(13), "grp", "val", F.col("id"), 20
+            )
+            .select("id")
+            .collect()
+        )
+        assert a == b
+
+    def test_rejects_nonpositive_budget(self, spark):
+        import pytest as _pytest
+
+        from ml_hadoop_experiment_spark.operators.sampling import neyman_sample
+
+        with _pytest.raises(ValueError, match="total_n must be positive"):
+            neyman_sample(self._df(spark), "grp", "val", F.col("id"), 0)
