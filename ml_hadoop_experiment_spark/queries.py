@@ -4721,7 +4721,7 @@ def q_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary forces real collisions, so the gate exercises the
     over-count path (n_cms >= n_exact row-for-row), not a trivially
     collision-free sketch."""
-    from ml_hadoop_experiment_spark.operators.sketches import cms_topk_audit
+    from ml_hadoop_experiment_spark.operators.cms import cms_topk_audit
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
@@ -4731,7 +4731,7 @@ def q_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_cms_audit() -> str:
-    from ml_hadoop_experiment_spark.operators.sketches import cms_topk_audit_sql
+    from ml_hadoop_experiment_spark.operators.cms import cms_topk_audit_sql
 
     return cms_topk_audit_sql(
         "(SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))"
@@ -4753,7 +4753,7 @@ def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_extendedprice (the minimum-variance allocation for estimating the
     population mean), rows drawn by deterministic portable-hash rank —
     allocation AND draw replayed exactly by the DuckDB twin."""
-    from ml_hadoop_experiment_spark.operators.sampling import neyman_sample
+    from ml_hadoop_experiment_spark.operators.stratified import neyman_sample
 
     li = _t(spark, sf_dir, "lineitem")
     key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
@@ -4768,7 +4768,7 @@ def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_neyman_sample() -> str:
-    from ml_hadoop_experiment_spark.operators.sampling import neyman_sample_sql
+    from ml_hadoop_experiment_spark.operators.stratified import neyman_sample_sql
 
     return neyman_sample_sql(
         "lineitem",
