@@ -63,7 +63,51 @@ from .dedup import (
 _CEIL_EPS = 1e-9
 
 
-def prefix_filter_candidates(tokens: DataFrame, threshold: float) -> DataFrame:
+def prefix_posting_overflow(
+    tokens: DataFrame, threshold: float, max_posting_width: int
+) -> DataFrame:
+    """Audit for the ``max_posting_width`` cap: ``(token, width)`` for
+    every PREFIX token whose posting list exceeds the cap — the same
+    observability contract as the LSH family's ``lsh_bucket_overflow``.
+    Nonempty output means a capped :func:`jaccard_join` sacrificed
+    completeness on pairs whose every shared prefix token is listed
+    here; run it before trusting a capped sweep."""
+    prefix = _prefix_frame(tokens, threshold)
+    return (
+        prefix.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .where(F.col("width") > max_posting_width)
+    )
+
+
+def _prefix_frame(tokens: DataFrame, threshold: float) -> DataFrame:
+    """(id, token, __n, __pos): each set's completeness-preserving
+    prefix under the global rarest-first order (see module docstring)."""
+    sizes = tokens.groupBy("id").agg(F.count("*").alias("__n"))
+    dfreq = tokens.groupBy("token").agg(F.count("*").alias("__df"))
+    ranked = tokens.join(dfreq, "token").withColumn(
+        "__pos",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("__df", "token")
+        ),
+    )
+    return (
+        ranked.join(sizes, "id")
+        .where(
+            F.col("__pos")
+            <= F.col("__n")
+            - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(_CEIL_EPS))
+            + F.lit(1)
+        )
+        .select("id", "token", "__n", "__pos")
+    )
+
+
+def prefix_filter_candidates(
+    tokens: DataFrame,
+    threshold: float,
+    max_posting_width: int | None = None,
+) -> DataFrame:
     """COMPLETE candidate pairs (id_a < id_b) for Jaccard >= ``threshold``
     from a distinct ``(id, token)`` frame (see module docstring for the
     prefix-filtering lemma).
@@ -75,25 +119,26 @@ def prefix_filter_candidates(tokens: DataFrame, threshold: float) -> DataFrame:
     (min >= t * max, necessary since J <= min/max) prunes before the
     pair distinct. Shuffles: token (df join + candidate join), id
     (sizes + rank) — all keyed, none all-pairs.
+
+    ``max_posting_width`` is the dup-heavy-corpus guard (same contract
+    as the MinHash family's ``max_bucket_ids``): prefix tokens whose
+    posting list exceeds the cap are dropped from the candidate join,
+    bounding its cost at O(cap²) per token at an EXPLICIT recall cost —
+    a pair is lost only if EVERY prefix token it shares is over-cap
+    (measured on the 10× clone fixture: every doc in a 10-wide clone
+    cluster drives candidates near-quadratic, SCALE.md). Audit the
+    sacrifice with :func:`prefix_posting_overflow`; ``None`` (default)
+    keeps the join exact and complete.
     """
-    sizes = tokens.groupBy("id").agg(F.count("*").alias("__n"))
-    dfreq = tokens.groupBy("token").agg(F.count("*").alias("__df"))
-    ranked = tokens.join(dfreq, "token").withColumn(
-        "__pos",
-        F.row_number().over(
-            Window.partitionBy("id").orderBy("__df", "token")
-        ),
-    )
-    prefix = (
-        ranked.join(sizes, "id")
-        .where(
-            F.col("__pos")
-            <= F.col("__n")
-            - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(_CEIL_EPS))
-            + F.lit(1)
+    prefix = _prefix_frame(tokens, threshold)
+    if max_posting_width is not None:
+        wide = (
+            prefix.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("__w"))
+            .where(F.col("__w") > max_posting_width)
+            .select("token")
         )
-        .select("id", "token", "__n", "__pos")
-    )
+        prefix = prefix.join(wide, "token", "left_anti")
     a = prefix.select(
         F.col("id").alias("id_a"), "token",
         F.col("__n").alias("__n_a"), F.col("__pos").alias("__pa"),
@@ -144,6 +189,7 @@ def jaccard_join(
     threshold: float = 0.4,
     shingle_size: int = 3,
     cache_intermediates: Optional[bool] = None,
+    max_posting_width: Optional[int] = None,
 ) -> DataFrame:
     """Exact, complete n-gram Jaccard similarity self-join:
     ``(id_a, id_b, jaccard)`` for every pair with
@@ -163,6 +209,10 @@ def jaccard_join(
     than caching; explicit True/False overrides. When persisted, the
     verifier runs with merge hints (``scale_safe_joins`` — persisted
     frames lie about their size to the broadcast planner).
+
+    ``max_posting_width`` forwards to
+    :func:`prefix_filter_candidates` — the explicit, audited recall
+    trade for dup-heavy corpora (default ``None`` = exact+complete).
     """
     toks = tokens_frame(df, id_col, text_col, shingle_size)
     if cache_intermediates is None:
@@ -171,7 +221,7 @@ def jaccard_join(
         from pyspark import StorageLevel
 
         toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = prefix_filter_candidates(toks, threshold)
+    cands = prefix_filter_candidates(toks, threshold, max_posting_width)
     return jaccard_pairs(
         cands, toks, threshold=threshold,
         scale_safe_joins=bool(cache_intermediates),

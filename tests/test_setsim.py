@@ -104,3 +104,50 @@ def test_prefix_join_prunes_vs_full_index(spark, corpus):
         .count()
     )
     assert n_cand < n_full
+
+
+class TestPostingWidthCap:
+    def _clone_corpus(self, spark):
+        # 6 clone groups of 8 near-identical docs: every shingle's posting
+        # list has width ~8 (the dup-heavy worst case for the prefix index)
+        rows = []
+        for g in range(6):
+            base = " ".join(f"g{g}w{i}" for i in range(20))
+            for k in range(8):
+                rows.append((g * 10 + k, base + f" tail{k}"))
+        # one isolated pair sharing a group-unique vocabulary (width 2)
+        rows.append((100, "uniq alpha beta gamma delta epsilon zeta eta"))
+        rows.append((101, "uniq alpha beta gamma delta epsilon zeta XXX"))
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_cap_bounds_candidates_and_audit_reports(self, spark):
+        from ml_hadoop_experiment_spark.operators.dedup import tokens_frame
+        from ml_hadoop_experiment_spark.operators.setsim import (
+            jaccard_join,
+            prefix_filter_candidates,
+            prefix_posting_overflow,
+        )
+
+        df = self._clone_corpus(spark)
+        toks = tokens_frame(df, "doc_id", "text", 3)
+        exact = prefix_filter_candidates(toks, 0.5).count()
+        capped = prefix_filter_candidates(toks, 0.5, max_posting_width=4).count()
+        assert capped < exact  # clone-group pairs gone from the join
+        # the audit names the over-cap prefix tokens the cap silenced
+        audit = prefix_posting_overflow(toks, 0.5, max_posting_width=4)
+        assert audit.count() > 0
+        assert audit.where("width <= 4").count() == 0
+        # the width-2 pair survives the cap: its shared prefix tokens are
+        # under-cap, so capped recall loss is confined to wide postings
+        pairs = jaccard_join(
+            df, "doc_id", "text", threshold=0.5, max_posting_width=4
+        ).collect()
+        assert (100, 101) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+    def test_default_stays_complete(self, spark):
+        from ml_hadoop_experiment_spark.operators.setsim import jaccard_join
+
+        df = self._clone_corpus(spark)
+        # uncapped: every intra-group pair found (6 groups x C(8,2) = 168)
+        n = jaccard_join(df, "doc_id", "text", threshold=0.5).count()
+        assert n == 6 * 28 + 1
