@@ -342,6 +342,7 @@ EXTRA_BENCHES = {
     "source_overlap": _bench_pending("source_overlap"),
     "cms_audit": _bench_pending("cms_audit"),
     "neyman_sample": _bench_pending("neyman_sample"),
+    "jl_project": _bench_pending("jl_project"),
 }
 
 

@@ -4782,6 +4782,27 @@ def _sql_neyman_sample() -> str:
 SQL_NEYMAN_SAMPLE = _sql_neyman_sample()
 
 
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection 64→16
+    (operators/projection.jl_project): deterministic ±1 literal
+    coefficients baked into one codegen map expression — the
+    dimensionality-reduction front end for ANN/clustering, exploded to
+    (id, j, val) scalars for the oracle gate."""
+    from ml_hadoop_experiment_spark.operators.projection import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return jl_project(emb, "vec_id", "embedding", dim=64, out_dim=16)
+
+
+def _sql_jl_project() -> str:
+    from ml_hadoop_experiment_spark.operators.projection import jl_project_sql
+
+    return jl_project_sql("embeddings", "vec_id", "embedding", 64, 16)
+
+
+SQL_JL_PROJECT = _sql_jl_project()
+
+
 NO_ORACLE: set = set()
 
 #: Queries implemented and locally oracle-gated (tests/test_oracle_parity
@@ -4800,10 +4821,12 @@ PENDING_QUERIES = {
     "source_overlap": q_source_overlap,
     "cms_audit": q_cms_audit,
     "neyman_sample": q_neyman_sample,
+    "jl_project": q_jl_project,
 }
 
 PENDING_ORACLE_SQL = {
     "neyman_sample": SQL_NEYMAN_SAMPLE,
+    "jl_project": SQL_JL_PROJECT,
     "unigram_xent": SQL_UNIGRAM_XENT,
     "jaccard_join": SQL_JACCARD_JOIN,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
