@@ -343,6 +343,7 @@ EXTRA_BENCHES = {
     "cms_audit": _bench_pending("cms_audit"),
     "neyman_sample": _bench_pending("neyman_sample"),
     "jl_project": _bench_pending("jl_project"),
+    "bigram_xent": _bench_pending("bigram_xent"),
 }
 
 

@@ -598,3 +598,126 @@ JOIN ucnt cy ON cy.w = b.w2, utot, btot
 ORDER BY pmi DESC, b.w1, b.w2
 LIMIT {top_k}
 """
+
+
+def bigram_xent(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document cross-entropy under an interpolated corpus bigram
+    LM: ``(id, n_bigrams, xent)`` with
+    ``xent = -avg ln(lam * c(w1,w2)/c1(w1) + (1-lam) * cu(w2)/T)``
+    over the doc's bigram instances — the stronger CCNet-style quality
+    scorer (:func:`unigram_xent` cannot see scrambled word order;
+    this one scores it high-entropy). ``c1`` counts w1 as a bigram
+    LEFT context (so the conditional sums to 1 over the vocab) and the
+    unigram interpolation term handles unseen continuations without
+    add-k vocabulary-size coupling.
+
+    Cross-engine exactness: same round-then-decimal-sum contract as
+    :func:`unigram_xent` — each DISTINCT (doc, bigram)'s ln(p) is
+    rounded then multiplied by its integer term frequency in
+    decimal(28,6); p itself is one fixed-shape double expression over
+    four integer counts, so both engines execute identical IEEE ops.
+
+    Plan: one zip-slice bigram explode (map-side), three map-combined
+    count aggs (bigram, left-context, unigram), joins keyed on the
+    bigram/context tokens, broadcast scalar total, one per-doc agg.
+    Raw text never shuffles; docs with <2 tokens drop (no bigrams —
+    callers route them to the unigram scorer).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    n = F.size("__t")
+    m = n - F.lit(1)
+    pairs = F.arrays_zip(F.slice("__t", 1, m), F.slice("__t", 2, m))
+    big = (
+        base.where(n >= 2)
+        .select("id", F.explode(pairs).alias("__p"))
+        .select(
+            "id", F.col("__p.0").alias("w1"), F.col("__p.1").alias("w2")
+        )
+    )
+    uni = base.select(F.explode("__t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("__cu"))
+    utot = uni.agg(F.count(F.lit(1)).alias("__T"))
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
+    lcnt = big.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    tf = big.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("__tf"))
+    p = (
+        F.lit(float(lam))
+        * (F.col("__cb").cast("double") / F.col("__c1"))
+        + F.lit(1.0 - float(lam))
+        * (F.col("__cu").cast("double") / F.col("__T"))
+    )
+    contrib = F.round(F.log(p), round_digits).cast(
+        "decimal(28,6)"
+    ) * F.col("__tf").cast("decimal(28,6)")
+    per_doc = (
+        tf.join(bcnt, ["w1", "w2"])
+        .join(lcnt, "w1")
+        .join(ucnt.select(F.col("w").alias("w2"), "__cu"), "w2")
+        .crossJoin(F.broadcast(utot))
+        .groupBy("id")
+        .agg(
+            F.sum("__tf").alias("n_bigrams"),
+            F.sum(contrib).alias("__lp"),
+        )
+    )
+    return per_doc.select(
+        "id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(
+            -(F.col("__lp").cast("double")) / F.col("n_bigrams"),
+            round_digits,
+        ).alias("xent"),
+    )
+
+
+def bigram_xent_sql(
+    relation: str,
+    id_expr: str,
+    text_expr: str,
+    lam: float = 0.8,
+    round_digits: int = 6,
+    out_id: str = "id",
+) -> str:
+    """DuckDB twin of :func:`bigram_xent` (same counts, same fixed
+    interpolation expression, same decimal summation)."""
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS id,
+         regexp_split_to_array(trim(lower({text_expr})), '\\s+') AS t
+  FROM {relation}
+),
+uni AS (SELECT unnest(t) AS w FROM base),
+ucnt AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
+utot AS (SELECT count(*) AS T FROM uni),
+big AS (
+  SELECT id, p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT id, unnest(list_transform(
+             range(1, len(t)),
+             i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+    FROM base WHERE len(t) >= 2
+  )
+),
+bcnt AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+lcnt AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+tf AS (SELECT id, w1, w2, count(*) AS tf FROM big GROUP BY id, w1, w2)
+SELECT tf.id AS {out_id},
+       CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+       round(-CAST(sum(
+           CAST(round(ln({float(lam)!r} * (CAST(bcnt.cb AS DOUBLE) / lcnt.c1)
+                         + {1.0 - float(lam)!r} * (CAST(ucnt.cu AS DOUBLE) / utot.T)),
+                      {round_digits}) AS DECIMAL(28,6))
+           * CAST(tf.tf AS DECIMAL(28,6))
+         ) AS DOUBLE) / sum(tf.tf), {round_digits}) AS xent
+FROM tf
+JOIN bcnt ON bcnt.w1 = tf.w1 AND bcnt.w2 = tf.w2
+JOIN lcnt ON lcnt.w1 = tf.w1
+JOIN ucnt ON ucnt.w = tf.w2, utot
+GROUP BY tf.id
+"""

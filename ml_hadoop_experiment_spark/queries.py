@@ -4803,6 +4803,29 @@ def _sql_jl_project() -> str:
 SQL_JL_PROJECT = _sql_jl_project()
 
 
+def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's interpolated
+    bigram LM (operators/corpus.bigram_xent) — the word-order-aware
+    CCNet-style quality scorer (scrambled text scores high where the
+    unigram scorer is blind); decimal-exact via the
+    round-then-decimal-sum contract."""
+    from ml_hadoop_experiment_spark.operators.corpus import bigram_xent
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_xent(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _sql_bigram_xent() -> str:
+    from ml_hadoop_experiment_spark.operators.corpus import bigram_xent_sql
+
+    return bigram_xent_sql("documents", "doc_id", "text", out_id="doc_id")
+
+
+SQL_BIGRAM_XENT = _sql_bigram_xent()
+
+
 NO_ORACLE: set = set()
 
 #: Queries implemented and locally oracle-gated (tests/test_oracle_parity
@@ -4822,9 +4845,11 @@ PENDING_QUERIES = {
     "cms_audit": q_cms_audit,
     "neyman_sample": q_neyman_sample,
     "jl_project": q_jl_project,
+    "bigram_xent": q_bigram_xent,
 }
 
 PENDING_ORACLE_SQL = {
+    "bigram_xent": SQL_BIGRAM_XENT,
     "neyman_sample": SQL_NEYMAN_SAMPLE,
     "jl_project": SQL_JL_PROJECT,
     "unigram_xent": SQL_UNIGRAM_XENT,

@@ -311,3 +311,66 @@ class TestPmiBigrams:
         full = pmi_bigrams(df, "text", min_count=1, top_k=100).collect()
         best = sorted(full, key=lambda r: (-r["pmi"], r["w1"], r["w2"]))[0]
         assert top == (best["w1"], best["w2"])
+
+
+class TestBigramXent:
+    def test_golden_tiny_corpus(self, spark):
+        import math
+
+        from ml_hadoop_experiment_spark.operators.corpus import bigram_xent
+
+        rows = [(1, "a b a b"), (2, "a b c")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["id"]: (r["n_bigrams"], r["xent"])
+               for r in bigram_xent(df, "doc_id", "text", lam=0.8).collect()}
+        # corpus: unigrams a=3,b=3,c=1 (T=7); bigrams ab=3, ba=1, bc=1
+        # left contexts: a->3, b->2
+        T = 7.0
+
+        def p(cb, c1, cu):
+            return 0.8 * (cb / c1) + 0.2 * (cu / T)
+
+        lp_ab = round(math.log(p(3, 3, 3)), 6)
+        lp_ba = round(math.log(p(1, 2, 3)), 6)
+        lp_bc = round(math.log(p(1, 2, 1)), 6)
+
+        def xent(lps, n):
+            # replicate the operator's decimal-sum + HALF_UP round
+            # (Python's round() is banker's and differs at exact .5s)
+            from decimal import ROUND_HALF_UP, Decimal
+
+            s = sum(Decimal(f"{lp:.6f}") for lp in lps)
+            v = Decimal(str(-float(s) / n))
+            return float(v.quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+        # doc1: ab x2, ba x1; doc2: ab x1, bc x1
+        assert out[1] == (3, xent([lp_ab, lp_ab, lp_ba], 3))
+        assert out[2] == (2, xent([lp_ab, lp_bc], 2))
+
+    def test_word_order_sensitivity(self, spark):
+        # the property unigram_xent lacks: a scrambled copy of fluent
+        # text scores strictly higher (unigram stats identical)
+        from ml_hadoop_experiment_spark.operators.corpus import (
+            bigram_xent,
+            unigram_xent,
+        )
+
+        fluent = "the model reads the data and the model writes the data"
+        words = fluent.split()
+        scrambled = " ".join(
+            [words[i] for i in (7, 2, 9, 0, 5, 10, 3, 8, 1, 6, 4)]
+        )
+        corpus = [(i, fluent) for i in range(10)] + [(100, scrambled)]
+        df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+        bx = {r["id"]: r["xent"] for r in bigram_xent(df, "doc_id", "text").collect()}
+        ux = {r["id"]: r["xent"] for r in unigram_xent(df, "doc_id", "text").collect()}
+        assert bx[100] > bx[0]          # bigram LM flags the scramble
+        assert ux[100] == ux[0]         # unigram LM cannot
+
+    def test_short_docs_drop(self, spark):
+        from ml_hadoop_experiment_spark.operators.corpus import bigram_xent
+
+        rows = [(1, "hello"), (2, ""), (3, "a b")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = bigram_xent(df, "doc_id", "text").collect()
+        assert [r["id"] for r in out] == [3]
