@@ -344,6 +344,7 @@ EXTRA_BENCHES = {
     "neyman_sample": _bench_pending("neyman_sample"),
     "jl_project": _bench_pending("jl_project"),
     "bigram_xent": _bench_pending("bigram_xent"),
+    "topk_similar_pairs": _bench_pending("topk_similar_pairs"),
 }
 
 

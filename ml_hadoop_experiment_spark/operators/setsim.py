@@ -226,3 +226,44 @@ def jaccard_join(
         cands, toks, threshold=threshold,
         scale_safe_joins=bool(cache_intermediates),
     )
+
+
+def topk_similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 100,
+    floor: float = 0.2,
+    shingle_size: int = 3,
+    max_posting_width: int | None = None,
+) -> DataFrame:
+    """The ``k`` MOST similar pairs above ``floor``:
+    ``(id_a, id_b, jaccard)`` under the total order
+    (jaccard DESC, id_a, id_b) — dedup QA's first question ("show me
+    the worst offenders"), and the threshold-tuning view (sort the
+    boundary region instead of guessing a cutoff).
+
+    ``floor`` is load-bearing, not cosmetic: a global top-k with no
+    similarity floor is the all-pairs problem (prefix filtering prunes
+    NOTHING at threshold 0 — every token is its own prefix). The
+    result is exact for every pair >= floor, so the top-k is exact
+    whenever k pairs exist above it; fewer rows than k means the floor
+    exhausted the corpus, which is itself the answer. Ordering
+    compiles to TakeOrderedAndProject (per-partition heaps, no global
+    sort); the candidate cost model (and the dup-heavy
+    ``max_posting_width`` guard) is :func:`jaccard_join`'s.
+    """
+    if k < 1:
+        raise ValueError(f"k must be positive, got {k}")
+    if floor <= 0.0:
+        raise ValueError(
+            "floor must be > 0: a floorless global top-k is the "
+            "all-pairs problem (prefix filtering prunes nothing at 0)"
+        )
+    pairs = jaccard_join(
+        df, id_col, text_col, threshold=floor,
+        shingle_size=shingle_size, max_posting_width=max_posting_width,
+    )
+    return pairs.orderBy(
+        F.desc("jaccard"), "id_a", "id_b"
+    ).limit(k)

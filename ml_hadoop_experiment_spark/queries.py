@@ -4826,6 +4826,24 @@ def _sql_bigram_xent() -> str:
 SQL_BIGRAM_XENT = _sql_bigram_xent()
 
 
+def q_topk_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 50 most similar document pairs above a 0.2 Jaccard floor
+    (operators/setsim.topk_similar_pairs) — dedup QA's worst-offenders
+    view; exact because every pair >= the floor is enumerated by the
+    complete prefix-filtered join, then TakeOrderedAndProject cuts k
+    under a total (jaccard DESC, id_a, id_b) order."""
+    from ml_hadoop_experiment_spark.operators.setsim import topk_similar_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return topk_similar_pairs(docs, "doc_id", "text", k=50, floor=0.2)
+
+
+# brute force + the same total order; DuckDB's ORDER BY ... LIMIT
+SQL_TOPK_SIMILAR_PAIRS = SQL_JACCARD_JOIN.replace(
+    ">= 0.4", ">= 0.2"
+) + "ORDER BY jaccard DESC, id_a, id_b LIMIT 50"
+
+
 NO_ORACLE: set = set()
 
 #: Queries implemented and locally oracle-gated (tests/test_oracle_parity
@@ -4846,10 +4864,12 @@ PENDING_QUERIES = {
     "neyman_sample": q_neyman_sample,
     "jl_project": q_jl_project,
     "bigram_xent": q_bigram_xent,
+    "topk_similar_pairs": q_topk_similar_pairs,
 }
 
 PENDING_ORACLE_SQL = {
     "bigram_xent": SQL_BIGRAM_XENT,
+    "topk_similar_pairs": SQL_TOPK_SIMILAR_PAIRS,
     "neyman_sample": SQL_NEYMAN_SAMPLE,
     "jl_project": SQL_JL_PROJECT,
     "unigram_xent": SQL_UNIGRAM_XENT,

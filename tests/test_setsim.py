@@ -151,3 +151,45 @@ class TestPostingWidthCap:
         # uncapped: every intra-group pair found (6 groups x C(8,2) = 168)
         n = jaccard_join(df, "doc_id", "text", threshold=0.5).count()
         assert n == 6 * 28 + 1
+
+
+class TestTopkSimilarPairs:
+    def test_exact_topk_above_floor(self, spark, corpus):
+        from ml_hadoop_experiment_spark.operators.setsim import (
+            jaccard_join,
+            topk_similar_pairs,
+        )
+
+        df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+        got = [
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in topk_similar_pairs(df, "doc_id", "text", k=5, floor=0.3).collect()
+        ]
+        full = jaccard_join(df, "doc_id", "text", threshold=0.3).collect()
+        want = sorted(
+            ((r["id_a"], r["id_b"], r["jaccard"]) for r in full),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )[:5]
+        assert got == want
+        assert got == sorted(got, key=lambda t: (-t[2], t[0], t[1]))
+
+    def test_floor_exhaustion_returns_fewer(self, spark):
+        from ml_hadoop_experiment_spark.operators.setsim import topk_similar_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d f"), (3, "z y x w v")],
+            "doc_id bigint, text string",
+        )
+        out = topk_similar_pairs(df, "doc_id", "text", k=10, floor=0.3).collect()
+        assert len(out) == 1  # only one pair exists above the floor
+
+    def test_rejects_floorless_topk(self, spark):
+        import pytest as _pytest
+
+        from ml_hadoop_experiment_spark.operators.setsim import topk_similar_pairs
+
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with _pytest.raises(ValueError, match="floorless"):
+            topk_similar_pairs(df, "doc_id", "text", floor=0.0)
+        with _pytest.raises(ValueError, match="k must be positive"):
+            topk_similar_pairs(df, "doc_id", "text", k=0, floor=0.3)
