@@ -4827,7 +4827,7 @@ SQL_BIGRAM_XENT = _sql_bigram_xent()
 
 
 def q_topk_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 50 most similar document pairs above a 0.2 Jaccard floor
+    """The 50 most similar document pairs above a 0.3 Jaccard floor
     (operators/setsim.topk_similar_pairs) — dedup QA's worst-offenders
     view; exact because every pair >= the floor is enumerated by the
     complete prefix-filtered join, then TakeOrderedAndProject cuts k
@@ -4835,12 +4835,12 @@ def q_topk_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ml_hadoop_experiment_spark.operators.setsim import topk_similar_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return topk_similar_pairs(docs, "doc_id", "text", k=50, floor=0.2)
+    return topk_similar_pairs(docs, "doc_id", "text", k=50, floor=0.3)
 
 
 # brute force + the same total order; DuckDB's ORDER BY ... LIMIT
 SQL_TOPK_SIMILAR_PAIRS = SQL_JACCARD_JOIN.replace(
-    ">= 0.4", ">= 0.2"
+    ">= 0.4", ">= 0.3"
 ) + "ORDER BY jaccard DESC, id_a, id_b LIMIT 50"
 
 
