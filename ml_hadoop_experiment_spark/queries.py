@@ -4426,169 +4426,6 @@ def _sql_bpe_pairs() -> str:
 SQL_BPE_PAIRS = _sql_bpe_pairs()
 
 
-# Ordering contract: the driver's correctness gate verifies the FIRST 50
-# entries of this dict, in order (CORRECTNESS_r03/r04 each recorded exactly
-# the first 50 keys). The dict is therefore ROTATED each round:
-#   tier 0 - queries whose OPERATOR OR ORACLE CODE CHANGED since their last
-#            driver-green row (the round-5 verdict's rule change: a green
-#            row from before an edit validates nothing — changed code goes
-#            FIRST, before any age-based ordering). Machine-checked: the
-#            stale-green guard (tools/green_state.py, run as
-#            tests/test_green_state.py) compares each query's source
-#            fingerprint against tools/green_state.json and FAILS the suite
-#            if a changed query is not inside the next 50-entry window;
-#   tier 1 - queries with no driver-green row in ANY round yet / new ones;
-#   tier 2 - queries whose last driver-green row is oldest;
-#   tier 3 - queries verified in the immediately preceding round.
-# All 100 queries stay green in the local replica of the driver's compare
-# (tests/test_oracle_parity.py) every round regardless of window position.
-# Rotation history: r06 window = the 39 changed-since-green queries (the
-# verdict's 12, the r5 shared-module edits the fingerprint sweep surfaced,
-# and the r6 prefix/dedup/stats consumers) + 11 oldest unchanged r04-green.
-# r08 window = 10 tier-0 queries with no driver row (repeated_spans leads,
-# plus the round-8 additions near_dup_index / overlap_pairs / bpe_pairs /
-# simhash_incr / dedup_keep_best / dedup_bloom / skew_report /
-# snapshot_diff / dq_audit) + the 38 prefix/dedup/stats-closure queries
-# the round-8 edits flagged + 2 oldest unchanged r04-green backfill
-# (big_orders, bootstrap_metrics). See PARITY.md "Correctness rotation".
-QUERIES = {
-    # --- driver window (first 50): tier 0 = new queries with no
-    #     driver row yet; tier 1 = queries whose operator/oracle import
-    #     closure changed since their last driver-green row (machine-
-    #     checked by tools/green_state.py); tier 2 = oldest-green
-    #     unchanged backfill. Regenerated programmatically each round —
-    #     round-8 edits: plans/prefix.py re-plan + row guard,
-    #     operators/dedup.py corpus index + overlap/containment +
-    #     simhash_against + keep_best_per_cluster + CC root-repartition,
-    #     operators/corpus.py bpe_pair_counts, operators/stats.py
-    #     cdf_normalize resolution.
-    "repeated_spans": q_repeated_spans,
-    "kmeans_clusters": q_kmeans_clusters,
-    "quantized_topk": q_quantized_topk,
-    "near_dup_index": q_near_dup_index,
-    "overlap_pairs": q_overlap_pairs,
-    "bpe_pairs": q_bpe_pairs,
-    "simhash_incr": q_simhash_incr,
-    "dedup_keep_best": q_dedup_keep_best,
-    "dedup_bloom": q_dedup_bloom,
-    "skew_report": q_skew_report,
-    "snapshot_diff": q_snapshot_diff,
-    "dq_audit": q_dq_audit,
-    # tier 1: changed since last green
-    "bm25_topk": q_bm25_topk,
-    "cdf_normalize": q_cdf_normalize,
-    "chi_square": q_chi_square,
-    "corr_matrix": q_corr_matrix,
-    "decontaminate": q_decontaminate,
-    "dedup_exact": q_dedup_exact,
-    "dedup_incremental": q_dedup_incremental,
-    "dedup_normalized": q_dedup_normalized,
-    "doc_chunks": q_doc_chunks,
-    "doc_pipeline": q_doc_pipeline,
-    "dup_clusters": q_dup_clusters,
-    "dup_stats": q_dup_stats,
-    "feature_hist": q_feature_hist,
-    "fuzzy_match": q_fuzzy_match,
-    "global_rank": q_global_rank,
-    "impute_median": q_impute_median,
-    "llm_pipeline": q_llm_pipeline,
-    "minhash_signatures": q_minhash_signatures,
-    "near_dup_incr": q_near_dup_incr,
-    "near_dup_pairs": q_near_dup_pairs,
-    "outlier_stats": q_outlier_stats,
-    "pack_bins": q_pack_bins,
-    "profile_table": q_profile_table,
-    "rare_tokens": q_rare_tokens,
-    "repeated_ngrams": q_repeated_ngrams,
-    "robust_scale": q_robust_scale,
-    "segment_trend": q_segment_trend,
-    "semantic_dedup": q_semantic_dedup,
-    "simhash": q_simhash,
-    "simhash_pairs": q_simhash_pairs,
-    "snm_pairs": q_snm_pairs,
-    "tfidf_topk": q_tfidf_topk,
-    "token_budget": q_token_budget,
-    "tokens_to_ids": q_tokens_to_ids,
-    "trimmed_stats": q_trimmed_stats,
-    "vocab_build": q_vocab_build,
-    "vocab_merged_keys": q_vocab_merged_keys,
-    "vocab_tokens": q_vocab_tokens,
-    # tier 2: oldest-green unchanged backfill to 50
-    "big_orders": q_big_orders,
-    "bootstrap_metrics": q_bootstrap_metrics,
-    # --- outside the driver window: unchanged, driver-green, and
-    #     re-gated locally every round by tests/test_oracle_parity.py
-    "cohort_retention": q_cohort_retention,
-    "doc_fingerprint": q_doc_fingerprint,
-    "event_transitions": q_event_transitions,
-    "events_long": q_events_long,
-    "feature_hash": q_feature_hash,
-    "lag_features": q_lag_features,
-    "null_default_fill": q_null_default_fill,
-    "pricing_summary": q_pricing_summary,
-    "cap_per_key": q_cap_per_key,
-    "gap_fill": q_gap_fill,
-    "heavy_hitters": q_heavy_hitters,
-    "kfold_assign": q_kfold_assign,
-    "sample_by_class": q_sample_by_class,
-    "sample_stratified": q_sample_stratified,
-    "trailing_window": q_trailing_window,
-    "train_split": q_train_split,
-    "twap": q_twap,
-    "weighted_sample": q_weighted_sample,
-    "streaming_enrich": q_streaming_enrich,
-    "mixture_sample": q_mixture_sample,
-    "promo_share": q_promo_share,
-    "region_revenue": q_region_revenue,
-    "returned_customers": q_returned_customers,
-    "segment_revenue": q_segment_revenue,
-    "sparse_coo": q_sparse_coo,
-    "text_stats": q_text_stats,
-    "udf_linear_score": q_udf_linear_score,
-    "zorder_stats": q_zorder_stats,
-    "event_pivot": q_event_pivot,
-    "funnel_counts": q_funnel_counts,
-    "image_dims": q_image_dims,
-    "pii_redaction": q_pii_redaction,
-    "series_topk": q_series_topk,
-    "session_paths": q_session_paths,
-    "streaming_interval_join": q_streaming_interval_join,
-    "audio_meta": q_audio_meta,
-    "frame_sample": q_frame_sample,
-    "salted_join": q_salted_join,
-    "ann_topk": q_ann_topk,
-    "ann_topk_batch": q_ann_topk_batch,
-    "lsh_buckets": q_lsh_buckets,
-    "multimodal_meta": q_multimodal_meta,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_centroids": q_embedding_centroids,
-    "ivf_topk": q_ivf_topk,
-    "streaming_dedup": q_streaming_dedup,
-    "streaming_rollup": q_streaming_rollup,
-    "streaming_sessionize": q_streaming_sessionize,
-    "streaming_score": q_streaming_score,
-    "user_similarity": q_user_similarity,
-    "sessionize": q_sessionize,
-    "session_stats": q_session_stats,
-    "range_join": q_range_join,
-    "events_rollup": q_events_rollup,
-    "events_asof": q_events_asof,
-    "events_asof_fwd": q_events_asof_fwd,
-    "json_props": q_json_props,
-    "repetition_stats": q_repetition_stats,
-    "window_topk": q_window_topk,
-    "rollup_counts": q_rollup_counts,
-    "anti_join": q_anti_join,
-    "kmv_distinct": q_kmv_distinct,
-    "quantiles": q_quantiles,
-    "quantiles_approx": q_quantiles_approx,
-    "tfrecord_roundtrip": q_tfrecord_roundtrip,
-}
-
-
-#: queries with no DuckDB oracle. Empty since round 2: ivf_topk gained a
-#: frozen-centroid oracle (the iterative-KMeans adaptive path stays
-#: recall-tested in tests/test_similarity.py).
 def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document unigram cross-entropy under the corpus's own token
     distribution (operators/corpus.unigram_xent) — CCNet-style LM
@@ -4626,8 +4463,11 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # brute-force twin: no prefix filter — DuckDB joins the full inverted
 # index; identical tokenization (3-shingles, short-doc whole-text rule)
 # and identical rounding, so any pair the prefix filter missed fails the
-# row-count gate immediately.
-SQL_JACCARD_JOIN = r"""
+# row-count gate immediately. One parameterized builder serves both
+# SQL_JACCARD_JOIN and SQL_TOPK_SIMILAR_PAIRS so the two floors can
+# never drift apart through a silent string-replace no-op.
+def _sql_jaccard_pairs(threshold: float) -> str:
+    return rf"""
 WITH base AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
 ),
@@ -4653,8 +4493,11 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
-WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.4
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= {threshold}
 """
+
+
+SQL_JACCARD_JOIN = _sql_jaccard_pairs(0.4)
 
 
 def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4839,23 +4682,43 @@ def q_topk_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # brute force + the same total order; DuckDB's ORDER BY ... LIMIT
-SQL_TOPK_SIMILAR_PAIRS = SQL_JACCARD_JOIN.replace(
-    ">= 0.4", ">= 0.3"
-) + "ORDER BY jaccard DESC, id_a, id_b LIMIT 50"
+SQL_TOPK_SIMILAR_PAIRS = (
+    _sql_jaccard_pairs(0.3) + "ORDER BY jaccard DESC, id_a, id_b LIMIT 50"
+)
 
 
-NO_ORACLE: set = set()
 
-#: Queries implemented and locally oracle-gated (tests/test_oracle_parity
-#: runs them exactly like declared ones) but NOT yet declared to the
-#: driver: the 50-entry verification window is at capacity this round
-#: (every slot holds a new or changed-since-green query — see
-#: tools/green_state.py). Next round, after the green fold frees the
-#: re-verified tier-1 slots, merge these into QUERIES/ORACLE_SQL at the
-#: window head. Keeping them out of QUERIES (rather than declared past
-#: index 50) is deliberate: a declared query without a driver row is a
-#: coverage gap; a staged one is a scheduling decision with a local gate.
-PENDING_QUERIES = {
+
+# Ordering contract: the driver's correctness gate verifies the FIRST 50
+# entries of this dict, in order (CORRECTNESS_r03/r04 each recorded exactly
+# the first 50 keys). The dict is therefore ROTATED each round:
+#   tier 0 - queries whose OPERATOR OR ORACLE CODE CHANGED since their last
+#            driver-green row (the round-5 verdict's rule change: a green
+#            row from before an edit validates nothing — changed code goes
+#            FIRST, before any age-based ordering). Machine-checked: the
+#            stale-green guard (tools/green_state.py, run as
+#            tests/test_green_state.py) compares each query's source
+#            fingerprint against tools/green_state.json and FAILS the suite
+#            if a changed query is not inside the next 50-entry window;
+#   tier 1 - queries with no driver-green row in ANY round yet / new ones;
+#   tier 2 - queries whose last driver-green row is oldest;
+#   tier 3 - queries verified in the immediately preceding round.
+# All 100 queries stay green in the local replica of the driver's compare
+# (tests/test_oracle_parity.py) every round regardless of window position.
+# Rotation history: r06 window = the 39 changed-since-green queries (the
+# verdict's 12, the r5 shared-module edits the fingerprint sweep surfaced,
+# and the r6 prefix/dedup/stats consumers) + 11 oldest unchanged r04-green.
+# r09 window = the nine round-8-staged queries promoted to tier 0
+# (unigram/bigram_xent, jaccard_join, pmi_bigrams, source_overlap,
+# cms_audit, neyman_sample, jl_project, topk_similar_pairs) + the ten
+# queries whose operator modules the round-9 edits touch (corpus /
+# curation / quantize importers) + 31 oldest-green unchanged backfill
+# (the 18 r04 rows and 13 oldest r05 rows).
+# See PARITY.md "Correctness rotation".
+QUERIES = {
+    # --- driver window (first 50) ---
+    # tier 0: the nine round-8-staged queries, promoted (no driver row
+    # yet; each was local-parity-green at sf0.001 all of round 8)
     "unigram_xent": q_unigram_xent,
     "jaccard_join": q_jaccard_join,
     "pmi_bigrams": q_pmi_bigrams,
@@ -4865,21 +4728,154 @@ PENDING_QUERIES = {
     "jl_project": q_jl_project,
     "bigram_xent": q_bigram_xent,
     "topk_similar_pairs": q_topk_similar_pairs,
+    # tier 1: queries whose operator modules change this round
+    # (corpus.py bigram_xent cost pass, curation.py null-fingerprint
+    # guard, quantize.py dim-arg removal) — scheduled ahead of the edits
+    "bm25_topk": q_bm25_topk,
+    "tfidf_topk": q_tfidf_topk,
+    "rare_tokens": q_rare_tokens,
+    "bpe_pairs": q_bpe_pairs,
+    "decontaminate": q_decontaminate,
+    "dedup_normalized": q_dedup_normalized,
+    "repeated_ngrams": q_repeated_ngrams,
+    "repeated_spans": q_repeated_spans,
+    "token_budget": q_token_budget,
+    "quantized_topk": q_quantized_topk,
+    # tier 2: oldest-green unchanged backfill (18 last-green r04 +
+    # 13 oldest last-green r05)
+    "big_orders": q_big_orders,
+    "bootstrap_metrics": q_bootstrap_metrics,
+    "cohort_retention": q_cohort_retention,
+    "doc_fingerprint": q_doc_fingerprint,
+    "event_transitions": q_event_transitions,
+    "events_long": q_events_long,
+    "feature_hash": q_feature_hash,
+    "lag_features": q_lag_features,
+    "null_default_fill": q_null_default_fill,
+    "pricing_summary": q_pricing_summary,
+    "promo_share": q_promo_share,
+    "region_revenue": q_region_revenue,
+    "returned_customers": q_returned_customers,
+    "segment_revenue": q_segment_revenue,
+    "sparse_coo": q_sparse_coo,
+    "text_stats": q_text_stats,
+    "udf_linear_score": q_udf_linear_score,
+    "zorder_stats": q_zorder_stats,
+    "ann_topk": q_ann_topk,
+    "ann_topk_batch": q_ann_topk_batch,
+    "anti_join": q_anti_join,
+    "audio_meta": q_audio_meta,
+    "embedding_centroids": q_embedding_centroids,
+    "embedding_near_dup": q_embedding_near_dup,
+    "event_pivot": q_event_pivot,
+    "events_asof": q_events_asof,
+    "events_asof_fwd": q_events_asof_fwd,
+    "events_rollup": q_events_rollup,
+    "frame_sample": q_frame_sample,
+    "funnel_counts": q_funnel_counts,
+    "image_dims": q_image_dims,
+    # --- outside the driver window: unchanged, driver-green, and
+    #     re-gated locally every round by tests/test_oracle_parity.py
+    "ivf_topk": q_ivf_topk,
+    "json_props": q_json_props,
+    "kmv_distinct": q_kmv_distinct,
+    "lsh_buckets": q_lsh_buckets,
+    "multimodal_meta": q_multimodal_meta,
+    "pii_redaction": q_pii_redaction,
+    "quantiles": q_quantiles,
+    "quantiles_approx": q_quantiles_approx,
+    "range_join": q_range_join,
+    "repetition_stats": q_repetition_stats,
+    "rollup_counts": q_rollup_counts,
+    "salted_join": q_salted_join,
+    "series_topk": q_series_topk,
+    "session_paths": q_session_paths,
+    "session_stats": q_session_stats,
+    "sessionize": q_sessionize,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_interval_join": q_streaming_interval_join,
+    "streaming_rollup": q_streaming_rollup,
+    "streaming_score": q_streaming_score,
+    "streaming_sessionize": q_streaming_sessionize,
+    "tfrecord_roundtrip": q_tfrecord_roundtrip,
+    "user_similarity": q_user_similarity,
+    "window_topk": q_window_topk,
+    "cap_per_key": q_cap_per_key,
+    "gap_fill": q_gap_fill,
+    "heavy_hitters": q_heavy_hitters,
+    "kfold_assign": q_kfold_assign,
+    "mixture_sample": q_mixture_sample,
+    "sample_by_class": q_sample_by_class,
+    "sample_stratified": q_sample_stratified,
+    "streaming_enrich": q_streaming_enrich,
+    "trailing_window": q_trailing_window,
+    "train_split": q_train_split,
+    "twap": q_twap,
+    "weighted_sample": q_weighted_sample,
+    "cdf_normalize": q_cdf_normalize,
+    "chi_square": q_chi_square,
+    "corr_matrix": q_corr_matrix,
+    "dedup_bloom": q_dedup_bloom,
+    "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_keep_best": q_dedup_keep_best,
+    "doc_chunks": q_doc_chunks,
+    "doc_pipeline": q_doc_pipeline,
+    "dq_audit": q_dq_audit,
+    "dup_clusters": q_dup_clusters,
+    "dup_stats": q_dup_stats,
+    "feature_hist": q_feature_hist,
+    "fuzzy_match": q_fuzzy_match,
+    "global_rank": q_global_rank,
+    "impute_median": q_impute_median,
+    "kmeans_clusters": q_kmeans_clusters,
+    "llm_pipeline": q_llm_pipeline,
+    "minhash_signatures": q_minhash_signatures,
+    "near_dup_incr": q_near_dup_incr,
+    "near_dup_index": q_near_dup_index,
+    "near_dup_pairs": q_near_dup_pairs,
+    "outlier_stats": q_outlier_stats,
+    "overlap_pairs": q_overlap_pairs,
+    "pack_bins": q_pack_bins,
+    "profile_table": q_profile_table,
+    "robust_scale": q_robust_scale,
+    "segment_trend": q_segment_trend,
+    "semantic_dedup": q_semantic_dedup,
+    "simhash": q_simhash,
+    "simhash_incr": q_simhash_incr,
+    "simhash_pairs": q_simhash_pairs,
+    "skew_report": q_skew_report,
+    "snapshot_diff": q_snapshot_diff,
+    "snm_pairs": q_snm_pairs,
+    "tokens_to_ids": q_tokens_to_ids,
+    "trimmed_stats": q_trimmed_stats,
+    "vocab_build": q_vocab_build,
+    "vocab_merged_keys": q_vocab_merged_keys,
+    "vocab_tokens": q_vocab_tokens,
 }
 
-PENDING_ORACLE_SQL = {
-    "bigram_xent": SQL_BIGRAM_XENT,
-    "topk_similar_pairs": SQL_TOPK_SIMILAR_PAIRS,
-    "neyman_sample": SQL_NEYMAN_SAMPLE,
-    "jl_project": SQL_JL_PROJECT,
+
+NO_ORACLE: set = set()
+
+#: Staging area for queries implemented and locally oracle-gated but not
+#: yet declared to the driver (used when the 50-entry verification window
+#: is at capacity — see tools/green_state.py). EMPTY since round 9: the
+#: nine round-8-staged queries were promoted into QUERIES tier 0.
+PENDING_QUERIES: dict = {}
+
+PENDING_ORACLE_SQL: dict = {}
+
+ORACLE_SQL = {
+    # the nine round-9 promotions
     "unigram_xent": SQL_UNIGRAM_XENT,
     "jaccard_join": SQL_JACCARD_JOIN,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "cms_audit": SQL_CMS_AUDIT,
-}
-
-ORACLE_SQL = {
+    "neyman_sample": SQL_NEYMAN_SAMPLE,
+    "jl_project": SQL_JL_PROJECT,
+    "bigram_xent": SQL_BIGRAM_XENT,
+    "topk_similar_pairs": SQL_TOPK_SIMILAR_PAIRS,
     "repeated_spans": SQL_REPEATED_SPANS,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "quantized_topk": SQL_QUANTIZED_TOPK,
