@@ -468,9 +468,9 @@ def source_overlap(
     ``group_a < group_b`` and one count per pair. The join is keyed on
     the digest — never all-pairs of rows — and the output is bounded by
     |groups|², which for real corpora is dozens, so the final agg
-    broadcasts trivially. Groups NULL on ``group_col`` are kept as a
-    group of their own (digest rows with NULL group compare unequal in
-    the join and drop — documented: NULL-source rows never pair).
+    broadcasts trivially. Rows NULL on ``group_col`` never pair: NULL
+    fails the ``group_a < group_b`` comparison, so NULL-source rows
+    drop from the matrix.
 
     ``fingerprint_tokens=k`` switches the key from the exact content
     digest to a digest of the first ``k`` whitespace tokens of the
@@ -489,8 +489,16 @@ def source_overlap(
         toks = F.split(
             F.trim(F.lower(F.col(content_cols[0]))), r"\s+"
         )
-        key = F.md5(
-            F.concat_ws(" ", F.slice(toks, 1, int(fingerprint_tokens)))
+        # NULL text must yield a NULL digest (concat_ws over the NULL
+        # token array would give md5("") and pair unrelated NULL-text
+        # rows across groups); NULL keys then drop in the equi-join,
+        # matching the exact mode's null-safe content_digest and the
+        # DuckDB twin's md5(NULL) = NULL.
+        key = F.when(
+            F.col(content_cols[0]).isNotNull(),
+            F.md5(
+                F.concat_ws(" ", F.slice(toks, 1, int(fingerprint_tokens)))
+            ),
         )
     else:
         key = content_digest([F.col(c) for c in content_cols])

@@ -89,7 +89,7 @@ def dequantize_expr(
     return F.array(*elems)
 
 
-def symmetric_scale(df: DataFrame, vec_col: str, dim: int) -> float:
+def symmetric_scale(df: DataFrame, vec_col: str) -> float:
     """Global symmetric quantization scale ``127 / absmax`` over every
     element of ``vec_col`` — one aggregation pass, ONE scalar collected.
 
@@ -155,7 +155,7 @@ def quantized_topk(
     scanned (4x cheaper than float32); the scale rides along as a
     table property.
     """
-    scale = symmetric_scale(df, vec_col, dim)
+    scale = symmetric_scale(df, vec_col)
     qrow = (
         df.where(F.col(id_col) == query_id)
         .select(symmetric_quantize_expr(F.col(vec_col), scale).alias("q"))
@@ -164,6 +164,12 @@ def quantized_topk(
     if len(qrow) != 1:
         raise ValueError(f"query_id {query_id}: expected 1 row, got {len(qrow)}")
     code = list(qrow[0]["q"])
+    # dim is a contract check (the scale fold is dimension-agnostic): a
+    # mismatched embedding width must fail loudly, not score garbage.
+    if len(code) != dim:
+        raise ValueError(
+            f"query vector has {len(code)} dims, expected dim={dim}"
+        )
     scored = df.where(F.col(id_col) != query_id).select(
         F.col(id_col).alias("id"),
         _int_dot_expr(

@@ -283,6 +283,29 @@ class TestSourceOverlap:
         }
         assert got == {("a", "b"): 1, ("a", "c"): 1}
 
+    def test_fingerprint_null_text_never_pairs(self, spark):
+        """NULL text in fingerprint mode gets a NULL digest (not
+        md5("") via concat_ws over the NULL token array), so NULL-text
+        rows in different sources never count as shared content —
+        matching the DuckDB twin, where md5(NULL) IS NULL drops out of
+        the equi-join."""
+        from ml_hadoop_experiment_spark.operators.curation import source_overlap
+
+        rows = [
+            (1, None, "a"),
+            (2, None, "b"),
+            (3, "shared prefix words here", "a"),
+            (4, "shared prefix words here", "b"),
+        ]
+        df = spark.createDataFrame(rows, "id bigint, text string, source string")
+        got = {
+            (r["group_a"], r["group_b"]): r["n_shared"]
+            for r in source_overlap(
+                df, ["text"], "source", fingerprint_tokens=8
+            ).collect()
+        }
+        assert got == {("a", "b"): 1}
+
     def test_fingerprint_requires_single_content_col(self, spark):
         import pytest as _pytest
 
