@@ -623,11 +623,20 @@ def bigram_xent(
     decimal(28,6); p itself is one fixed-shape double expression over
     four integer counts, so both engines execute identical IEEE ops.
 
-    Plan: one zip-slice bigram explode (map-side), three map-combined
-    count aggs (bigram, left-context, unigram), joins keyed on the
-    bigram/context tokens, broadcast scalar total, one per-doc agg.
-    Raw text never shuffles; docs with <2 tokens drop (no bigrams —
-    callers route them to the unigram scorer).
+    Plan: one zip-slice bigram explode (map-side), two map-combined
+    count aggs over the exploded streams (bigram vocab, unigram vocab)
+    plus a per-doc tf agg. The LM itself is assembled entirely on the
+    BIGRAM-VOCAB frame: left-context counts come from re-aggregating
+    the bigram tally (``c1(w1) = sum_w2 cb(w1,w2)`` — exact, and saves
+    a third shuffle of the instance stream), the unigram join and the
+    broadcast total attach there too, and ln(p) is rounded into its
+    decimal contribution per distinct bigram BEFORE any doc-sized frame
+    appears. The per-doc tf frame — the only corpus-sized shuffle input
+    — then joins ONCE on (w1, w2) (AQE broadcasts the enriched vocab
+    when it is small) and one per-doc agg finishes; the round-8 shape
+    re-shuffled tf three times on three different keys. Raw text never
+    shuffles; docs with <2 tokens drop (no bigrams — callers route them
+    to the unigram scorer).
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
@@ -645,7 +654,7 @@ def bigram_xent(
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("__cu"))
     utot = uni.agg(F.count(F.lit(1)).alias("__T"))
     bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
-    lcnt = big.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    lcnt = bcnt.groupBy("w1").agg(F.sum("__cb").alias("__c1"))
     tf = big.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("__tf"))
     p = (
         F.lit(float(lam))
@@ -653,18 +662,26 @@ def bigram_xent(
         + F.lit(1.0 - float(lam))
         * (F.col("__cu").cast("double") / F.col("__T"))
     )
-    contrib = F.round(F.log(p), round_digits).cast(
-        "decimal(28,6)"
-    ) * F.col("__tf").cast("decimal(28,6)")
-    per_doc = (
-        tf.join(bcnt, ["w1", "w2"])
-        .join(lcnt, "w1")
+    lm = (
+        bcnt.join(lcnt, "w1")
         .join(ucnt.select(F.col("w").alias("w2"), "__cu"), "w2")
         .crossJoin(F.broadcast(utot))
+        .select(
+            "w1",
+            "w2",
+            F.round(F.log(p), round_digits)
+            .cast("decimal(28,6)")
+            .alias("__lnp"),
+        )
+    )
+    per_doc = (
+        tf.join(lm, ["w1", "w2"])
         .groupBy("id")
         .agg(
             F.sum("__tf").alias("n_bigrams"),
-            F.sum(contrib).alias("__lp"),
+            F.sum(
+                F.col("__lnp") * F.col("__tf").cast("decimal(28,6)")
+            ).alias("__lp"),
         )
     )
     return per_doc.select(
