@@ -236,6 +236,7 @@ def topk_similar_pairs(
     floor: float = 0.2,
     shingle_size: int = 3,
     max_posting_width: int | None = None,
+    probe_floor: Optional[float] = 0.7,
 ) -> DataFrame:
     """The ``k`` MOST similar pairs above ``floor``:
     ``(id_a, id_b, jaccard)`` under the total order
@@ -252,6 +253,20 @@ def topk_similar_pairs(
     compiles to TakeOrderedAndProject (per-partition heaps, no global
     sort); the candidate cost model (and the dup-heavy
     ``max_posting_width`` guard) is :func:`jaccard_join`'s.
+
+    ``probe_floor`` is the adaptive-floor optimization: the answer's
+    kth similarity is typically far above the caller's floor, and the
+    prefix join's cost falls superlinearly as the threshold rises (a
+    higher t keeps a shorter prefix per set AND tightens the length +
+    positional filters). So run the complete join at ``probe_floor``
+    first and keep its top-k when at least ``k`` pairs emerge — exact,
+    because every pair >= probe_floor is enumerated and k of them
+    bound the global top-k above the lower floor. The probe's k rows
+    are pinned (k-row cache, never corpus-sized) so the decision
+    ``count()`` and the caller's collection share one computation.
+    Fewer than k probe rows → unpersist and rerun at ``floor`` — the
+    only case that pays for both passes. ``None`` (or a probe at or
+    below ``floor``) disables the probe.
     """
     if k < 1:
         raise ValueError(f"k must be positive, got {k}")
@@ -260,10 +275,24 @@ def topk_similar_pairs(
             "floor must be > 0: a floorless global top-k is the "
             "all-pairs problem (prefix filtering prunes nothing at 0)"
         )
+    order = (F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+    if probe_floor is not None and probe_floor > floor:
+        from pyspark import StorageLevel
+
+        probe = jaccard_join(
+            df, id_col, text_col, threshold=probe_floor,
+            shingle_size=shingle_size, max_posting_width=max_posting_width,
+        )
+        topk = (
+            probe.orderBy(*order)
+            .limit(k)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if topk.count() >= k:
+            return topk
+        topk.unpersist()
     pairs = jaccard_join(
         df, id_col, text_col, threshold=floor,
         shingle_size=shingle_size, max_posting_width=max_posting_width,
     )
-    return pairs.orderBy(
-        F.desc("jaccard"), "id_a", "id_b"
-    ).limit(k)
+    return pairs.orderBy(*order).limit(k)

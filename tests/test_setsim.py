@@ -183,6 +183,36 @@ class TestTopkSimilarPairs:
         out = topk_similar_pairs(df, "doc_id", "text", k=10, floor=0.3).collect()
         assert len(out) == 1  # only one pair exists above the floor
 
+    def test_probe_and_fallback_agree_with_direct_floor(self, spark, corpus):
+        """The adaptive probe must be invisible in the result: whether
+        the probe satisfies k, falls back, or is disabled, the answer
+        equals the direct single-pass join at the caller's floor."""
+        from ml_hadoop_experiment_spark.operators.setsim import topk_similar_pairs
+
+        df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+        as_tuples = lambda rows: [
+            (r["id_a"], r["id_b"], r["jaccard"]) for r in rows
+        ]
+        direct = as_tuples(
+            topk_similar_pairs(
+                df, "doc_id", "text", k=5, floor=0.3, probe_floor=None
+            ).collect()
+        )
+        # probe low enough to satisfy k (probe path returns)
+        probed = as_tuples(
+            topk_similar_pairs(
+                df, "doc_id", "text", k=5, floor=0.3, probe_floor=0.35
+            ).collect()
+        )
+        # probe so high it finds < k pairs (fallback path runs)
+        fallback = as_tuples(
+            topk_similar_pairs(
+                df, "doc_id", "text", k=5, floor=0.3, probe_floor=0.99
+            ).collect()
+        )
+        assert probed == direct
+        assert fallback == direct
+
     def test_rejects_floorless_topk(self, spark):
         import pytest as _pytest
 
