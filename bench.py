@@ -141,6 +141,18 @@ BENCH_QUERIES = [
     "streaming_score",
     "streaming_interval_join",
     "streaming_enrich",
+    # round-9 promotions (the nine round-8-staged queries, now declared)
+    # + the simhash_index steady-state query
+    "unigram_xent",
+    "jaccard_join",
+    "pmi_bigrams",
+    "source_overlap",
+    "cms_audit",
+    "neyman_sample",
+    "jl_project",
+    "bigram_xent",
+    "topk_similar_pairs",
+    "simhash_index",
 ]
 
 
@@ -314,19 +326,6 @@ def _bench_trimmed_stats_approx(spark) -> None:
     ).mode("overwrite").save()
 
 
-def _bench_pending(name: str):
-    """Time a PENDING_QUERIES entry (staged for the next driver window;
-    locally oracle-gated) so its cost history starts before declaration."""
-    from ml_hadoop_experiment_spark.queries import PENDING_QUERIES
-
-    fn = PENDING_QUERIES[name]
-
-    def run(spark) -> None:
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-
-    return run
-
-
 EXTRA_BENCHES = {
     "tfrecord_sink": _bench_shuffle_sink,
     "quantiles_approx": _bench_quantiles_approx,
@@ -336,15 +335,6 @@ EXTRA_BENCHES = {
     "outlier_stats_approx": _bench_outlier_stats_approx,
     "trimmed_stats_approx": _bench_trimmed_stats_approx,
     "near_dup_incr_steady": _bench_near_dup_incr_steady,
-    "unigram_xent": _bench_pending("unigram_xent"),
-    "jaccard_join": _bench_pending("jaccard_join"),
-    "pmi_bigrams": _bench_pending("pmi_bigrams"),
-    "source_overlap": _bench_pending("source_overlap"),
-    "cms_audit": _bench_pending("cms_audit"),
-    "neyman_sample": _bench_pending("neyman_sample"),
-    "jl_project": _bench_pending("jl_project"),
-    "bigram_xent": _bench_pending("bigram_xent"),
-    "topk_similar_pairs": _bench_pending("topk_similar_pairs"),
 }
 
 
@@ -438,7 +428,11 @@ def main() -> None:
             json.dump(out, f, indent=1, sort_keys=True)
     except Exception:
         pass  # the durable record must never fail the bench itself
-    print(json.dumps(out))
+    # compact separators: the driver's BENCH record keeps only the TAIL
+    # of stdout, and a pretty-printed ~127-entry line loses its head
+    # (every round's "parsed: None"); compacting buys ~30% of the line
+    # back, and the durable BENCH_LOCAL record above is the full copy.
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

@@ -2448,6 +2448,30 @@ FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 3
 SQL_SIMHASH_INCR = _sql_simhash_incr()
 
 
+def q_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state incremental SimHash near-dup: the same
+    new-vs-corpus filter as ``simhash_incr`` but through a prebuilt
+    ``build_simhash_index`` (pinned corpus fingerprint + pigeonhole
+    block rows — the pure-function-of-corpus frame a production
+    pipeline computes once per corpus rotation and reuses per crawl
+    batch). Result contract is identical, so the oracle is the same
+    SQL; what differs is WHERE the corpus work happens (index build,
+    amortized: 6.0 s build + ~1.7 s/batch vs ~7.8 s/batch per-call at
+    sf0.1 — see SCALE.md "simhash_incr steady-state index A/B")."""
+    from ml_hadoop_experiment_spark.operators.simhash_index import (
+        build_simhash_index,
+        simhash_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    index = build_simhash_index(
+        corpus, "doc_id", "text", bits=32, max_hamming=3
+    )
+    return simhash_against_index(new, index, "doc_id", "text")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup retention: simhash clusters (hamming <= 3,
     32-bit) + keep the highest-quality_score doc per cluster (ties by
@@ -4717,8 +4741,10 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0: the nine round-8-staged queries, promoted (no driver row
-    # yet; each was local-parity-green at sf0.001 all of round 8)
+    # tier 0: new queries with no driver row yet — the nine round-8-
+    # staged promotions (each local-parity-green at sf0.001 all of
+    # round 8) plus the round-9 simhash_index steady-state query
+    "simhash_index": q_simhash_index,
     "unigram_xent": q_unigram_xent,
     "jaccard_join": q_jaccard_join,
     "pmi_bigrams": q_pmi_bigrams,
@@ -4773,9 +4799,9 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "frame_sample": q_frame_sample,
     "funnel_counts": q_funnel_counts,
-    "image_dims": q_image_dims,
     # --- outside the driver window: unchanged, driver-green, and
     #     re-gated locally every round by tests/test_oracle_parity.py
+    "image_dims": q_image_dims,
     "ivf_topk": q_ivf_topk,
     "json_props": q_json_props,
     "kmv_distinct": q_kmv_distinct,
@@ -4866,7 +4892,10 @@ PENDING_QUERIES: dict = {}
 PENDING_ORACLE_SQL: dict = {}
 
 ORACLE_SQL = {
-    # the nine round-9 promotions
+    # the nine round-9 promotions + the simhash_index steady-state
+    # query (identical result contract to simhash_incr, same oracle —
+    # the near_dup_index precedent)
+    "simhash_index": SQL_SIMHASH_INCR,
     "unigram_xent": SQL_UNIGRAM_XENT,
     "jaccard_join": SQL_JACCARD_JOIN,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
