@@ -714,6 +714,63 @@ class TestKeepBestPerCluster:
         with pytest.raises(ValueError, match="cluster"):
             keep_best_per_cluster(df, pairs, "doc_id", "score")
 
+    def test_auto_bits_guard_preserves_retention_on_stable_clusters(
+        self, spark
+    ):
+        """The dup-heavy guard (auto_simhash_bits widening) bounds the
+        pair graph, and on every cluster whose member set survives the
+        widening unchanged, the retained doc is IDENTICAL — the
+        labels-match contract behind SCALE.md's "dedup_keep_best
+        capped-guard A/B". Clone fixture: 8 groups x 6 near-identical
+        copies (shared long template + a copy token), distinct
+        templates across groups."""
+        from pyspark.sql import functions as F
+
+        from ml_hadoop_experiment_spark.operators.dedup import (
+            auto_simhash_bits,
+            dedup_clusters,
+            keep_best_per_cluster,
+            simhash_near_dup_pairs,
+        )
+
+        rows = []
+        for g in range(8):
+            base = " ".join(
+                f"tmpl{g}w{(7 * g + i * i) % 23}" for i in range(40)
+            )
+            for k in range(6):
+                text = base if k == 0 else f"{base} copytoken{k}"
+                rows.append((g * 10 + k, text, float(len(text) % 7)))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, q double")
+
+        auto = auto_simhash_bits(len(rows), 3)
+        assert auto > 16  # the widening actually engages
+        results = {}
+        for bits in (16, auto):
+            pairs = simhash_near_dup_pairs(
+                df, "doc_id", "text", bits=bits, max_hamming=3
+            )
+            kept = keep_best_per_cluster(df, pairs, "doc_id", "q")
+            comp = dedup_clusters(df, pairs, "doc_id")
+            members = {
+                r["cluster"]: tuple(r["m"])
+                for r in comp.groupBy("cluster")
+                .agg(F.sort_array(F.collect_list("id")).alias("m"))
+                .collect()
+            }
+            results[bits] = (
+                {r["cluster"]: r["doc_id"] for r in kept.collect()},
+                members,
+            )
+        kept16, mem16 = results[16]
+        kepta, mema = results[auto]
+        byset16 = {v: kept16[c] for c, v in mem16.items()}
+        byseta = {v: kepta[c] for c, v in mema.items()}
+        stable = set(byset16) & set(byseta)
+        assert stable  # the comparison must not be vacuous
+        for member_set in stable:
+            assert byset16[member_set] == byseta[member_set]
+
 
 class TestZeroThresholdPairs:
     def test_zero_intersection_candidates_scored_not_dropped(self, spark):
