@@ -153,6 +153,10 @@ BENCH_QUERIES = [
     "bigram_xent",
     "topk_similar_pairs",
     "simhash_index",
+    "group_split",
+    "split_leakage",
+    "hll_audit",
+    "ngram_novelty",
 ]
 
 

@@ -2574,6 +2574,159 @@ SQL_DUP_CLUSTERS = _sql_dup_clusters()
 SQL_DEDUP_KEEP_BEST = _sql_dedup_keep_best()
 
 
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split
+    (operators/group_split.leakage_safe_split): split unit = the
+    near-dup CLUSTER (connected components over simhash pairs,
+    hamming <= 3 of a 32-bit fingerprint), so a train doc's
+    near-identical twin can never land in test — the structural fix
+    for the standard eval-inflation leak. Returns
+    (doc_id, cluster, split); the oracle replays the recursive-CTE
+    closure plus the identical portable-hash CASE on the cluster
+    label."""
+    from ml_hadoop_experiment_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+    from ml_hadoop_experiment_spark.operators.group_split import (
+        leakage_safe_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=32, max_hamming=3
+    )
+    out = leakage_safe_split(
+        docs, pairs, "doc_id", {"train": 0.8, "test": 0.2}, seed=7
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def _sql_group_split() -> str:
+    from ml_hadoop_experiment_spark.operators.sampling import assign_split_sql
+
+    case = assign_split_sql("cluster", {"train": 0.8, "test": 0.2}, seed=7)
+    closure = SQL_DUP_CLUSTERS.rstrip()
+    return f"""
+WITH clusters AS (
+{closure}
+)
+SELECT doc_id, cluster, {case} AS split FROM clusters
+"""
+
+
+SQL_GROUP_SPLIT = _sql_group_split()
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leak census that motivates q_group_split
+    (operators/group_split.split_leakage_audit): count near-dup pairs
+    whose endpoints land in different splits under a ROW-hash split —
+    the standard-but-leaky baseline. Nonzero n_pairs here is exactly
+    the eval contamination the cluster-level split eliminates by
+    construction (its audit is empty; pytest-gated since empty frames
+    make weak oracle gates)."""
+    from ml_hadoop_experiment_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+    from ml_hadoop_experiment_spark.operators.group_split import (
+        split_leakage_audit,
+    )
+    from ml_hadoop_experiment_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=32, max_hamming=3
+    )
+    row_split = assign_split(
+        docs.select(F.col("doc_id").alias("id")),
+        ["id"],
+        {"train": 0.8, "test": 0.2},
+        seed=7,
+        portable=True,
+    )
+    return split_leakage_audit(row_split, pairs, "id", "split")
+
+
+def _sql_split_leakage() -> str:
+    from ml_hadoop_experiment_spark.operators.sampling import assign_split_sql
+
+    case = assign_split_sql("doc_id", {"train": 0.8, "test": 0.2}, seed=7)
+    pairs = SQL_SIMHASH_PAIRS.rstrip()
+    return f"""
+WITH pairs AS (
+{pairs}
+),
+s AS (SELECT doc_id AS id, {case} AS sp FROM documents)
+SELECT least(sa.sp, sb.sp) AS split_a,
+       greatest(sa.sp, sb.sp) AS split_b,
+       count(*) AS n_pairs
+FROM pairs
+JOIN s sa ON sa.id = pairs.id_a
+JOIN s sb ON sb.id = pairs.id_b
+WHERE sa.sp <> sb.sp
+GROUP BY 1, 2
+"""
+
+
+SQL_SPLIT_LEAKAGE = _sql_split_leakage()
+
+
+def q_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count est-vs-truth audit
+    (operators/hll.hll_audit): o_orderkey cardinality from 256
+    one-byte registers whose exchange is bounded by m = 2^8 rows
+    regardless of corpus size — the third sketch family next to KMV
+    and Count-Min. The oracle replays the ENTIRE estimator (nibble
+    decoding, exact-integer harmonic sum, correction branch) in
+    DuckDB, so the driver gate checks the estimate bit-for-bit."""
+    from ml_hadoop_experiment_spark.operators.hll import hll_audit
+
+    orders = _t(spark, sf_dir, "orders")
+    return hll_audit(orders, F.col("o_orderkey"), p=8)
+
+
+def _sql_hll_audit() -> str:
+    from ml_hadoop_experiment_spark.operators.hll import hll_audit_sql
+
+    return hll_audit_sql("orders", "o_orderkey", p=8)
+
+
+SQL_HLL_AUDIT = _sql_hll_audit()
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus novelty score (operators/novelty.ngram_novelty):
+    for each candidate doc (doc_id % 5 == 0), the fraction of its
+    distinct 3-shingles absent from the reference corpus (the rest) —
+    the redundant-acquisition / contamination screen between
+    decontaminate's kill rule and the exact similarity verifiers.
+    Same tokenization as the MinHash/jaccard_join pipelines."""
+    from ml_hadoop_experiment_spark.operators.novelty import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    reference = docs.where(F.col("doc_id") % 5 != 0)
+    return ngram_novelty(
+        target, reference, "doc_id", "text", shingle_size=3
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _sql_ngram_novelty() -> str:
+    from ml_hadoop_experiment_spark.operators.novelty import ngram_novelty_sql
+
+    return ngram_novelty_sql(
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
+        "doc_id",
+        "text",
+        shingle_size=3,
+        out_id="doc_id",
+    )
+
+
+SQL_NGRAM_NOVELTY = _sql_ngram_novelty()
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus dedup: keep documents whose text does NOT already
     appear in the 'existing corpus' (stand-in: doc_id < 100) — the
@@ -4732,19 +4885,27 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # Rotation history: r06 window = the 39 changed-since-green queries (the
 # verdict's 12, the r5 shared-module edits the fingerprint sweep surfaced,
 # and the r6 prefix/dedup/stats consumers) + 11 oldest unchanged r04-green.
-# r09 window = the nine round-8-staged queries promoted to tier 0
-# (unigram/bigram_xent, jaccard_join, pmi_bigrams, source_overlap,
-# cms_audit, neyman_sample, jl_project, topk_similar_pairs) + the ten
-# queries whose operator modules the round-9 edits touch (corpus /
-# curation / quantize importers) + 31 oldest-green unchanged backfill
-# (the 18 r04 rows and 13 oldest r05 rows).
-# See PARITY.md "Correctness rotation".
+# r09 window = 14 tier-0 queries (the nine round-8-staged promotions:
+# unigram/bigram_xent, jaccard_join, pmi_bigrams, source_overlap,
+# cms_audit, neyman_sample, jl_project, topk_similar_pairs; plus the
+# five round-9 additions: simhash_index, group_split, split_leakage,
+# hll_audit, ngram_novelty) + the ten queries whose operator modules
+# the round-9 edits touch (corpus / curation / quantize importers) +
+# 26 oldest-green unchanged backfill (the 18 r04 rows and 8 oldest r05
+# rows). See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
     # tier 0: new queries with no driver row yet — the nine round-8-
     # staged promotions (each local-parity-green at sf0.001 all of
-    # round 8) plus the round-9 simhash_index steady-state query
+    # round 8) plus the round-9 additions: simhash_index (steady-state
+    # corpus index), group_split / split_leakage (leakage-safe splits +
+    # leak census), hll_audit (HyperLogLog est-vs-truth), ngram_novelty
+    # (cross-corpus novelty score)
     "simhash_index": q_simhash_index,
+    "group_split": q_group_split,
+    "split_leakage": q_split_leakage,
+    "hll_audit": q_hll_audit,
+    "ngram_novelty": q_ngram_novelty,
     "unigram_xent": q_unigram_xent,
     "jaccard_join": q_jaccard_join,
     "pmi_bigrams": q_pmi_bigrams,
@@ -4795,12 +4956,12 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "event_pivot": q_event_pivot,
     "events_asof": q_events_asof,
+    # --- outside the driver window: unchanged, driver-green, and
+    #     re-gated locally every round by tests/test_oracle_parity.py
     "events_asof_fwd": q_events_asof_fwd,
     "events_rollup": q_events_rollup,
     "frame_sample": q_frame_sample,
     "funnel_counts": q_funnel_counts,
-    # --- outside the driver window: unchanged, driver-green, and
-    #     re-gated locally every round by tests/test_oracle_parity.py
     "image_dims": q_image_dims,
     "ivf_topk": q_ivf_topk,
     "json_props": q_json_props,
@@ -4896,6 +5057,10 @@ ORACLE_SQL = {
     # query (identical result contract to simhash_incr, same oracle —
     # the near_dup_index precedent)
     "simhash_index": SQL_SIMHASH_INCR,
+    "group_split": SQL_GROUP_SPLIT,
+    "split_leakage": SQL_SPLIT_LEAKAGE,
+    "hll_audit": SQL_HLL_AUDIT,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
     "unigram_xent": SQL_UNIGRAM_XENT,
     "jaccard_join": SQL_JACCARD_JOIN,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
