@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "split_leakage",
     "hll_audit",
     "ngram_novelty",
+    "quality_rules",
+    "pq_topk",
 ]
 
 

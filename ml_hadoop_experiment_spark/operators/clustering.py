@@ -150,6 +150,56 @@ def _sqdist_sql(vec_expr: str, cent_expr: str, dim: int) -> str:
     )
 
 
+def kmeans_ctes(
+    pts_cte: str,
+    dim: int,
+    k: int,
+    iters: int,
+    round_digits: int = 6,
+    prefix: str = "",
+    train_cte: str | None = None,
+) -> Tuple[List[str], str]:
+    """The unrolled Lloyd CTE chain over an existing ``(id, v)`` CTE
+    named ``pts_cte``: returns ``(cte_list, final_centroid_cte)``. CTE
+    names are ``{prefix}c0 / a1 / m1 / c1 / ...`` so several chains
+    (e.g. one per PQ subspace) can coexist in one statement.
+    ``train_cte`` (default ``pts_cte``) is the frame the init and the
+    centroid updates read — the sample-training posture: train on a
+    subset, the final centroids still quantize everything."""
+    train = train_cte or pts_cte
+    mean_elems = ", ".join(
+        f"round(CAST(sum(CAST(e.v[{i + 1}] AS DECIMAL(27,10))) AS DOUBLE)"
+        f" / count(*), {round_digits})"
+        for i in range(dim)
+    )
+    ctes = [
+        (
+            f"{prefix}c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, "
+            "list_transform(v, x -> CAST(x AS DOUBLE)) AS v "
+            f"FROM (SELECT id, v FROM {train} ORDER BY id LIMIT {k}))"
+        ),
+    ]
+    prev = f"{prefix}c0"
+    for it in range(1, iters + 1):
+        sq = _sqdist_sql("e.v", "c.v", dim)
+        ctes.append(
+            f"{prefix}a{it} AS (SELECT id, c FROM ("
+            f"SELECT e.id, c.c, row_number() OVER ("
+            f"PARTITION BY e.id ORDER BY {sq} ASC, c.c ASC) AS rn "
+            f"FROM {train} e, {prev} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"{prefix}m{it} AS (SELECT a.c, [{mean_elems}] AS v "
+            f"FROM {prefix}a{it} a JOIN {train} e ON e.id = a.id GROUP BY a.c)"
+        )
+        ctes.append(
+            f"{prefix}c{it} AS (SELECT p.c, COALESCE(m.v, p.v) AS v "
+            f"FROM {prev} p LEFT JOIN {prefix}m{it} m ON m.c = p.c)"
+        )
+        prev = f"{prefix}c{it}"
+    return ctes, prev
+
+
 def kmeans_lloyd_sql(
     table: str,
     id_col: str,
@@ -165,38 +215,12 @@ def kmeans_lloyd_sql(
     iteration an assignment CTE (same fold order, same (distance,
     index) tie-break) and a centroid CTE (same decimal(27,10) sums,
     same single division, same rounding), empty clusters coalescing to
-    the previous centroid list."""
-    mean_elems = ", ".join(
-        f"round(CAST(sum(CAST(e.v[{i + 1}] AS DECIMAL(27,10))) AS DOUBLE)"
-        f" / count(*), {round_digits})"
-        for i in range(dim)
-    )
+    the previous centroid list. The chain itself is
+    :func:`kmeans_ctes` (shared with the PQ oracle)."""
+    chain, prev = kmeans_ctes("pts", dim, k, iters, round_digits)
     ctes = [
-        f"pts AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})",
-        (
-            "c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, "
-            "list_transform(v, x -> CAST(x AS DOUBLE)) AS v "
-            f"FROM (SELECT id, v FROM pts ORDER BY id LIMIT {k}))"
-        ),
-    ]
-    prev = "c0"
-    for it in range(1, iters + 1):
-        sq = _sqdist_sql("e.v", "c.v", dim)
-        ctes.append(
-            f"a{it} AS (SELECT id, c FROM ("
-            f"SELECT e.id, c.c, row_number() OVER ("
-            f"PARTITION BY e.id ORDER BY {sq} ASC, c.c ASC) AS rn "
-            f"FROM pts e, {prev} c) WHERE rn = 1)"
-        )
-        ctes.append(
-            f"m{it} AS (SELECT a.c, [{mean_elems}] AS v "
-            f"FROM a{it} a JOIN pts e ON e.id = a.id GROUP BY a.c)"
-        )
-        ctes.append(
-            f"c{it} AS (SELECT p.c, COALESCE(m.v, p.v) AS v "
-            f"FROM {prev} p LEFT JOIN m{it} m ON m.c = p.c)"
-        )
-        prev = f"c{it}"
+        f"pts AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})"
+    ] + chain
     final_sq = _sqdist_sql("e.v", "c.v", dim)
     return (
         "WITH "
@@ -211,4 +235,9 @@ SELECT id AS {out_id}, c AS cluster FROM (
     )
 
 
-__all__ = ["kmeans_assign_expr", "kmeans_lloyd", "kmeans_lloyd_sql"]
+__all__ = [
+    "kmeans_assign_expr",
+    "kmeans_ctes",
+    "kmeans_lloyd",
+    "kmeans_lloyd_sql",
+]

@@ -2727,6 +2727,65 @@ def _sql_ngram_novelty() -> str:
 SQL_NGRAM_NOVELTY = _sql_ngram_novelty()
 
 
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-rule quality audit
+    (operators/rules.quality_rules_report): removal rate of each of
+    six integer-predicate filters (word-count bounds, mean word
+    length, symbol/digit ratios via cross-multiplied integer compares,
+    stopword signal) plus the any-rule row — the threshold-tuning view
+    next to quality_score's single scalar. One map-side scan, one
+    single-row combine."""
+    from ml_hadoop_experiment_spark.operators.rules import (
+        quality_rules_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_rules_report(docs, "text")
+
+
+def _sql_quality_rules() -> str:
+    from ml_hadoop_experiment_spark.operators.rules import (
+        quality_rules_report_sql,
+    )
+
+    return quality_rules_report_sql("documents", "text")
+
+
+SQL_QUALITY_RULES = _sql_quality_rules()
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.pq_topk): 4 sub-space
+    codebooks of 8 centroids each (64-dim float32 -> 4 codes, 64x
+    compression), trained by the deterministic Lloyd on a 50%
+    portable-hash sample — the FAISS sample-training posture,
+    driver-gated — then top-20 neighbors of vec_id=0 by asymmetric
+    distance (per-subspace table lookup). The oracle replays the
+    ENTIRE pipeline: sample, per-subspace Lloyd chains, codes, ADC
+    tables, final (score, id) order."""
+    from ml_hadoop_experiment_spark.operators.pq import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, "vec_id", "embedding", dim=64, query_id=0, k=20,
+        n_subspaces=4, codebook_k=8, iters=2,
+        train_fraction=0.5, seed=3,
+    )
+
+
+def _sql_pq_topk() -> str:
+    from ml_hadoop_experiment_spark.operators.pq import pq_topk_sql
+
+    return pq_topk_sql(
+        "embeddings", "vec_id", "embedding", dim=64, query_id=0, k=20,
+        n_subspaces=4, codebook_k=8, iters=2,
+        train_fraction=0.5, seed=3,
+    )
+
+
+SQL_PQ_TOPK = _sql_pq_topk()
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus dedup: keep documents whose text does NOT already
     appear in the 'existing corpus' (stand-in: doc_id < 100) — the
@@ -4885,14 +4944,16 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # Rotation history: r06 window = the 39 changed-since-green queries (the
 # verdict's 12, the r5 shared-module edits the fingerprint sweep surfaced,
 # and the r6 prefix/dedup/stats consumers) + 11 oldest unchanged r04-green.
-# r09 window = 14 tier-0 queries (the nine round-8-staged promotions:
+# r09 window = 16 tier-0 queries (the nine round-8-staged promotions:
 # unigram/bigram_xent, jaccard_join, pmi_bigrams, source_overlap,
 # cms_audit, neyman_sample, jl_project, topk_similar_pairs; plus the
-# five round-9 additions: simhash_index, group_split, split_leakage,
-# hll_audit, ngram_novelty) + the ten queries whose operator modules
-# the round-9 edits touch (corpus / curation / quantize importers) +
-# 26 oldest-green unchanged backfill (the 18 r04 rows and 8 oldest r05
-# rows). See PARITY.md "Correctness rotation".
+# seven round-9 additions: simhash_index, group_split, split_leakage,
+# hll_audit, ngram_novelty, quality_rules, pq_topk) + the 11 queries
+# whose operator modules the round-9 edits touch (corpus / curation /
+# quantize importers + kmeans_clusters after the clustering.py
+# kmeans_ctes extraction) + 23 oldest-green unchanged backfill (the 18
+# r04 rows and 5 oldest r05 rows). See PARITY.md "Correctness
+# rotation".
 QUERIES = {
     # --- driver window (first 50) ---
     # tier 0: new queries with no driver row yet — the nine round-8-
@@ -4906,6 +4967,12 @@ QUERIES = {
     "split_leakage": q_split_leakage,
     "hll_audit": q_hll_audit,
     "ngram_novelty": q_ngram_novelty,
+    "quality_rules": q_quality_rules,
+    "pq_topk": q_pq_topk,
+    # tier 1a: kmeans_clusters rejoins the window — clustering.py was
+    # refactored this round (kmeans_ctes extraction for the PQ oracle;
+    # generated SQL verified byte-identical)
+    "kmeans_clusters": q_kmeans_clusters,
     "unigram_xent": q_unigram_xent,
     "jaccard_join": q_jaccard_join,
     "pmi_bigrams": q_pmi_bigrams,
@@ -4955,9 +5022,9 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "embedding_near_dup": q_embedding_near_dup,
     "event_pivot": q_event_pivot,
-    "events_asof": q_events_asof,
     # --- outside the driver window: unchanged, driver-green, and
     #     re-gated locally every round by tests/test_oracle_parity.py
+    "events_asof": q_events_asof,
     "events_asof_fwd": q_events_asof_fwd,
     "events_rollup": q_events_rollup,
     "frame_sample": q_frame_sample,
@@ -5015,7 +5082,6 @@ QUERIES = {
     "fuzzy_match": q_fuzzy_match,
     "global_rank": q_global_rank,
     "impute_median": q_impute_median,
-    "kmeans_clusters": q_kmeans_clusters,
     "llm_pipeline": q_llm_pipeline,
     "minhash_signatures": q_minhash_signatures,
     "near_dup_incr": q_near_dup_incr,
@@ -5061,6 +5127,8 @@ ORACLE_SQL = {
     "split_leakage": SQL_SPLIT_LEAKAGE,
     "hll_audit": SQL_HLL_AUDIT,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "quality_rules": SQL_QUALITY_RULES,
+    "pq_topk": SQL_PQ_TOPK,
     "unigram_xent": SQL_UNIGRAM_XENT,
     "jaccard_join": SQL_JACCARD_JOIN,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
