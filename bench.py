@@ -321,6 +321,39 @@ def _bench_near_dup_incr_steady(spark) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
+_SIMHASH_INDEX_CACHE: dict = {}
+
+
+def _bench_simhash_incr_steady(spark) -> None:
+    """Amortized form of simhash_incr: the corpus fingerprint+block
+    frame is built ONCE (first call of the sweep, via
+    operators/simhash_index.build_simhash_index) and every timed pass
+    filters the new batch against the pinned index — the per-crawl-
+    batch cost after amortizing the corpus scan. Pair with the
+    declared simhash_incr entry (which re-fingerprints the corpus per
+    call) for the A/B; SCALE.md "simhash_incr steady-state index A/B"
+    has the isolated numbers."""
+    from pyspark.sql import functions as F
+
+    from ml_hadoop_experiment_spark.operators.simhash_index import (
+        build_simhash_index,
+        simhash_against_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    index = _SIMHASH_INDEX_CACHE.get("index")
+    if index is None:
+        corpus = docs.where(F.col("doc_id") % 10 != 0)
+        index = build_simhash_index(
+            corpus, "doc_id", "text", bits=32, max_hamming=3
+        )
+        _SIMHASH_INDEX_CACHE["index"] = index
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    simhash_against_index(new, index, "doc_id", "text").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
 def _bench_trimmed_stats_approx(spark) -> None:
     """trimmed_stats production path: approx_percentile fences — the
     exact-vs-approx pairing of the declared trimmed_stats query."""
@@ -341,6 +374,7 @@ EXTRA_BENCHES = {
     "outlier_stats_approx": _bench_outlier_stats_approx,
     "trimmed_stats_approx": _bench_trimmed_stats_approx,
     "near_dup_incr_steady": _bench_near_dup_incr_steady,
+    "simhash_incr_steady": _bench_simhash_incr_steady,
 }
 
 
