@@ -17,6 +17,7 @@ import statistics
 import sys
 import time
 
+from ml_hadoop_experiment_spark.common.cache_registry import release_pinned
 from ml_hadoop_experiment_spark.common.session import get_session
 from ml_hadoop_experiment_spark.plans.prefix import release_prefix_caches
 from ml_hadoop_experiment_spark.queries import QUERIES
@@ -345,7 +346,8 @@ def _bench_simhash_incr_steady(spark) -> None:
     if index is None:
         corpus = docs.where(F.col("doc_id") % 10 != 0)
         index = build_simhash_index(
-            corpus, "doc_id", "text", bits=32, max_hamming=3
+            corpus, "doc_id", "text", bits=32, max_hamming=3,
+            register=False,  # this pin amortizes ACROSS sweep entries
         )
         _SIMHASH_INDEX_CACHE["index"] = index
     new = docs.where(F.col("doc_id") % 10 == 0)
@@ -399,9 +401,11 @@ def main() -> None:
             if name in QUERIES:
                 QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 release_prefix_caches()
+                release_pinned()
         for fn in EXTRA_BENCHES.values():
             fn(spark)
             release_prefix_caches()
+            release_pinned()
 
     from ml_hadoop_experiment_spark.operators.dedup import LAST_CC_STATS
 
@@ -425,6 +429,7 @@ def main() -> None:
             # reclaim prefix-sum pinned caches between queries (untimed:
             # steady-state production runs one query, not a 90-query sweep)
             release_prefix_caches()
+            release_pinned()
         for name, fn in EXTRA_BENCHES.items():
             t0 = time.perf_counter()
             fn(spark)
@@ -432,6 +437,7 @@ def main() -> None:
             per_query[name] = min(per_query.get(name, float("inf")), dt)
             total += dt
             release_prefix_caches()
+            release_pinned()
         totals.append(total)
 
     # Sum of per-query minimums: robust to host-level CPU-steal spikes that

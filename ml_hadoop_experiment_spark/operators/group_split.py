@@ -32,8 +32,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from .dedup import dedup_clusters
 from .sampling import assign_split
+
+
+def _checked_bigint(col: Column, what: str) -> Column:
+    """``col`` cast to bigint, with an EXECUTION-TIME assertion that no
+    non-null value was lost in the cast. Without this, a string/UUID id
+    column would cast to all-NULL join keys, the audit's inner joins
+    would drop every pair, and the empty result would read as "no
+    leakage" — a false all-clear from a leak detector. ``assert_true``
+    rides inside the key expression so column pruning cannot drop it.
+    ``try_cast`` normalizes ANSI and legacy modes: under ANSI the plain
+    cast would throw its own NumberFormatException mid-stage, under
+    legacy it would silently NULL — this way both surface the same
+    explicit audit error."""
+    cast = col.try_cast("bigint")
+    chk = F.assert_true(
+        col.isNull() | cast.isNotNull(),
+        F.lit(
+            f"{what} is not castable to bigint: the leakage audit would"
+            " silently join on NULL keys and report zero leaks"
+        ),
+    )
+    # branches must DIFFER or SimplifyConditionals folds the CASE away
+    # and the assertion with it; the otherwise-branch is unreachable
+    # (assert_true either returns NULL or raises)
+    return F.when(chk.isNull(), cast).otherwise(F.lit(None).cast("bigint"))
 
 
 def leakage_safe_split(
@@ -73,15 +100,15 @@ def split_leakage_audit(
     leak census that motivates switching. Two id-keyed joins; the
     output is bounded by |splits|^2."""
     s = split_df.select(
-        F.col(id_col).cast("bigint").alias("__id"),
+        _checked_bigint(F.col(id_col), f"split_df.{id_col}").alias("__id"),
         F.col(split_col).alias("__sp"),
     )
     a = s.select(F.col("__id").alias("id_a"), F.col("__sp").alias("sp_a"))
     b = s.select(F.col("__id").alias("id_b"), F.col("__sp").alias("sp_b"))
     return (
         pairs.select(
-            F.col("id_a").cast("bigint").alias("id_a"),
-            F.col("id_b").cast("bigint").alias("id_b"),
+            _checked_bigint(F.col("id_a"), "pairs.id_a").alias("id_a"),
+            _checked_bigint(F.col("id_b"), "pairs.id_b").alias("id_b"),
         )
         .join(a, "id_a")
         .join(b, "id_b")

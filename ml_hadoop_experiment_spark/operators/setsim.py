@@ -267,6 +267,13 @@ def topk_similar_pairs(
     Fewer than k probe rows → unpersist and rerun at ``floor`` — the
     only case that pays for both passes. ``None`` (or a probe at or
     below ``floor``) disables the probe.
+
+    NOTE the probe makes this call EAGER: deciding between the two
+    plans requires running the probe join at construction time (plan
+    composition that must stay lazy should pass ``probe_floor=None``),
+    and the returned frame's k-row pin is registered with
+    ``common.cache_registry`` so sweep drivers reclaim it between
+    queries.
     """
     if k < 1:
         raise ValueError(f"k must be positive, got {k}")
@@ -279,6 +286,8 @@ def topk_similar_pairs(
     if probe_floor is not None and probe_floor > floor:
         from pyspark import StorageLevel
 
+        from ..common.cache_registry import register_pinned
+
         probe = jaccard_join(
             df, id_col, text_col, threshold=probe_floor,
             shingle_size=shingle_size, max_posting_width=max_posting_width,
@@ -289,6 +298,7 @@ def topk_similar_pairs(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         if topk.count() >= k:
+            register_pinned(topk)
             return topk
         topk.unpersist()
     pairs = jaccard_join(

@@ -58,6 +58,7 @@ def build_simhash_index(
     max_hamming: int = 2,
     storage_level: Optional["StorageLevel"] = None,  # noqa: F821
     eager: bool = True,
+    register: bool = True,
 ) -> SimHashCorpusIndex:
     """Precompute and pin the corpus block frame ``simhash_against``
     derives per call: one ``bits``-wide fingerprint scan over the
@@ -68,21 +69,35 @@ def build_simhash_index(
     batch's job doesn't pay the corpus fingerprint scan. The block
     construction is dedup.py's own ``_simhash_block_frame`` — shared
     code, so index blocking can never drift from the per-call path's.
+
+    ``register=True`` (default) tracks the pin with
+    ``common.cache_registry`` so sweep drivers reclaim it between
+    queries; a steady-state caller that holds the index across many
+    batches (the bench's amortized entry, a long-lived service) passes
+    ``register=False`` and owns the :meth:`~SimHashCorpusIndex.unpersist`.
     """
     from pyspark import StorageLevel
+
+    from ..common.cache_registry import register_pinned
 
     fp_corp = corpus_df.select(
         F.col(id_col).alias("id"),
         simhash(F.col(text_col), bits).alias("fp"),
     )
     blocks = _simhash_block_frame(fp_corp, bits, max_hamming)
-    # _simhash_block_frame auto-persists big inputs at its own level;
-    # only pin here when it didn't (re-persisting at a different level
-    # would raise).
-    if not blocks.storageLevel.useMemory and not blocks.storageLevel.useDisk:
-        blocks = blocks.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    level = storage_level or StorageLevel.MEMORY_AND_DISK
+    current = blocks.storageLevel
+    if not current.useMemory and not current.useDisk:
+        blocks = blocks.persist(level)
+    elif storage_level is not None and current != storage_level:
+        # _simhash_block_frame auto-persisted at its own level; honor
+        # the caller's explicit request instead of silently ignoring it
+        blocks.unpersist()
+        blocks = blocks.persist(level)
     if eager:
         blocks.count()
+    if register:
+        register_pinned(blocks)
     return SimHashCorpusIndex(blocks, bits, max_hamming)
 
 

@@ -4996,7 +4996,7 @@ QUERIES = {
     "token_budget": q_token_budget,
     "quantized_topk": q_quantized_topk,
     # tier 2: oldest-green unchanged backfill (18 last-green r04 +
-    # 13 oldest last-green r05)
+    # 5 oldest last-green r05)
     "big_orders": q_big_orders,
     "bootstrap_metrics": q_bootstrap_metrics,
     "cohort_retention": q_cohort_retention,
@@ -5020,10 +5020,11 @@ QUERIES = {
     "anti_join": q_anti_join,
     "audio_meta": q_audio_meta,
     "embedding_centroids": q_embedding_centroids,
+    # --- outside the driver window (position 51+): unchanged,
+    #     driver-green, and re-gated locally every round by
+    #     tests/test_oracle_parity.py
     "embedding_near_dup": q_embedding_near_dup,
     "event_pivot": q_event_pivot,
-    # --- outside the driver window: unchanged, driver-green, and
-    #     re-gated locally every round by tests/test_oracle_parity.py
     "events_asof": q_events_asof,
     "events_asof_fwd": q_events_asof_fwd,
     "events_rollup": q_events_rollup,

@@ -84,6 +84,26 @@ class TestLeakageSafeSplit:
             map(tuple, again.collect())
         )
 
+    def test_non_castable_ids_fail_loudly_not_silently_clean(self, spark):
+        """String/UUID ids must raise at execution, not cast to NULL
+        join keys and report zero leaks — a false all-clear is the
+        worst failure mode for a leak detector."""
+        import pytest as _pytest
+        from py4j.protocol import Py4JJavaError
+
+        from ml_hadoop_experiment_spark.operators.group_split import (
+            split_leakage_audit,
+        )
+
+        split_df = spark.createDataFrame(
+            [("doc-a", "train"), ("doc-b", "test")], "id string, split string"
+        )
+        pairs = spark.createDataFrame(
+            [("doc-a", "doc-b")], "id_a string, id_b string"
+        )
+        with _pytest.raises((Py4JJavaError, Exception), match="castable"):
+            split_leakage_audit(split_df, pairs, "id", "split").collect()
+
     def test_singletons_split_independently(self, spark):
         """With an empty pair frame every doc is its own cluster and
         the operator degrades to the plain portable row split on the

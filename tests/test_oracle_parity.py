@@ -14,6 +14,7 @@ import duckdb
 import pandas as pd
 import pytest
 
+from ml_hadoop_experiment_spark.common.cache_registry import release_pinned
 from ml_hadoop_experiment_spark.plans.prefix import release_prefix_caches
 from ml_hadoop_experiment_spark.queries import (
     NO_ORACLE,
@@ -87,6 +88,7 @@ def test_query_matches_oracle(spark, duck, name):
     # prefix-sum queries pin one persisted copy of their ranged input;
     # the sweep reclaims it between queries (the result is materialized).
     release_prefix_caches()
+    release_pinned()
     _assert_frames_match(name, spark_pdf, duck_pdf)
 
 
