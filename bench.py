@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "quality_rules",
     "pq_topk",
+    "streaming_distinct",
 ]
 
 

@@ -27,6 +27,8 @@ Reference parity: criteo/ml-hadoop-experiment has no sketch surface
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -104,6 +106,37 @@ def hll_register_rows(
     )
 
 
+def estimate_from_register_rows(
+    regs: DataFrame, p: int, key_cols: Sequence[str] = ()
+) -> DataFrame:
+    """The estimator half of the sketch, separated so ANY producer of
+    ``(*key_cols, register, M)`` rows — the batch scan below, or the
+    streaming state operator in ``streaming/sketches.py`` — finishes
+    through the identical arithmetic: exact BIGINT harmonic sum,
+    one double division, the linear-counting correction branch, one
+    round. Returns ``(*key_cols, n_est)`` (one global row when
+    ``key_cols`` is empty)."""
+    _check_p(p)
+    m = 1 << p
+    term = F.expr(f"shiftleft(cast(1 as bigint), {RHO_CAP} - M)")
+    aggs = [
+        F.coalesce(F.sum(term), F.lit(0).cast("bigint")).alias("__s"),
+        F.count(F.lit(1)).alias("__occupied"),
+    ]
+    agg = regs.groupBy(*key_cols).agg(*aggs) if key_cols else regs.agg(*aggs)
+    zeros = F.lit(m) - F.col("__occupied")
+    s_total = (
+        F.col("__s")
+        + zeros.cast("bigint") * F.lit(1 << RHO_CAP).cast("bigint")
+    ).cast("double")
+    raw = F.lit(_alpha(m) * m * m * float(1 << RHO_CAP)) / s_total
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*key_cols, F.round(est, 4).alias("n_est"))
+
+
 def hll_estimate(df: DataFrame, value_col: Column, p: int = 8) -> DataFrame:
     """One-row ``(n_est,)`` HLL cardinality estimate of the distinct
     non-null values of ``value_col``.
@@ -116,25 +149,9 @@ def hll_estimate(df: DataFrame, value_col: Column, p: int = 8) -> DataFrame:
     doubles. Collect shape: the final agg reduces the <= m register
     rows to ONE row.
     """
-    _check_p(p)
-    m = 1 << p
-    regs = hll_register_rows(df, value_col, p)
-    term = F.expr(f"shiftleft(cast(1 as bigint), {RHO_CAP} - M)")
-    agg = regs.agg(
-        F.coalesce(F.sum(term), F.lit(0).cast("bigint")).alias("__s"),
-        F.count(F.lit(1)).alias("__occupied"),
+    return estimate_from_register_rows(
+        hll_register_rows(df, value_col, p), p
     )
-    zeros = F.lit(m) - F.col("__occupied")
-    s_total = (
-        F.col("__s")
-        + zeros.cast("bigint") * F.lit(1 << RHO_CAP).cast("bigint")
-    ).cast("double")
-    raw = F.lit(_alpha(m) * m * m * float(1 << RHO_CAP)) / s_total
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
-    ).otherwise(raw)
-    return agg.select(F.round(est, 4).alias("n_est"))
 
 
 def hll_audit(df: DataFrame, value_col: Column, p: int = 8) -> DataFrame:
@@ -222,4 +239,71 @@ SELECT ex.n_exact, est.n_est,
          AS rel_err
 FROM (SELECT count(DISTINCT {value_expr}) AS n_exact FROM {relation}) ex,
      est
+"""
+
+
+def hll_keyed_estimate_sql(
+    relation: str,
+    key_expr: str,
+    value_expr: str,
+    p: int = 8,
+    out_key: str = "key",
+) -> str:
+    """DuckDB twin of ``estimate_from_register_rows`` over per-key
+    register rows built from ``relation`` — the batch oracle for the
+    streaming HLL (``streaming/sketches.py``): same nibble decoding,
+    same exact-integer harmonic sum and correction branch, per key."""
+    _check_p(p)
+    m = 1 << p
+    alpha = _alpha(m)
+    nib = p // 4
+    digest = f"md5(CAST({value_expr} AS VARCHAR))"
+    reg_terms = " + ".join(
+        f"{_nibble_val_sql(f'substring(d, {i + 1}, 1)')} * {16 ** (nib - 1 - i)}"
+        for i in range(nib)
+    )
+    rest = f"substring(d, {nib + 1}, {32 - nib})"
+    scale = f"(CAST(1 AS BIGINT) << {RHO_CAP})"
+    num = (
+        f"(CAST({alpha!r} AS DOUBLE) * {m} * {m}"
+        f" * CAST({float(1 << RHO_CAP)!r} AS DOUBLE))"
+    )
+    raw = f"({num} / CAST(s + ({m} - occupied) * {scale} AS DOUBLE))"
+    return f"""
+WITH vals AS (
+  SELECT {key_expr} AS k, {digest} AS d
+  FROM {relation} WHERE {value_expr} IS NOT NULL
+),
+parsed AS (
+  SELECT k, ({reg_terms}) AS register,
+         length(regexp_extract({rest}, '^(0*)', 1)) AS zn,
+         substring({rest} || 'f',
+                   length(regexp_extract({rest}, '^(0*)', 1)) + 1, 1) AS c
+  FROM vals
+),
+rhos AS (
+  SELECT k, register,
+         least(zn * 4 + (CASE
+             WHEN {_nibble_val_sql('c')} >= 8 THEN 0
+             WHEN {_nibble_val_sql('c')} >= 4 THEN 1
+             WHEN {_nibble_val_sql('c')} >= 2 THEN 2
+             ELSE 3 END) + 1, {RHO_CAP}) AS rho
+  FROM parsed
+),
+regs AS (SELECT k, register, max(rho) AS M FROM rhos GROUP BY k, register),
+agg AS (
+  SELECT k,
+         coalesce(sum(CAST(1 AS BIGINT) << ({RHO_CAP} - M)), 0) AS s,
+         count(*) AS occupied
+  FROM regs GROUP BY k
+)
+SELECT k AS {out_key},
+       round(
+         CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE)
+               AND ({m} - occupied) > 0
+              THEN CAST({m} AS DOUBLE)
+                   * ln(CAST({m} AS DOUBLE) / CAST({m} - occupied AS DOUBLE))
+              ELSE {raw}
+         END, 4) AS n_est
+FROM agg
 """

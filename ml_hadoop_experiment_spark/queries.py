@@ -2186,6 +2186,66 @@ SELECT doc_id FROM documents
 """
 
 
+def q_streaming_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count sketch
+    (streaming/sketches.stateful_hll_distinct): distinct users per
+    event type with HLL registers as the per-key state (m=256 ints per
+    key FOREVER, vs exact-distinct state that grows with cardinality),
+    drained availableNow. The emitted (key, register, M) rows are
+    max-merged and finished through the SAME estimator expression as
+    the batch sketch, so the streaming result equals a batch replay —
+    and the DuckDB oracle replays that batch estimator over events,
+    making a stateful streaming sketch fully oracle-checkable."""
+    import uuid
+
+    from ml_hadoop_experiment_spark.operators.hll import (
+        estimate_from_register_rows,
+    )
+    from ml_hadoop_experiment_spark.streaming.sketches import (
+        stateful_hll_distinct,
+    )
+
+    wire_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(wire_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_type", "user_id")
+    )
+    out = stateful_hll_distinct(stream, ["event_type"], "user_id", p=8)
+    sink = f"streaming_distinct_{uuid.uuid4().hex}"
+    with _drained_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    regs = (
+        spark.table(sink)
+        .groupBy("event_type", "register")
+        .agg(F.max("M").alias("M"))
+    )
+    return estimate_from_register_rows(regs, 8, ["event_type"]).select(
+        "event_type", "n_est"
+    )
+
+
+def _sql_streaming_distinct() -> str:
+    from ml_hadoop_experiment_spark.operators.hll import (
+        hll_keyed_estimate_sql,
+    )
+
+    return hll_keyed_estimate_sql(
+        "events", "event_type", "user_id", p=8, out_key="event_type"
+    )
+
+
+SQL_STREAMING_DISTINCT = _sql_streaming_distinct()
+
+
 
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment (streaming/joins.stream_static_enrich):
@@ -4944,15 +5004,16 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # Rotation history: r06 window = the 39 changed-since-green queries (the
 # verdict's 12, the r5 shared-module edits the fingerprint sweep surfaced,
 # and the r6 prefix/dedup/stats consumers) + 11 oldest unchanged r04-green.
-# r09 window = 16 tier-0 queries (the nine round-8-staged promotions:
+# r09 window = 17 tier-0 queries (the nine round-8-staged promotions:
 # unigram/bigram_xent, jaccard_join, pmi_bigrams, source_overlap,
 # cms_audit, neyman_sample, jl_project, topk_similar_pairs; plus the
 # seven round-9 additions: simhash_index, group_split, split_leakage,
-# hll_audit, ngram_novelty, quality_rules, pq_topk) + the 11 queries
+# hll_audit, ngram_novelty, quality_rules, pq_topk,
+# streaming_distinct) + the 11 queries
 # whose operator modules the round-9 edits touch (corpus / curation /
 # quantize importers + kmeans_clusters after the clustering.py
-# kmeans_ctes extraction) + 23 oldest-green unchanged backfill (the 18
-# r04 rows and 5 oldest r05 rows). See PARITY.md "Correctness
+# kmeans_ctes extraction) + 22 oldest-green unchanged backfill (the 18
+# r04 rows and 4 oldest r05 rows). See PARITY.md "Correctness
 # rotation".
 QUERIES = {
     # --- driver window (first 50) ---
@@ -4969,6 +5030,7 @@ QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "quality_rules": q_quality_rules,
     "pq_topk": q_pq_topk,
+    "streaming_distinct": q_streaming_distinct,
     # tier 1a: kmeans_clusters rejoins the window — clustering.py was
     # refactored this round (kmeans_ctes extraction for the PQ oracle;
     # generated SQL verified byte-identical)
@@ -5019,10 +5081,10 @@ QUERIES = {
     "ann_topk_batch": q_ann_topk_batch,
     "anti_join": q_anti_join,
     "audio_meta": q_audio_meta,
-    "embedding_centroids": q_embedding_centroids,
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py
+    "embedding_centroids": q_embedding_centroids,
     "embedding_near_dup": q_embedding_near_dup,
     "event_pivot": q_event_pivot,
     "events_asof": q_events_asof,
@@ -5130,6 +5192,7 @@ ORACLE_SQL = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "quality_rules": SQL_QUALITY_RULES,
     "pq_topk": SQL_PQ_TOPK,
+    "streaming_distinct": SQL_STREAMING_DISTINCT,
     "unigram_xent": SQL_UNIGRAM_XENT,
     "jaccard_join": SQL_JACCARD_JOIN,
     "pmi_bigrams": SQL_PMI_BIGRAMS,

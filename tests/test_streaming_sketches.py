@@ -1,0 +1,141 @@
+"""Streaming HLL: the Python register fold must equal the batch
+expression's registers exactly, multi-batch max-merge must equal the
+one-shot stream, and the finished estimate must equal the batch path."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _drain(out, spark):
+    sink = f"t_{uuid.uuid4().hex}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+def _final_registers(sunk):
+    return {
+        (r["event_type"], r["register"]): r["M"]
+        for r in sunk.groupBy("event_type", "register")
+        .agg(F.max("M").alias("M"))
+        .collect()
+    }
+
+
+class TestStreamingHllDistinct:
+    def test_python_fold_matches_batch_expression_registers(self, spark):
+        from ml_hadoop_experiment_spark.operators.hll import hll_register_rows
+        from ml_hadoop_experiment_spark.streaming.sketches import (
+            register_and_rho,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        batch = {
+            (r["register"], r["M"])
+            for r in hll_register_rows(ev, F.col("user_id"), 8).collect()
+        }
+        regs: dict = {}
+        for r in ev.select("user_id").collect():
+            j, rho = register_and_rho(str(int(r["user_id"])), 8)
+            regs[j] = max(regs.get(j, 0), rho)
+        assert batch == set(regs.items())
+
+    def test_stream_equals_batch_estimate(self, spark):
+        from ml_hadoop_experiment_spark.operators.hll import (
+            estimate_from_register_rows,
+            hll_register_rows,
+        )
+        from ml_hadoop_experiment_spark.streaming.sketches import (
+            stateful_hll_distinct,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        wire_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(wire_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select("event_type", "user_id")
+        )
+        sunk = _drain(
+            stateful_hll_distinct(stream, ["event_type"], "user_id", 8), spark
+        )
+        regs = sunk.groupBy("event_type", "register").agg(
+            F.max("M").alias("M")
+        )
+        streamed = {
+            r["event_type"]: r["n_est"]
+            for r in estimate_from_register_rows(
+                regs, 8, ["event_type"]
+            ).collect()
+        }
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        want = {}
+        for row in ev.select("event_type").distinct().collect():
+            et = row["event_type"]
+            sub = ev.where(F.col("event_type") == et)
+            est = estimate_from_register_rows(
+                hll_register_rows(sub, F.col("user_id"), 8), 8
+            ).collect()[0]["n_est"]
+            want[et] = est
+        assert streamed == want
+
+    def test_multi_batch_max_merge_equals_single_batch(self, spark, tmp_path):
+        """Three parquet files fed one per micro-batch must yield the
+        same final registers as the whole table in one batch — the
+        mergeability the state fold relies on."""
+        from ml_hadoop_experiment_spark.streaming.sketches import (
+            stateful_hll_distinct,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        d = str(tmp_path / "ev")
+        os.makedirs(d, exist_ok=True)
+        for i in range(3):
+            ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+        schema = ev.schema
+        results = {}
+        for files_per_trigger in (1, 1000):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", files_per_trigger)
+                .parquet(d)
+                .select("event_type", "user_id")
+            )
+            sunk = _drain(
+                stateful_hll_distinct(stream, ["event_type"], "user_id", 8),
+                spark,
+            )
+            if files_per_trigger == 1:
+                # one file per micro-batch: keys emit once per batch
+                n_batches = sunk.select("event_type").groupBy(
+                    "event_type"
+                ).count()
+            results[files_per_trigger] = _final_registers(sunk)
+        assert results[1] == results[1000]
+
+    def test_null_values_ignored(self, spark):
+        from ml_hadoop_experiment_spark.streaming.sketches import (
+            register_and_rho,
+        )
+        from ml_hadoop_experiment_spark.operators.hll import _check_p
+
+        with pytest.raises(ValueError):
+            _check_p(10)
+        # deterministic replica: same value, same (register, rho)
+        assert register_and_rho("42", 8) == register_and_rho("42", 8)
