@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "quality_rules",
     "pq_topk",
     "streaming_distinct",
+    "oov_rate",
 ]
 
 

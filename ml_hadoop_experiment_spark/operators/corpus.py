@@ -738,3 +738,94 @@ JOIN lcnt ON lcnt.w1 = tf.w1
 JOIN ucnt ON ucnt.w = tf.w2, utot
 GROUP BY tf.id
 """
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Tokenizer vocabulary-coverage audit: one row
+    ``(vocab_size, n_vocab, n_instances, n_oov, oov_rate)`` — the
+    fraction of token INSTANCES not covered by the top-``vocab_size``
+    tokens (by corpus frequency, ties broken by token text). The
+    go/no-go check before freezing a vocabulary (A1's
+    ``vocabulary_dataframe`` builds it, ``tokens_to_ids`` applies it):
+    the OOV rate is what the vocab size buys, and a corpus change shows
+    up here before it shows up as UNK-flooded training data.
+
+    Determinism: the vocabulary is a total order (count DESC, token
+    ASC), coverage is pure integer arithmetic, and the single float is
+    the final rate division + round. ``n_vocab = min(vocab_size,
+    distinct tokens)`` rides along so an undersized corpus is visible
+    rather than silently reading as 0.0 OOV.
+
+    Plan: one explode + map-combined token counts; the rank window
+    runs on the COUNTS frame — vocabulary-sized by construction, the
+    same bounded-frame argument as ``vocabulary_dataframe`` — and one
+    single-row combine ends it. The corpus-sized stream never shuffles
+    anything but (token, partial count) pairs. Same lowercased
+    whitespace tokenization as the rest of the corpus-statistics
+    family (unigram_xent, bpe_pairs).
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    toks = df.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "__tok"
+        )
+    )
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    ranked = counts.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("__c"), F.asc("__tok"))
+        ),
+    )
+    in_vocab = F.col("__rk") <= vocab_size
+    return ranked.agg(
+        F.lit(vocab_size).cast("long").alias("vocab_size"),
+        F.sum(in_vocab.cast("long")).alias("n_vocab"),
+        F.sum("__c").alias("n_instances"),
+        F.sum(F.when(~in_vocab, F.col("__c")).otherwise(F.lit(0))).alias(
+            "n_oov"
+        ),
+        F.round(
+            F.sum(
+                F.when(~in_vocab, F.col("__c")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("__c"),
+            round_digits,
+        ).alias("oov_rate"),
+    )
+
+
+def oov_rate_sql(
+    relation: str,
+    text_expr: str,
+    vocab_size: int,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`oov_rate` (same tokenization, same total
+    vocabulary order, same integer coverage arithmetic and final
+    round)."""
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower({text_expr})), '\\s+')) AS tok
+  FROM {relation}
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk FROM counts
+)
+SELECT CAST({vocab_size} AS BIGINT) AS vocab_size,
+       CAST(sum(CASE WHEN rk <= {vocab_size} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_vocab,
+       CAST(sum(c) AS BIGINT) AS n_instances,
+       CAST(sum(CASE WHEN rk > {vocab_size} THEN c ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(CAST(sum(CASE WHEN rk > {vocab_size} THEN c ELSE 0 END)
+                  AS DOUBLE) / sum(c), {round_digits}) AS oov_rate
+FROM ranked
+"""

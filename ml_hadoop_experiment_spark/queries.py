@@ -4722,6 +4722,28 @@ def _sql_bpe_pairs() -> str:
 SQL_BPE_PAIRS = _sql_bpe_pairs()
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit (operators/corpus.oov_rate): the OOV
+    instance rate of a frozen top-10 vocabulary over the documents
+    corpus — what a vocab size buys, checked before freezing (the
+    missing gauge between vocab_build, which builds the vocabulary,
+    and tokens_to_ids, which applies it). The rank window runs on the
+    vocabulary-sized counts frame, never the token stream."""
+    from ml_hadoop_experiment_spark.operators.corpus import oov_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    return oov_rate(docs, "text", vocab_size=10)
+
+
+def _sql_oov_rate() -> str:
+    from ml_hadoop_experiment_spark.operators.corpus import oov_rate_sql
+
+    return oov_rate_sql("documents", "text", vocab_size=10)
+
+
+SQL_OOV_RATE = _sql_oov_rate()
+
+
 def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document unigram cross-entropy under the corpus's own token
     distribution (operators/corpus.unigram_xent) — CCNet-style LM
@@ -5004,16 +5026,16 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # Rotation history: r06 window = the 39 changed-since-green queries (the
 # verdict's 12, the r5 shared-module edits the fingerprint sweep surfaced,
 # and the r6 prefix/dedup/stats consumers) + 11 oldest unchanged r04-green.
-# r09 window = 17 tier-0 queries (the nine round-8-staged promotions:
+# r09 window = 18 tier-0 queries (the nine round-8-staged promotions:
 # unigram/bigram_xent, jaccard_join, pmi_bigrams, source_overlap,
 # cms_audit, neyman_sample, jl_project, topk_similar_pairs; plus the
 # seven round-9 additions: simhash_index, group_split, split_leakage,
 # hll_audit, ngram_novelty, quality_rules, pq_topk,
-# streaming_distinct) + the 11 queries
+# streaming_distinct, oov_rate) + the 11 queries
 # whose operator modules the round-9 edits touch (corpus / curation /
 # quantize importers + kmeans_clusters after the clustering.py
-# kmeans_ctes extraction) + 22 oldest-green unchanged backfill (the 18
-# r04 rows and 4 oldest r05 rows). See PARITY.md "Correctness
+# kmeans_ctes extraction) + 21 oldest-green unchanged backfill (the 18
+# r04 rows and 3 oldest r05 rows). See PARITY.md "Correctness
 # rotation".
 QUERIES = {
     # --- driver window (first 50) ---
@@ -5031,6 +5053,7 @@ QUERIES = {
     "quality_rules": q_quality_rules,
     "pq_topk": q_pq_topk,
     "streaming_distinct": q_streaming_distinct,
+    "oov_rate": q_oov_rate,
     # tier 1a: kmeans_clusters rejoins the window — clustering.py was
     # refactored this round (kmeans_ctes extraction for the PQ oracle;
     # generated SQL verified byte-identical)
@@ -5080,10 +5103,10 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_topk_batch": q_ann_topk_batch,
     "anti_join": q_anti_join,
-    "audio_meta": q_audio_meta,
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py
+    "audio_meta": q_audio_meta,
     "embedding_centroids": q_embedding_centroids,
     "embedding_near_dup": q_embedding_near_dup,
     "event_pivot": q_event_pivot,
@@ -5193,6 +5216,7 @@ ORACLE_SQL = {
     "quality_rules": SQL_QUALITY_RULES,
     "pq_topk": SQL_PQ_TOPK,
     "streaming_distinct": SQL_STREAMING_DISTINCT,
+    "oov_rate": SQL_OOV_RATE,
     "unigram_xent": SQL_UNIGRAM_XENT,
     "jaccard_join": SQL_JACCARD_JOIN,
     "pmi_bigrams": SQL_PMI_BIGRAMS,

@@ -374,3 +374,57 @@ class TestBigramXent:
         df = spark.createDataFrame(rows, "doc_id bigint, text string")
         out = bigram_xent(df, "doc_id", "text").collect()
         assert [r["id"] for r in out] == [3]
+
+
+class TestOovRate:
+    def test_hand_computed_coverage(self, spark):
+        from ml_hadoop_experiment_spark.operators.corpus import oov_rate
+
+        df = spark.createDataFrame([(1, "a a a b b c")], "id bigint, text string")
+        # vocab 2 = {a, b}; oov instances = the one "c"
+        assert tuple(oov_rate(df, "text", 2).collect()[0]) == (
+            2, 2, 6, 1, 0.166667,
+        )
+
+    def test_tie_break_is_token_order(self, spark):
+        from ml_hadoop_experiment_spark.operators.corpus import oov_rate
+
+        # b and c tie at 2; vocab 2 = {a, b} (count desc, token asc)
+        df = spark.createDataFrame([(1, "a a a b b c c")], "id bigint, text string")
+        row = oov_rate(df, "text", 2).collect()[0]
+        assert (row["n_oov"], row["oov_rate"]) == (2, 0.285714)
+
+    def test_undersized_corpus_visible_not_silent(self, spark):
+        from ml_hadoop_experiment_spark.operators.corpus import oov_rate
+
+        df = spark.createDataFrame([(1, "a b c")], "id bigint, text string")
+        row = oov_rate(df, "text", 100).collect()[0]
+        assert (row["vocab_size"], row["n_vocab"], row["oov_rate"]) == (100, 3, 0.0)
+
+    def test_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.corpus import (
+            oov_rate,
+            oov_rate_sql,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        s = tuple(oov_rate(docs, "text", 10).collect()[0])
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        d = con.execute(oov_rate_sql("documents", "text", 10)).fetchone()
+        con.close()
+        assert s == d
+
+    def test_rejects_nonpositive_vocab(self, spark):
+        import pytest as _pytest
+
+        from ml_hadoop_experiment_spark.operators.corpus import oov_rate
+
+        df = spark.createDataFrame([(1, "a")], "id bigint, text string")
+        with _pytest.raises(ValueError, match="vocab_size"):
+            oov_rate(df, "text", 0)
