@@ -54,7 +54,12 @@ def _counts(col: Column) -> dict[str, Column]:
         "n_chars": F.length(col),
         "word_chars": word_chars(col),
         "n_digits": F.length(F.regexp_replace(col, "[^0-9]", "")),
-        "n_symbols": F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", "")),
+        # whitespace spelled explicitly: Java's \s includes \x0B, RE2's
+        # (DuckDB oracle) does not — one shared character set or the two
+        # engines disagree on text containing a vertical tab
+        "n_symbols": F.length(
+            F.regexp_replace(col, r"[A-Za-z0-9 \t\n\x0B\f\r]", "")
+        ),
         "n_stop": stopword_count(col),
     }
 
@@ -130,7 +135,11 @@ def _flags_sql(expr: str) -> dict[str, str]:
     nw = token_count_sql(expr)
     wc = word_chars_sql(expr)
     nd = f"length(regexp_replace({expr}, '[^0-9]', '', 'g'))"
-    ns = f"length(regexp_replace({expr}, '[A-Za-z0-9\\s]', '', 'g'))"
+    # same explicit whitespace set as quality_rule_flags (Java \s vs RE2 \s)
+    ns = (
+        f"length(regexp_replace({expr},"
+        " '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))"
+    )
     st = stopword_count_sql(expr)
     flags = {
         "too_few_words": f"{nw} < {MIN_WORDS}",

@@ -236,7 +236,7 @@ def topk_similar_pairs(
     floor: float = 0.2,
     shingle_size: int = 3,
     max_posting_width: int | None = None,
-    probe_floor: Optional[float] = 0.7,
+    probe_floor: Optional[float] = None,
 ) -> DataFrame:
     """The ``k`` MOST similar pairs above ``floor``:
     ``(id_a, id_b, jaccard)`` under the total order
@@ -265,15 +265,16 @@ def topk_similar_pairs(
     are pinned (k-row cache, never corpus-sized) so the decision
     ``count()`` and the caller's collection share one computation.
     Fewer than k probe rows → unpersist and rerun at ``floor`` — the
-    only case that pays for both passes. ``None`` (or a probe at or
-    below ``floor``) disables the probe.
-
-    NOTE the probe makes this call EAGER: deciding between the two
-    plans requires running the probe join at construction time (plan
-    composition that must stay lazy should pass ``probe_floor=None``),
-    and the returned frame's k-row pin is registered with
+    only case that pays for both passes. The default is ``None``
+    (probe OFF): the probe makes this call EAGER — deciding between
+    the two plans runs the probe join and a ``count()`` at
+    construction time and pins a k-row frame (registered with
     ``common.cache_registry`` so sweep drivers reclaim it between
-    queries.
+    queries) — and a public constructor that is lazy by default must
+    stay lazy by default. Callers that want the measured 2-2.5x win
+    (SCALE.md round 9) opt in with ``probe_floor=0.7`` (or any probe
+    above ``floor``), as the declared ``topk_similar_pairs`` query and
+    bench do. A probe at or below ``floor`` is a no-op.
     """
     if k < 1:
         raise ValueError(f"k must be positive, got {k}")

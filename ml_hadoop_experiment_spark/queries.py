@@ -4996,7 +4996,11 @@ def q_topk_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ml_hadoop_experiment_spark.operators.setsim import topk_similar_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return topk_similar_pairs(docs, "doc_id", "text", k=50, floor=0.3)
+    # probe_floor opts in to the eager adaptive-floor probe (the measured
+    # 2-2.5x win, SCALE.md round 9); the operator's default stays lazy.
+    return topk_similar_pairs(
+        docs, "doc_id", "text", k=50, floor=0.3, probe_floor=0.7
+    )
 
 
 # brute force + the same total order; DuckDB's ORDER BY ... LIMIT
@@ -5029,7 +5033,7 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # r09 window = 18 tier-0 queries (the nine round-8-staged promotions:
 # unigram/bigram_xent, jaccard_join, pmi_bigrams, source_overlap,
 # cms_audit, neyman_sample, jl_project, topk_similar_pairs; plus the
-# seven round-9 additions: simhash_index, group_split, split_leakage,
+# nine round-9 additions: simhash_index, group_split, split_leakage,
 # hll_audit, ngram_novelty, quality_rules, pq_topk,
 # streaming_distinct, oov_rate) + the 11 queries
 # whose operator modules the round-9 edits touch (corpus / curation /

@@ -73,15 +73,37 @@ def stateful_hll_distinct(
     in which the key appears — the streaming sibling of
     ``operators.hll.hll_register_rows``, with the register array as
     the per-key state. Values must stringify like Spark's
-    ``CAST(value AS STRING)`` (ints and strings do; pass a
-    pre-formatted string column otherwise). NULL values are ignored,
-    matching the batch operator.
+    ``CAST(value AS STRING)``: only string and integral value columns
+    are accepted (checked against the STREAM SCHEMA at construction —
+    float/bool/decimal would render differently here than Spark's cast,
+    e.g. ``1.5`` -> ``"1"``, ``true`` -> ``"1"``, and silently diverge
+    from the batch operator and its DuckDB oracle; cast to string
+    upstream instead). NULL values are ignored, matching the batch
+    operator.
 
     Finish with ``max(M)`` per (key, register) over the drained sink,
     then ``operators.hll.estimate_from_register_rows`` — see
     ``queries.q_streaming_distinct``.
     """
     _check_p(p)
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    vt = stream_df.schema[value_col].dataType
+    if not isinstance(
+        vt, (StringType, ByteType, ShortType, IntegerType, LongType)
+    ):
+        raise TypeError(
+            f"stateful_hll_distinct: value column {value_col!r} must be "
+            f"string or integral, got {vt.simpleString()}; float/bool/"
+            "decimal stringify differently here than Spark's "
+            "CAST(value AS STRING) — cast to string upstream instead"
+        )
     m = 1 << p
     key_fields = {f.name: f for f in stream_df.schema.fields}
     out_schema = StructType([key_fields[c] for c in key_cols])
@@ -98,7 +120,9 @@ def stateful_hll_distinct(
             for v in pdf[value_col]:
                 if v is None or (isinstance(v, float) and pd.isna(v)):
                     continue
-                s = str(int(v)) if not isinstance(v, str) else v
+                # schema guard above admits only string/integral columns;
+                # int() undoes Arrow's nullable-int -> float64 widening
+                s = v if isinstance(v, str) else str(int(v))
                 reg, rho = register_and_rho(s, p)
                 if rho > regs[reg]:
                     regs[reg] = rho

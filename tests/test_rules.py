@@ -83,3 +83,34 @@ class TestQualityRules:
         )
         con.close()
         assert s == d
+
+    def test_vertical_tab_agrees_across_engines(self, spark):
+        """Java's \\s includes \\x0B, RE2's does not — the explicit
+        whitespace class must make both engines count the SAME symbols
+        for text containing a vertical tab."""
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.rules import (
+            quality_rules_report,
+            quality_rules_report_sql,
+        )
+
+        rows = [
+            (1, "plain text\x0bwith a vertical tab the of and ###"),
+            (2, "$$$\x0b$$$ \x0b symbols around tabs the of"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        s = sorted(map(tuple, quality_rules_report(docs, "text").collect()))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+        d = sorted(
+            map(
+                tuple,
+                con.execute(
+                    quality_rules_report_sql("docs", "text")
+                ).fetchall(),
+            )
+        )
+        con.close()
+        assert s == d

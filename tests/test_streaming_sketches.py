@@ -139,3 +139,32 @@ class TestStreamingHllDistinct:
             _check_p(10)
         # deterministic replica: same value, same (register, rho)
         assert register_and_rho("42", 8) == register_and_rho("42", 8)
+
+    def test_non_integral_value_column_rejected_at_construction(self, spark):
+        """Float/bool/decimal values would stringify differently here
+        than Spark's CAST(value AS STRING) (1.5 -> "1", true -> "1") —
+        the guard fails FAST at construction instead of silently
+        building a divergent sketch."""
+        from ml_hadoop_experiment_spark.streaming.sketches import (
+            stateful_hll_distinct,
+        )
+
+        base = spark.createDataFrame(
+            [("a", 1.5), ("a", 2.0)], "event_type string, value double"
+        )
+        with pytest.raises(TypeError, match="must be string or integral"):
+            stateful_hll_distinct(base, ["event_type"], "value", p=8)
+        with pytest.raises(TypeError, match="must be string or integral"):
+            stateful_hll_distinct(
+                base.withColumn("value", F.col("value") > 1.7),
+                ["event_type"],
+                "value",
+                p=8,
+            )
+        # string and integral columns pass the guard (construction only)
+        stateful_hll_distinct(
+            base.withColumn("value", F.col("value").cast("string")),
+            ["event_type"],
+            "value",
+            p=8,
+        )
