@@ -1,0 +1,379 @@
+"""Steady-state product-quantization index + the IVF+PQ composition.
+
+:func:`~.pq.pq_topk` retrains codebooks and re-encodes the corpus on
+every call — the right shape for a one-shot driver-gated query, the
+wrong amortization for production ANN, where PQ is train-ONCE /
+encode-ONCE / probe-MANY (Jégou et al., TPAMI 2011; the FAISS
+posture). This module is the third instance of the repo's steady-state
+index pattern (``dedup.NearDupCorpusIndex`` round 7,
+``simhash_index.SimHashCorpusIndex`` round 9): pay the trainer and the
+corpus encode once per corpus rotation, pin the skinny ``(id, code)``
+frame, and serve every query with pure ADC table lookups.
+
+It also composes the two halves the engine already has into the actual
+FAISS billion-scale recipe, IVF routing x PQ codes
+(:func:`ivf_pq_topk`): frozen-centroid IVF list assignment
+(`similarity.ivf_assign_fixed` semantics) prunes the corpus to
+``nprobe`` lists, and PQ asymmetric distance scores ONLY those
+candidates — table lookups instead of exact 64-dim folds. Codes here
+quantize the raw vectors, not the residuals (FAISS
+``by_residual=False``): residual encoding needs per-list codebook
+arithmetic that would put a second Lloyd chain per list into the
+oracle; the no-residual variant is the documented, oracle-replayable
+member of the family.
+
+This lives in its own module deliberately: it composes pq.py /
+clustering.py / similarity.py public helpers WITHOUT touching them, so
+the declared queries whose import closure is those files keep their
+verified fingerprints.
+
+Scale shape: build cost is the sample-bounded trainer plus ONE encode
+scan; the pinned index is ``n_subspaces`` ints per vector (64-dim
+float32 -> 4 bytes at the default geometry, 64x). Probes are map-only
+scans of the pinned frame — zero shuffle, TakeOrderedAndProject top-k,
+driver traffic bounded by ``n_subspaces x codebook_k`` table floats.
+With IVF routing the probe scan touches ~nprobe/num_centroids of the
+codes (partition pruning when the index is written partitioned by
+``list_id``).
+
+Reference parity: criteo/ml-hadoop-experiment has no ANN surface
+(SURVEY.md §2) — north-star extension for embedding pipelines.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_unit_hash_sql
+from .clustering import _sqdist_sql, kmeans_assign_expr, kmeans_ctes
+from .pq import _adc_table, _check_geometry, pq_code_expr, pq_train
+from .similarity import ivf_probes_fixed
+
+
+class PQIndex:
+    """Pinned ``(id, code array<int>)`` PQ codes of a corpus — plus
+    ``(id, list_id, code)`` when built with IVF routing centroids —
+    and the trained codebooks that decode them. The codebooks travel
+    with the index: scoring against codes produced by OTHER codebooks
+    is silently meaningless, so the pairing is structural.
+
+    Build with :func:`build_pq_index`; probe with
+    :func:`pq_topk_against_index`; :meth:`unpersist` when the corpus
+    rotates.
+    """
+
+    def __init__(
+        self,
+        codes: DataFrame,
+        codebooks: List[List[List[float]]],
+        dim: int,
+        round_digits: int,
+        centroids: Optional[Sequence[Sequence[float]]] = None,
+    ):
+        self.codes = codes
+        self.codebooks = codebooks
+        self.dim = dim
+        self.round_digits = round_digits
+        self.centroids = centroids
+
+    @property
+    def n_subspaces(self) -> int:
+        return len(self.codebooks)
+
+    def unpersist(self) -> None:
+        self.codes.unpersist()
+
+
+def build_pq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_subspaces: int = 4,
+    codebook_k: int = 16,
+    iters: int = 2,
+    train_fraction: float = 1.0,
+    seed: int = 0,
+    round_digits: int = 6,
+    centroids: Optional[Sequence[Sequence[float]]] = None,
+    storage_level: Optional["StorageLevel"] = None,  # noqa: F821
+    eager: bool = True,
+    register: bool = True,
+) -> PQIndex:
+    """Train codebooks once (:func:`~.pq.pq_train` — deterministic
+    per-subspace Lloyd on the portable-hash sample) and encode the
+    corpus once (:func:`~.pq.pq_code_expr`, one map-only scan), pinning
+    the result at MEMORY_AND_DISK (spill-safe: the code frame is
+    ``n_subspaces`` ints per vector, landing on local disk at 100 TB
+    rather than OOM). With ``centroids`` the frame also carries the
+    frozen-IVF ``list_id`` (same argmin expression as
+    ``similarity.ivf_assign_fixed``), enabling routed probes.
+
+    ``eager`` materializes the pin here so the first probe doesn't pay
+    the encode scan; ``register=True`` tracks the pin with
+    ``common.cache_registry`` so sweep drivers reclaim it between
+    queries — a long-lived service passes ``register=False`` and owns
+    :meth:`PQIndex.unpersist` (the ``build_simhash_index`` contract).
+    """
+    from pyspark import StorageLevel
+
+    from ..common.cache_registry import register_pinned
+
+    _check_geometry(dim, n_subspaces)
+    codebooks = pq_train(
+        df, id_col, vec_col, dim, n_subspaces, codebook_k, iters,
+        train_fraction, seed, round_digits,
+    )
+    cols = [
+        F.col(id_col).alias("id"),
+        pq_code_expr(F.col(vec_col), codebooks).alias("code"),
+    ]
+    if centroids is not None:
+        cols.insert(
+            1, kmeans_assign_expr(F.col(vec_col), centroids).alias("list_id")
+        )
+    codes = df.select(*cols).persist(
+        storage_level or StorageLevel.MEMORY_AND_DISK
+    )
+    if eager:
+        codes.count()
+    if register:
+        register_pinned(codes)
+    return PQIndex(codes, codebooks, dim, round_digits, centroids)
+
+
+def _adc_score_expr(index: PQIndex, query: Sequence[float]) -> "Column":  # noqa: F821
+    """Asymmetric-distance column over the index's ``code`` array:
+    sum over subspaces of ``element_at(adc_table_s, code[s] + 1)`` —
+    the SAME literal tables (:func:`~.pq._adc_table`, IEEE doubles) and
+    the same ascending-subspace addition order as ``pq.pq_topk``, so
+    the probe scores are bit-identical to the from-scratch path."""
+    sub_dim = index.dim // index.n_subspaces
+    score = None
+    for s in range(index.n_subspaces):
+        adc = _adc_table(query, index.codebooks[s], s * sub_dim)
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in adc]),
+            F.element_at(F.col("code"), s + 1) + F.lit(1),
+        )
+        score = term if score is None else score + term
+    return score
+
+
+def pq_topk_against_index(
+    index: PQIndex,
+    query: Sequence[float],
+    k: int = 10,
+    exclude_id: Optional[int] = None,
+    nprobe: Optional[int] = None,
+) -> DataFrame:
+    """Top-``k`` neighbors of ``query`` out of the pinned index:
+    ``(id, score)``, PQ asymmetric distance ascending, ties to the
+    smaller id — the steady-state sibling of :func:`~.pq.pq_topk`
+    (pytest-gated equivalence in tests/test_pq_index.py). Per-probe
+    cost is ``n_subspaces`` table LOOKUPS per code row (no argmin —
+    that was paid at encode time) over one map-only scan of the pinned
+    frame. ``nprobe`` (index built with centroids only) routes the
+    scan to the lists nearest the query first — the IVF+PQ serving
+    path."""
+    query = [float(x) for x in query]
+    if len(query) != index.dim:
+        raise ValueError(
+            f"query vector has {len(query)} dims, expected {index.dim}"
+        )
+    base = index.codes
+    if nprobe is not None:
+        if index.centroids is None:
+            raise ValueError(
+                "nprobe routing requires an index built with centroids"
+            )
+        probes = ivf_probes_fixed(index.centroids, query, nprobe)
+        base = base.where(F.col("list_id").isin(probes))
+    if exclude_id is not None:
+        base = base.where(F.col("id") != exclude_id)
+    return (
+        base.select(
+            "id",
+            F.round(_adc_score_expr(index, query), index.round_digits).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").asc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    n_subspaces: int = 4,
+    codebook_k: int = 16,
+    iters: int = 2,
+    train_fraction: float = 1.0,
+    seed: int = 0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """One-shot IVF+PQ: frozen-centroid routing x PQ ADC scoring —
+    ``(id, score)`` for the ``k`` nearest candidates inside the
+    ``nprobe`` lists closest to ``query_id``'s vector, asymmetric
+    distance ascending, ties to the smaller id, the query row itself
+    excluded. The from-scratch, fully oracle-replayable form of the
+    composition (:func:`ivf_pq_topk_sql`); the steady-state form is
+    :func:`build_pq_index` with ``centroids`` + routed
+    :func:`pq_topk_against_index`.
+
+    Plan shape: codebook training is sample-bounded (`pq.pq_train`),
+    then ONE map-only corpus scan computes (list argmin, code argmins,
+    ADC sum) fused — candidates outside the probed lists are cut by a
+    pushed filter before any scoring work, and TakeOrderedAndProject
+    cuts k with zero shuffle.
+    """
+    sub_dim = _check_geometry(dim, n_subspaces)
+    codebooks = pq_train(
+        df, id_col, vec_col, dim, n_subspaces, codebook_k, iters,
+        train_fraction, seed, round_digits,
+    )
+    qrow = (
+        df.where(F.col(id_col) == query_id).select(F.col(vec_col)).collect()
+    )
+    if len(qrow) != 1:
+        raise ValueError(
+            f"query_id {query_id}: expected 1 row, got {len(qrow)}"
+        )
+    query = [float(x) for x in qrow[0][0]]
+    if len(query) != dim:
+        raise ValueError(f"query vector has {len(query)} dims, expected {dim}")
+    probes = ivf_probes_fixed(centroids, query, nprobe)
+    score = None
+    for s in range(n_subspaces):
+        adc = _adc_table(query, codebooks[s], s * sub_dim)
+        code = kmeans_assign_expr(
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim), codebooks[s]
+        )
+        term = F.element_at(F.array(*[F.lit(d) for d in adc]), code + F.lit(1))
+        score = term if score is None else score + term
+    list_id = kmeans_assign_expr(F.col(vec_col), centroids)
+    return (
+        df.where(F.col(id_col) != query_id)
+        .where(list_id.isin(probes))
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(score, round_digits).alias("score"),
+        )
+        .orderBy(F.col("score").asc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def ivf_pq_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    dim: int,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    n_subspaces: int = 4,
+    codebook_k: int = 16,
+    iters: int = 2,
+    train_fraction: float = 1.0,
+    seed: int = 0,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_topk`: the frozen-centroid probe
+    and assignment CTEs (``similarity.ivf_fixed_sql``'s construction,
+    via the shared :func:`~.clustering._sqdist_sql` fold) feed a
+    candidate-id set; the PQ half replays ``pq.pq_topk_sql``'s chain —
+    portable-hash training sample, per-subspace
+    :func:`~.clustering.kmeans_ctes` Lloyd, codes, ADC tables — and
+    the final ranking keeps only candidates inside the probed lists.
+    Both parent oracles are driver-green (``ivf_topk``, ``pq_topk``);
+    this composes the same building blocks, same folds, same
+    tie-breaks."""
+    sub_dim = _check_geometry(dim, n_subspaces)
+    values = ",\n    ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in cent))
+        for i, cent in enumerate(centroids)
+    )
+    ctes = [
+        f"pts AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})",
+        f"cent AS (SELECT * FROM (VALUES\n    {values}\n  ) AS t(c, v))",
+        f"qfull AS (SELECT v AS qvec FROM pts WHERE id = {query_id})",
+        (
+            "probes AS (SELECT c FROM cent, qfull q ORDER BY "
+            + _sqdist_sql("q.qvec", "cent.v", dim)
+            + " ASC, c ASC LIMIT "
+            + str(nprobe)
+            + ")"
+        ),
+        (
+            "cand AS (SELECT id FROM ("
+            "SELECT p.id, cent.c, row_number() OVER (PARTITION BY p.id "
+            "ORDER BY " + _sqdist_sql("p.v", "cent.v", dim) + " ASC, cent.c "
+            "ASC) AS rn FROM pts p, cent) "
+            "WHERE rn = 1 AND c IN (SELECT c FROM probes))"
+        ),
+    ]
+    if train_fraction < 1.0:
+        u = portable_unit_hash_sql("id", salt=seed)
+        ctes.append(
+            f"train AS (SELECT id, v FROM pts WHERE {u} <"
+            f" CAST({train_fraction!r} AS DOUBLE))"
+        )
+        train_base = "train"
+    else:
+        train_base = "pts"
+    for s in range(n_subspaces):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        ctes.append(f"s{s}pts AS (SELECT id, v[{lo}:{hi}] AS v FROM pts)")
+        ctes.append(
+            f"s{s}train AS (SELECT id, v[{lo}:{hi}] AS v FROM {train_base})"
+        )
+        chain, final = kmeans_ctes(
+            f"s{s}pts", sub_dim, codebook_k, iters, round_digits,
+            prefix=f"s{s}", train_cte=f"s{s}train",
+        )
+        ctes.extend(chain)
+        sq = _sqdist_sql("q.v", "c.v", sub_dim)
+        ctes.append(
+            f"q{s} AS (SELECT v[{lo}:{hi}] AS v FROM pts"
+            f" WHERE id = {query_id})"
+        )
+        ctes.append(
+            f"adc{s} AS (SELECT c.c, {sq} AS d FROM {final} c, q{s} q)"
+        )
+        esq = _sqdist_sql("e.v", "c.v", sub_dim)
+        ctes.append(
+            f"code{s} AS (SELECT id, c FROM ("
+            f"SELECT e.id, c.c, row_number() OVER ("
+            f"PARTITION BY e.id ORDER BY {esq} ASC, c.c ASC) AS rn "
+            f"FROM s{s}pts e, {final} c) WHERE rn = 1)"
+        )
+    joins = "".join(
+        f" JOIN code{s} ON code{s}.id = code0.id"
+        f" JOIN adc{s} ON adc{s}.c = code{s}.c"
+        for s in range(1, n_subspaces)
+    )
+    score = " + ".join(f"adc{s}.d" for s in range(n_subspaces))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT code0.id AS id, round({score}, {round_digits}) AS score
+FROM code0 JOIN adc0 ON adc0.c = code0.c{joins}
+WHERE code0.id <> {query_id}
+  AND code0.id IN (SELECT id FROM cand)
+ORDER BY score ASC, id ASC
+LIMIT {k}
+"""
+    )

@@ -2846,6 +2846,75 @@ def _sql_pq_topk() -> str:
 SQL_PQ_TOPK = _sql_pq_topk()
 
 
+def q_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state PQ (operators/pq_index.build_pq_index +
+    pq_topk_against_index): train-once/encode-once — the codebooks and
+    the (id, code) frame are built and pinned ONCE, then the probe is
+    pure ADC table lookups over the pinned codes, no per-query Lloyd
+    and no per-query argmin. Same parameters and same result contract
+    as q_pq_topk (equivalence pytest-gated in tests/test_pq_index.py),
+    so the oracle IS SQL_PQ_TOPK — the simhash_index precedent. The
+    pin is registered with cache_registry for sweep reclaim."""
+    from ml_hadoop_experiment_spark.operators.pq_index import (
+        build_pq_index,
+        pq_topk_against_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    idx = build_pq_index(
+        emb, "vec_id", "embedding", dim=64, n_subspaces=4, codebook_k=8,
+        iters=2, train_fraction=0.5, seed=3,
+    )
+    return pq_topk_against_index(idx, query, k=20, exclude_id=0)
+
+
+SQL_PQ_INDEX_TOPK = SQL_PQ_TOPK
+
+
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN (operators/pq_index.ivf_pq_topk) — the
+    FAISS billion-scale recipe, no-residual variant: frozen-centroid
+    IVF routing (the q_ivf_topk fixture centroids) prunes the corpus
+    to the 4 of 8 lists nearest vec_id=0, then PQ asymmetric distance
+    (the q_pq_topk codebooks: 4 subspaces x 8 centroids, 50%
+    portable-hash training sample) scores ONLY those candidates by
+    table lookup. One map-only scan fuses list argmin + code argmins +
+    ADC sum; the oracle replays probe selection, assignment, the
+    per-subspace Lloyd chains, codes, ADC tables, and the final
+    (score, id) order."""
+    from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+        FROZEN_CENTROIDS_8X64,
+    )
+    from ml_hadoop_experiment_spark.operators.pq_index import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, FROZEN_CENTROIDS_8X64, "vec_id", "embedding", dim=64,
+        query_id=0, k=20, nprobe=4, n_subspaces=4, codebook_k=8,
+        iters=2, train_fraction=0.5, seed=3,
+    )
+
+
+def _sql_ivf_pq_topk() -> str:
+    from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+        FROZEN_CENTROIDS_8X64,
+    )
+    from ml_hadoop_experiment_spark.operators.pq_index import ivf_pq_topk_sql
+
+    return ivf_pq_topk_sql(
+        "embeddings", "vec_id", "embedding", FROZEN_CENTROIDS_8X64, dim=64,
+        query_id=0, k=20, nprobe=4, n_subspaces=4, codebook_k=8,
+        iters=2, train_fraction=0.5, seed=3,
+    )
+
+
+SQL_IVF_PQ_TOPK = _sql_ivf_pq_topk()
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus dedup: keep documents whose text does NOT already
     appear in the 'existing corpus' (stand-in: doc_id < 100) — the
@@ -5049,6 +5118,8 @@ QUERIES = {
     # corpus index), group_split / split_leakage (leakage-safe splits +
     # leak census), hll_audit (HyperLogLog est-vs-truth), ngram_novelty
     # (cross-corpus novelty score)
+    "pq_index_topk": q_pq_index_topk,
+    "ivf_pq_topk": q_ivf_pq_topk,
     "simhash_index": q_simhash_index,
     "group_split": q_group_split,
     "split_leakage": q_split_leakage,
@@ -5212,6 +5283,10 @@ ORACLE_SQL = {
     # the nine round-9 promotions + the simhash_index steady-state
     # query (identical result contract to simhash_incr, same oracle —
     # the near_dup_index precedent)
+    # pq_index_topk: identical result contract to pq_topk, same oracle
+    # (the simhash_index precedent — equivalence pytest-gated)
+    "pq_index_topk": SQL_PQ_INDEX_TOPK,
+    "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     "simhash_index": SQL_SIMHASH_INCR,
     "group_split": SQL_GROUP_SPLIT,
     "split_leakage": SQL_SPLIT_LEAKAGE,

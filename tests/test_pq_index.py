@@ -1,0 +1,207 @@
+"""Steady-state PQ index + IVF+PQ composition: index probes must equal
+the from-scratch pq_topk bit-for-bit, the routed steady-state path must
+equal the one-shot ivf_pq_topk, the composed DuckDB twin must match,
+and routing must actually prune."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+PQ_KW = dict(
+    dim=64, n_subspaces=4, codebook_k=8, iters=2,
+    train_fraction=0.5, seed=3,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+
+
+class TestPqIndex:
+    def test_index_probe_equals_from_scratch_pq_topk(self, spark, emb, qvec):
+        from ml_hadoop_experiment_spark.operators.pq import pq_topk
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            build_pq_index,
+            pq_topk_against_index,
+        )
+
+        scratch = [
+            tuple(r)
+            for r in pq_topk(
+                emb, "vec_id", "embedding", query_id=0, k=20, **PQ_KW
+            ).collect()
+        ]
+        idx = build_pq_index(
+            emb, "vec_id", "embedding", register=False, **PQ_KW
+        )
+        try:
+            probed = [
+                tuple(r)
+                for r in pq_topk_against_index(
+                    idx, qvec, k=20, exclude_id=0
+                ).collect()
+            ]
+        finally:
+            idx.unpersist()
+        assert probed == scratch
+
+    def test_codes_frame_shape_and_pin(self, spark, emb):
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            build_pq_index,
+        )
+
+        idx = build_pq_index(
+            emb, "vec_id", "embedding", register=False, **PQ_KW
+        )
+        try:
+            assert idx.codes.columns == ["id", "code"]
+            assert idx.codes.storageLevel.useMemory
+            n = idx.codes.count()
+            assert n == emb.count()
+            bad = idx.codes.where(
+                F.exists("code", lambda c: (c < 0) | (c >= 8))
+            ).count()
+            assert bad == 0
+        finally:
+            idx.unpersist()
+
+    def test_guards(self, spark, emb, qvec):
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            build_pq_index,
+            pq_topk_against_index,
+        )
+
+        idx = build_pq_index(
+            emb, "vec_id", "embedding", register=False, eager=False, **PQ_KW
+        )
+        try:
+            with pytest.raises(ValueError, match="dims"):
+                pq_topk_against_index(idx, qvec[:8], k=5)
+            with pytest.raises(ValueError, match="centroids"):
+                pq_topk_against_index(idx, qvec, k=5, nprobe=2)
+        finally:
+            idx.unpersist()
+
+
+class TestIvfPq:
+    def test_one_shot_matches_duckdb_twin(self, spark, emb, qvec):
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+            FROZEN_CENTROIDS_8X64,
+        )
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            ivf_pq_topk,
+            ivf_pq_topk_sql,
+        )
+
+        s = [
+            tuple(r)
+            for r in ivf_pq_topk(
+                emb, FROZEN_CENTROIDS_8X64, "vec_id", "embedding",
+                query_id=0, k=20, nprobe=4, **PQ_KW
+            ).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+            "'/root/testdata/sf0.001/embeddings.parquet')"
+        )
+        d = con.execute(
+            ivf_pq_topk_sql(
+                "embeddings", "vec_id", "embedding", FROZEN_CENTROIDS_8X64,
+                query_id=0, k=20, nprobe=4, **PQ_KW
+            )
+        ).fetchall()
+        con.close()
+        assert s == [tuple(r) for r in d]
+
+    def test_routed_index_equals_one_shot(self, spark, emb, qvec):
+        """Steady-state (build once with centroids, probe routed) must
+        return exactly the one-shot composition's rows."""
+        from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+            FROZEN_CENTROIDS_8X64,
+        )
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            build_pq_index,
+            ivf_pq_topk,
+            pq_topk_against_index,
+        )
+
+        one_shot = [
+            tuple(r)
+            for r in ivf_pq_topk(
+                emb, FROZEN_CENTROIDS_8X64, "vec_id", "embedding",
+                query_id=0, k=20, nprobe=4, **PQ_KW
+            ).collect()
+        ]
+        idx = build_pq_index(
+            emb, "vec_id", "embedding",
+            centroids=FROZEN_CENTROIDS_8X64, register=False, **PQ_KW
+        )
+        try:
+            assert idx.codes.columns == ["id", "list_id", "code"]
+            routed = [
+                tuple(r)
+                for r in pq_topk_against_index(
+                    idx, qvec, k=20, exclude_id=0, nprobe=4
+                ).collect()
+            ]
+        finally:
+            idx.unpersist()
+        assert routed == one_shot
+
+    def test_routing_prunes_and_full_probe_degrades_to_pq(
+        self, spark, emb, qvec
+    ):
+        """nprobe below the list count must score strictly fewer
+        candidates than the unrouted scan; nprobe = all lists must
+        equal plain PQ over the whole corpus."""
+        from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+            FROZEN_CENTROIDS_8X64,
+        )
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            build_pq_index,
+            pq_topk_against_index,
+        )
+
+        idx = build_pq_index(
+            emb, "vec_id", "embedding",
+            centroids=FROZEN_CENTROIDS_8X64, register=False, **PQ_KW
+        )
+        try:
+            probes = pq_topk_against_index
+            total = emb.count()
+            from ml_hadoop_experiment_spark.operators.similarity import (
+                ivf_probes_fixed,
+            )
+
+            routed_lists = ivf_probes_fixed(FROZEN_CENTROIDS_8X64, qvec, 2)
+            n_routed = idx.codes.where(
+                F.col("list_id").isin(routed_lists)
+            ).count()
+            assert 0 < n_routed < total
+            full = [
+                tuple(r)
+                for r in probes(
+                    idx, qvec, k=20, exclude_id=0,
+                    nprobe=len(FROZEN_CENTROIDS_8X64),
+                ).collect()
+            ]
+            unrouted = [
+                tuple(r)
+                for r in probes(idx, qvec, k=20, exclude_id=0).collect()
+            ]
+            assert full == unrouted
+        finally:
+            idx.unpersist()
