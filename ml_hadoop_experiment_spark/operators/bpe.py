@@ -1,0 +1,241 @@
+"""Iterative BPE merge training — the driver-gated N-merge loop.
+
+``corpus.bpe_pair_counts`` is ONE trainer iteration's statistic (the
+adjacent-pair frequencies the next merge is picked from). This module
+runs the actual loop (Sennrich et al., "Neural Machine Translation of
+Rare Words with Subword Units", ACL 2016 — public literature): N
+times, count adjacent symbol pairs over the weighted vocabulary, pick
+the most frequent pair under a TOTAL order (count desc, pair asc),
+merge it greedily left-to-right in every word, repeat. The result is
+the merge list and the fully segmented vocabulary — the
+tokenizer-training story end-to-end.
+
+Same execution shape as the oracle'd Lloyd loop
+(``clustering.kmeans_lloyd``): the corpus stream collapses ONCE to the
+distinct-word ``(word, count)`` table (the classic trainer
+optimization — at 100 TB that's millions of rows where the token
+stream is trillions, and it is the ONLY corpus-sized shuffle), the
+frame is pinned, and each iteration is one vocabulary-sized
+aggregation whose single-row argmax is the only thing the driver ever
+holds (N pairs total). Merging is a pure ``aggregate`` fold expression
+— no Python in the per-row path, no UDFs.
+
+The ENTIRE loop replays in DuckDB (:func:`bpe_learn_sql`): unrolled
+per-iteration CTE chains — pair counts, a 1-row ``best_i``, the same
+greedy left-to-right ``list_reduce`` fold — exactly the
+``kmeans_ctes`` precedent for data-dependent iterative state inside
+one SQL statement.
+
+This lives in its own module (not corpus.py) deliberately: it shares
+corpus.py's tokenization CONVENTION (split ``trim(lower(text))`` on
+``\\s+``, keep words of length >= 2) by construction, without touching
+corpus.py — so the eight declared queries whose import closure is
+corpus.py keep their verified fingerprints.
+
+Reference parity: criteo/ml-hadoop-experiment has no tokenizer surface
+(SURVEY.md §2) — north-star extension for LLM data pipelines.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: symbols never contain whitespace (words are split on \s+), so a
+#: single space joins a pair into one string both engines order and
+#: split identically
+PAIR_SEP = " "
+
+
+def _char_symbols(col_name: str) -> Column:
+    """``array<string>`` of single characters — the iteration-0 symbol
+    sequence. Spelled as a substring transform (not ``split(w, '')``)
+    so the Spark and DuckDB twins share one construction."""
+    return F.expr(
+        f"transform(sequence(1, length({col_name})),"
+        f" i -> substring({col_name}, i, 1))"
+    )
+
+
+def merge_pair_expr(syms: Column, left: str, right: str) -> Column:
+    """One BPE merge applied to a symbol array: greedy left-to-right,
+    non-overlapping — fold each symbol onto the output, replacing the
+    output's last element with ``left || right`` whenever (last ==
+    left, current == right). ``aaa`` under (a, a) becomes ``[aa, a]``,
+    the standard trainer behavior. Pure codegen fold, no UDF."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _pair_counts(vocab: DataFrame, syms_col: str) -> DataFrame:
+    """(pair, pair_count) over adjacent symbols, weighted by word
+    count — vocabulary-sized input, map-combined aggregation."""
+    # CASE guard: a fully merged word has size 1, and Spark's
+    # sequence(1, 0) would count DOWN ([1, 0]) where DuckDB's
+    # range(1, 1) is empty — both engines must yield zero pairs
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({syms_col}) < 2"
+                " THEN cast(array() as array<string>)"
+                f" ELSE transform(sequence(1, size({syms_col}) - 1),"
+                f" j -> concat({syms_col}[j - 1], '{PAIR_SEP}',"
+                f" {syms_col}[j])) END"
+            )
+        ).alias("pair"),
+        F.col("__c"),
+    )
+    return pairs.groupBy("pair").agg(F.sum("__c").alias("pair_count"))
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+) -> Tuple[DataFrame, List[Tuple[str, str, int]]]:
+    """Train ``n_merges`` BPE merges on the corpus; returns
+    ``(segmented_vocab, merges)`` where ``segmented_vocab`` is
+    ``(word, segmentation, word_count)`` — every distinct word with its
+    symbols after ALL merges, space-joined (the whole-vocabulary check
+    the driver gate hashes) — and ``merges`` is the ordered
+    ``[(left, right, pair_count)]`` list (all the state a tokenizer
+    needs to segment new text).
+
+    Tokenization is ``corpus.bpe_pair_counts``'s: split
+    ``trim(lower(text))`` on whitespace, keep words of length >= 2.
+    Raises when the vocabulary runs out of adjacent pairs before
+    ``n_merges`` (the SQL twin unrolls exactly ``n_merges``
+    iterations, so a short corpus must fail loudly, not diverge).
+
+    Scale: ONE corpus-sized shuffle (the distinct-word collapse, pinned
+    vocabulary-sized), then per merge one aggregation over the vocab
+    frame and one 1-row collect; each iteration's symbol column is
+    re-materialized into the pin so plans stay shallow (the Lloyd
+    pattern — no expression stacking across iterations).
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    from pyspark import StorageLevel
+
+    words = df.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("__w")
+    ).where(F.length("__w") >= 2)
+    vocab = (
+        words.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__s", _char_symbols("__w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    merges: List[Tuple[str, str, int]] = []
+    current = vocab
+    try:
+        for i in range(n_merges):
+            best = (
+                _pair_counts(current, "__s")
+                .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                raise ValueError(
+                    f"vocabulary exhausted after {i} merges"
+                    f" (requested {n_merges})"
+                )
+            left, right = best[0]["pair"].split(PAIR_SEP, 1)
+            merges.append((left, right, int(best[0]["pair_count"])))
+            nxt = current.withColumn(
+                "__s", merge_pair_expr(F.col("__s"), left, right)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()
+            current.unpersist()
+            current = nxt
+        out = current.select(
+            F.col("__w").alias("word"),
+            F.array_join("__s", PAIR_SEP).alias("segmentation"),
+            F.col("__c").alias("word_count"),
+        )
+        return out, merges
+    finally:
+        # the caller's frame still reads from `current`'s pin; register
+        # it so sweep drivers reclaim it between queries
+        from ..common.cache_registry import register_pinned
+
+        register_pinned(current)
+
+
+def _merge_fold_sql(syms_expr: str, left_expr: str, right_expr: str) -> str:
+    """DuckDB twin of :func:`merge_pair_expr`: same greedy
+    left-to-right fold. DuckDB's ``list_reduce`` keeps ONE element
+    type, so the VARCHAR symbols are boxed to single-element VARCHAR[]
+    (``x[1]`` unboxes) to share the accumulator's list type — the
+    list-typed analogue of the repo's 0.0-prepended double folds."""
+    return (
+        f"list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+        f"list_transform({syms_expr}, e -> [e])), "
+        f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = {left_expr} "
+        f"AND x[1] = {right_expr} "
+        f"THEN list_append(acc[1:len(acc) - 1], acc[-1] || x[1]) "
+        f"ELSE list_append(acc, x[1]) END)"
+    )
+
+
+def bpe_learn_sql(relation: str, text_expr: str, n_merges: int) -> str:
+    """DuckDB replay of :func:`bpe_learn`'s ENTIRE loop in one
+    statement: the distinct-word vocabulary, then per iteration a pair
+    aggregation, a 1-row ``best_i`` under the same (count desc, pair
+    asc) total order, and the same greedy merge fold correlated on
+    ``best_i`` — the ``kmeans_ctes`` pattern for data-dependent
+    iterative state. Final projection is the whole segmented
+    vocabulary."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    ctes = [
+        (
+            "w0 AS (SELECT unnest(regexp_split_to_array(trim(lower("
+            f"{text_expr})), '\\s+')) AS w FROM {relation})"
+        ),
+        (
+            "v0 AS (SELECT w, count(*) AS c, list_transform(range(1, "
+            "len(w) + 1), i -> substring(w, i, 1)) AS s "
+            "FROM w0 WHERE len(w) >= 2 GROUP BY w)"
+        ),
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"pc{i} AS (SELECT pair, sum(c) AS pair_count FROM ("
+            f"SELECT unnest(list_transform(range(1, len(s)), "
+            f"j -> s[j] || '{PAIR_SEP}' || s[j + 1])) AS pair, c "
+            f"FROM v{i}) GROUP BY pair)"
+        )
+        ctes.append(
+            f"best{i} AS (SELECT split_part(pair, '{PAIR_SEP}', 1) AS l, "
+            f"split_part(pair, '{PAIR_SEP}', 2) AS r FROM pc{i} "
+            f"ORDER BY pair_count DESC, pair ASC LIMIT 1)"
+        )
+        fold = _merge_fold_sql("v.s", "b.l", "b.r")
+        ctes.append(
+            f"v{i + 1} AS (SELECT v.w, v.c, {fold} AS s "
+            f"FROM v{i} v, best{i} b)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT w AS word, array_to_string(s, '{PAIR_SEP}') AS segmentation,
+       CAST(c AS BIGINT) AS word_count
+FROM v{n_merges}
+"""
+    )

@@ -4791,6 +4791,33 @@ def _sql_bpe_pairs() -> str:
 SQL_BPE_PAIRS = _sql_bpe_pairs()
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge training (operators/bpe.bpe_learn): FOUR
+    driver-gated merge rounds — pair statistics over the pinned
+    distinct-word vocabulary, argmax under the (count desc, pair asc)
+    total order, greedy left-to-right merge fold — returning the WHOLE
+    segmented vocabulary (word, segmentation, word_count), so the gate
+    hash checks every merge decision on every word. The oracle replays
+    the entire loop in one DuckDB statement of unrolled per-iteration
+    CTEs (the kmeans_ctes precedent for data-dependent iteration).
+    One corpus-sized shuffle total (the distinct-word collapse); each
+    merge is a vocabulary-sized aggregation + a 1-row collect."""
+    from ml_hadoop_experiment_spark.operators.bpe import bpe_learn
+
+    docs = _t(spark, sf_dir, "documents")
+    out, _merges = bpe_learn(docs, "text", n_merges=4)
+    return out
+
+
+def _sql_bpe_merges() -> str:
+    from ml_hadoop_experiment_spark.operators.bpe import bpe_learn_sql
+
+    return bpe_learn_sql("documents", "text", 4)
+
+
+SQL_BPE_MERGES = _sql_bpe_merges()
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage audit (operators/corpus.oov_rate): the OOV
     instance rate of a frozen top-10 vocabulary over the documents
@@ -5120,6 +5147,7 @@ QUERIES = {
     # (cross-corpus novelty score)
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
+    "bpe_merges": q_bpe_merges,
     "simhash_index": q_simhash_index,
     "group_split": q_group_split,
     "split_leakage": q_split_leakage,
@@ -5287,6 +5315,7 @@ ORACLE_SQL = {
     # (the simhash_index precedent — equivalence pytest-gated)
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
+    "bpe_merges": SQL_BPE_MERGES,
     "simhash_index": SQL_SIMHASH_INCR,
     "group_split": SQL_GROUP_SPLIT,
     "split_leakage": SQL_SPLIT_LEAKAGE,

@@ -1,0 +1,98 @@
+"""Iterative BPE trainer: greedy-merge fold goldens, hand-computed
+toy-corpus merges, guards, and whole-vocabulary equivalence with the
+DuckDB single-statement replay."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestMergeFold:
+    def test_greedy_left_to_right_non_overlapping(self, spark):
+        from ml_hadoop_experiment_spark.operators.bpe import merge_pair_expr
+
+        df = spark.createDataFrame(
+            [(["a", "a", "a"],), (["h", "e", "l", "l", "o"],)],
+            "s array<string>",
+        )
+        got = [
+            r["m"]
+            for r in df.select(
+                merge_pair_expr(F.col("s"), "a", "a").alias("m")
+            ).collect()
+        ]
+        assert got[0] == ["aa", "a"]  # leftmost-first, no overlap
+        assert got[1] == ["h", "e", "l", "l", "o"]
+        got2 = df.select(
+            merge_pair_expr(F.col("s"), "l", "l").alias("m")
+        ).collect()
+        assert got2[1]["m"] == ["h", "e", "ll", "o"]
+
+    def test_merged_symbol_does_not_rematch(self, spark):
+        """After merging (a, a) -> 'aa', the new last symbol 'aa' must
+        not re-trigger against a following 'a' (the non-overlap rule)."""
+        from ml_hadoop_experiment_spark.operators.bpe import merge_pair_expr
+
+        df = spark.createDataFrame([(["a"] * 5,)], "s array<string>")
+        got = df.select(
+            merge_pair_expr(F.col("s"), "a", "a").alias("m")
+        ).collect()[0]["m"]
+        assert got == ["aa", "aa", "a"]
+
+
+class TestBpeLearn:
+    def test_toy_corpus_merges_and_segmentation(self, spark):
+        from ml_hadoop_experiment_spark.operators.bpe import bpe_learn
+
+        docs = spark.createDataFrame(
+            [("low low low lower lowest",), ("new newer newest low",)],
+            "text string",
+        )
+        out, merges = bpe_learn(docs, "text", n_merges=3)
+        # merge 1: 'l o' and 'o w' tie at 6, pair asc -> ('l','o');
+        # merge 2: ('lo','w') at 6; merge 3: 'e w' and 'n e' tie at 3
+        # (the 'w e' pairs died inside 'low') -> ('e','w')
+        assert [(m[0], m[1]) for m in merges] == [
+            ("l", "o"), ("lo", "w"), ("e", "w"),
+        ]
+        seg = {r["word"]: r["segmentation"] for r in out.collect()}
+        assert seg["low"] == "low"
+        assert seg["lowest"] == "low e s t"
+        assert seg["newer"] == "n ew e r"
+        counts = {r["word"]: r["word_count"] for r in out.collect()}
+        assert counts["low"] == 4
+
+    def test_guards(self, spark):
+        from ml_hadoop_experiment_spark.operators.bpe import bpe_learn
+
+        docs = spark.createDataFrame([("ab ab",)], "text string")
+        with pytest.raises(ValueError, match="positive"):
+            bpe_learn(docs, "text", n_merges=0)
+        with pytest.raises(ValueError, match="exhausted after 1"):
+            # one merge ('a','b') empties every pair; merge 2 must fail
+            # loudly, not silently diverge from the unrolled SQL
+            bpe_learn(docs, "text", n_merges=2)
+
+    def test_matches_duckdb_full_loop(self, spark):
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.bpe import (
+            bpe_learn,
+            bpe_learn_sql,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out, merges = bpe_learn(docs, "text", n_merges=4)
+        s = sorted(map(tuple, out.collect()))
+        assert len(merges) == 4
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            "'/root/testdata/sf0.001/documents.parquet')"
+        )
+        d = sorted(map(tuple, con.execute(
+            bpe_learn_sql("documents", "text", 4)
+        ).fetchall()))
+        con.close()
+        assert s == d
