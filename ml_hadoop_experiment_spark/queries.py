@@ -2246,6 +2246,94 @@ def _sql_streaming_distinct() -> str:
 SQL_STREAMING_DISTINCT = _sql_streaming_distinct()
 
 
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters
+    (streaming/sketches.stateful_heavy_hitters): per-event-type
+    Misra-Gries candidate state folded over the stream (bounded at
+    `capacity` counters per key forever), drained availableNow; the
+    FINAL summary (max-seq emission per key — MG counters are not
+    monotone, so last wins, not max-merge) supplies the candidate set,
+    and the batch operator's exact-recount step finishes it: broadcast
+    the candidates against the stored events, count exactly, top-5
+    users per event type under the (count desc, user asc) total order.
+    At gate scale the per-key cardinality (150 at sf0.01, 1500 at
+    sf0.1) sits far under capacity=4096, so the MG bound certifies the
+    candidate superset and the result equals DuckDB's full exact
+    aggregation; the truncation path is pytest-gated
+    (tests/test_streaming_sketches.py)."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ml_hadoop_experiment_spark.streaming.sketches import (
+        stateful_heavy_hitters,
+    )
+
+    wire_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(wire_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_type", "user_id")
+    )
+    out = stateful_heavy_hitters(
+        stream, ["event_type"], "user_id", capacity=4096
+    )
+    sink = f"streaming_hh_{uuid.uuid4().hex}"
+    with _drained_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    sunk = spark.table(sink)
+    final = (
+        sunk.withColumn(
+            "__mx", F.max("seq").over(Window.partitionBy("event_type"))
+        )
+        .where(F.col("seq") == F.col("__mx"))
+        .select(F.col("event_type").alias("__et"), F.col("token"))
+    )
+    ev = _t(spark, sf_dir, "events")
+    counted = (
+        ev.join(
+            F.broadcast(final),
+            (ev["event_type"] == final["__et"])
+            & (ev["user_id"].cast("string") == final["token"]),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_occurrences").desc(), F.col("user_id").asc()
+    )
+    return (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 5)
+        .select("event_type", "user_id", "n_occurrences")
+    )
+
+
+SQL_STREAMING_HEAVY_HITTERS = """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n_occurrences
+  FROM events GROUP BY event_type, user_id
+),
+r AS (
+  SELECT event_type, user_id, n_occurrences,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY n_occurrences DESC, user_id ASC
+         ) AS rn
+  FROM c
+)
+SELECT event_type, user_id, n_occurrences FROM r WHERE rn <= 5
+"""
+
+
 
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment (streaming/joins.stream_static_enrich):
@@ -5148,6 +5236,7 @@ QUERIES = {
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "bpe_merges": q_bpe_merges,
+    "streaming_heavy_hitters": q_streaming_heavy_hitters,
     "simhash_index": q_simhash_index,
     "group_split": q_group_split,
     "split_leakage": q_split_leakage,
@@ -5316,6 +5405,7 @@ ORACLE_SQL = {
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     "bpe_merges": SQL_BPE_MERGES,
+    "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,
     "simhash_index": SQL_SIMHASH_INCR,
     "group_split": SQL_GROUP_SPLIT,
     "split_leakage": SQL_SPLIT_LEAKAGE,

@@ -61,6 +61,32 @@ def register_and_rho(value: str, p: int) -> Tuple[int, int]:
     return reg, min(zn * 4 + intra + 1, RHO_CAP)
 
 
+def _check_value_type(stream_df: DataFrame, value_col: str, op: str) -> None:
+    """Value columns must stringify like Spark's ``CAST(v AS STRING)``:
+    only string and integral types are admitted — float/bool/decimal
+    would render differently in the Python fold (``1.5`` -> ``"1"``,
+    ``true`` -> ``"1"``) and silently diverge from the batch operators
+    and their DuckDB oracles."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    vt = stream_df.schema[value_col].dataType
+    if not isinstance(
+        vt, (StringType, ByteType, ShortType, IntegerType, LongType)
+    ):
+        raise TypeError(
+            f"{op}: value column {value_col!r} must be string or integral,"
+            f" got {vt.simpleString()}; float/bool/decimal stringify"
+            " differently here than Spark's CAST(value AS STRING) — cast"
+            " to string upstream instead"
+        )
+
+
 def stateful_hll_distinct(
     stream_df: DataFrame,
     key_cols: Sequence[str],
@@ -86,24 +112,7 @@ def stateful_hll_distinct(
     ``queries.q_streaming_distinct``.
     """
     _check_p(p)
-    from pyspark.sql.types import (
-        ByteType,
-        IntegerType,
-        LongType,
-        ShortType,
-        StringType,
-    )
-
-    vt = stream_df.schema[value_col].dataType
-    if not isinstance(
-        vt, (StringType, ByteType, ShortType, IntegerType, LongType)
-    ):
-        raise TypeError(
-            f"stateful_hll_distinct: value column {value_col!r} must be "
-            f"string or integral, got {vt.simpleString()}; float/bool/"
-            "decimal stringify differently here than Spark's "
-            "CAST(value AS STRING) — cast to string upstream instead"
-        )
+    _check_value_type(stream_df, value_col, "stateful_hll_distinct")
     m = 1 << p
     key_fields = {f.name: f for f in stream_df.schema.fields}
     out_schema = StructType([key_fields[c] for c in key_cols])
@@ -137,6 +146,101 @@ def stateful_hll_distinct(
         _fn,
         outputStructType=out_schema,
         stateStructType="regs array<integer>",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def stateful_heavy_hitters(
+    stream_df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    capacity: int = 4096,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Per-key Misra-Gries heavy-hitter candidates across the whole
+    stream — the streaming sibling of
+    ``operators.heavy_hitters.mg_candidates``, with the bounded counter
+    map as the per-key state (at most ``capacity`` counters per key
+    FOREVER, the property that keeps frequency state viable in a state
+    store where exact per-value counts grow with cardinality).
+
+    Emits the key's complete current summary after every micro-batch it
+    appears in: ``(*key_cols, seq, token, mg_count)``, where ``seq`` is
+    the per-key emission number — MG counts are NOT monotone per token
+    (counters shrink and tokens drop at truncation), so the
+    whole-stream summary is the rows of ``max(seq)`` per key, NOT a
+    max-merge. Each batch folds in with pandas ``value_counts``
+    (C-speed, no per-row Python) and re-bounds by the
+    mergeable-summaries reduction (Agarwal et al., PODS'12): subtract
+    the (capacity+1)-th largest count, keep positives — so any token
+    with true in-stream count > N_key/(capacity+1) is guaranteed to
+    survive in the final summary, whatever the batch boundaries.
+
+    Candidates, not counts: mg_count is an undercount (by at most
+    N_key/(capacity+1)); finish the pipeline like the batch operator —
+    broadcast the final summary's tokens against the stored stream and
+    recount exactly (see ``queries.q_streaming_heavy_hitters``). When
+    ``capacity`` exceeds the key's distinct-value count the summary
+    never truncates and mg_count is already exact.
+
+    Value typing: same construction-time guard as
+    :func:`stateful_hll_distinct` (string/integral only).
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    _check_value_type(stream_df, value_col, "stateful_heavy_hitters")
+    key_fields = {f.name: f for f in stream_df.schema.fields}
+    out_schema = StructType([key_fields[c] for c in key_cols])
+    out_schema = (
+        out_schema.add("seq", "long")
+        .add("token", "string")
+        .add("mg_count", "long")
+    )
+
+    def _fn(
+        key: Tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            toks, cnts, seq = state.get
+            s = pd.Series(list(cnts), index=list(toks), dtype="int64")
+        else:
+            s, seq = pd.Series(dtype="int64"), 0
+        for pdf in pdf_iter:
+            col = pdf[value_col].dropna()
+            if len(col) == 0:
+                continue
+            # vectorized stringify: the schema guard admits only
+            # string/integral columns; int64 round-trip undoes Arrow's
+            # nullable-int -> float64 widening
+            if col.dtype.kind in ("i", "u", "f"):
+                vals = col.astype("int64").astype(str)
+            else:
+                vals = col.astype(str)
+            vc = vals.value_counts()
+            s = vc if s.empty else s.add(vc, fill_value=0)
+            if len(s) > capacity:
+                thr = s.nlargest(capacity + 1).iloc[-1]
+                s = s[s > thr] - thr
+        s = s.astype("int64")
+        seq += 1
+        state.update(
+            ([str(t) for t in s.index], [int(x) for x in s.values], seq)
+        )
+        out = {c: [k] * len(s) for c, k in zip(key_cols, key)}
+        out["seq"] = [seq] * len(s)
+        out["token"] = list(s.index.astype(str))
+        out["mg_count"] = list(s.values)
+        yield pd.DataFrame(out)
+
+    return stream_df.groupBy(*key_cols).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "tokens array<string>, counts array<long>, seq long"
+        ),
         outputMode="append",
         timeoutConf=timeout,
     )

@@ -168,3 +168,136 @@ class TestStreamingHllDistinct:
             "value",
             p=8,
         )
+
+
+def _final_summary(sunk):
+    """Rows of the max-seq emission per key: {(key, token): mg_count}."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    rows = (
+        sunk.withColumn("__mx", F.max("seq").over(w))
+        .where(F.col("seq") == F.col("__mx"))
+        .collect()
+    )
+    return {(r["event_type"], r["token"]): r["mg_count"] for r in rows}
+
+
+class TestStreamingHeavyHitters:
+    def test_no_truncation_summary_is_exact(self, spark):
+        """capacity above the per-key cardinality: the final summary is
+        the exact per-value counts."""
+        from ml_hadoop_experiment_spark.streaming.sketches import (
+            stateful_heavy_hitters,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        schema = ev.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet("/root/testdata/sf0.001")
+            .select("event_type", "user_id")
+        )
+        sunk = _drain(
+            stateful_heavy_hitters(
+                stream, ["event_type"], "user_id", capacity=1024
+            ),
+            spark,
+        )
+        got = _final_summary(sunk)
+        exact = {
+            (r["event_type"], str(r["user_id"])): r["c"]
+            for r in ev.groupBy("event_type", "user_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        assert got == exact
+
+    def test_multi_batch_final_summary_equals_single_batch(
+        self, spark, tmp_path
+    ):
+        """Untruncated MG folded over three micro-batches must equal the
+        one-batch summary (exact counts either way); seq must reach the
+        per-key batch count on the one-file-per-trigger path."""
+        from ml_hadoop_experiment_spark.streaming.sketches import (
+            stateful_heavy_hitters,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        d = str(tmp_path / "ev")
+        os.makedirs(d, exist_ok=True)
+        for i in range(3):
+            ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+        results = {}
+        for files_per_trigger in (1, 1000):
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", files_per_trigger)
+                .parquet(d)
+                .select("event_type", "user_id")
+            )
+            sunk = _drain(
+                stateful_heavy_hitters(
+                    stream, ["event_type"], "user_id", capacity=1024
+                ),
+                spark,
+            )
+            if files_per_trigger == 1:
+                assert (
+                    sunk.agg(F.max("seq")).collect()[0][0] == 3
+                )  # every key appears in all three files
+            results[files_per_trigger] = _final_summary(sunk)
+        assert results[1] == results[1000]
+
+    def test_truncation_bounds_state_and_keeps_heavy_item(self, spark):
+        """capacity below cardinality: summary stays <= capacity rows
+        and the genuinely heavy value survives with the Agarwal-bounded
+        undercount (true - N/(capacity+1) <= mg_count <= true)."""
+        from ml_hadoop_experiment_spark.streaming.sketches import (
+            stateful_heavy_hitters,
+        )
+
+        # 200 occurrences of user 0 + one each of users 1..100: N=300
+        rows = [("click", 0)] * 200 + [("click", u) for u in range(1, 101)]
+        df = spark.createDataFrame(
+            [(i, t, u) for i, (t, u) in enumerate(rows)],
+            "event_id long, event_type string, user_id long",
+        )
+        import tempfile
+
+        d = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .parquet(d)
+            .select("event_type", "user_id")
+        )
+        cap = 10
+        sunk = _drain(
+            stateful_heavy_hitters(
+                stream, ["event_type"], "user_id", capacity=cap
+            ),
+            spark,
+        )
+        got = _final_summary(sunk)
+        assert len(got) <= cap
+        n = len(rows)
+        mg = got[("click", "0")]
+        assert 200 - n / (cap + 1) <= mg <= 200
+
+    def test_guards(self, spark):
+        from ml_hadoop_experiment_spark.streaming.sketches import (
+            stateful_heavy_hitters,
+        )
+
+        base = spark.createDataFrame(
+            [("a", 1.5)], "event_type string, value double"
+        )
+        with pytest.raises(TypeError, match="must be string or integral"):
+            stateful_heavy_hitters(base, ["event_type"], "value")
+        ok = base.withColumn("value", F.col("value").cast("long"))
+        with pytest.raises(ValueError, match="capacity"):
+            stateful_heavy_hitters(ok, ["event_type"], "value", capacity=0)
