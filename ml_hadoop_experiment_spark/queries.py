@@ -2317,6 +2317,95 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image CONTENT near-dup (operators/phash.image_near_dup_pairs):
+    real 8x8 24-bit BMP blobs are synthesized per document with pure
+    codegen byte construction (the q_image_dims pattern: groups of 5
+    docs share a base raster; docs with doc_id%5=r>0 carry a one-pixel
+    perturbation at (r, r), so within-group pairs sit a few dHash bits
+    apart), then the OPERATOR decodes the actual payload bytes with
+    the pure-numpy BMP decoder, dHashes the pixels (56 bits), and
+    pairs fingerprints within Hamming<=2 via the audited SimHash
+    pigeonhole join. The oracle never sees the bytes: it computes the
+    SAME generating formula's pixels directly from doc_id and replays
+    hash bits, blocks, join, and popcount in integer SQL — the two
+    sides agree only if the BMP encode-decode roundtrip is the
+    identity AND the hash/blocking match bit-for-bit."""
+    from ml_hadoop_experiment_spark.operators.phash import (
+        image_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    grp = (F.col("doc_id") / 5).cast("long")
+    r = F.col("doc_id") % 5
+
+    def gray(x: int, y: int):
+        base = F.lit(37) * grp + F.lit(13 * x + 29 * y)
+        if x == y and x > 0:
+            base = base + F.when(r == x, F.lit(83 * x)).otherwise(F.lit(0))
+        return base % 199 + 20
+
+    def hexbyte(c):
+        return F.lpad(F.hex(c), 2, "0")
+
+    # 54-byte BITMAPINFOHEADER for 8x8 24bpp (bottom-up, stride 24)
+    header = (
+        "424D" "F6000000" "00000000" "36000000"  # BM, size 246, offset 54
+        "28000000" "08000000" "08000000" "0100" "1800"  # 8x8, 24bpp
+        "00000000" "C0000000" "00000000" "00000000" "00000000" "00000000"
+    )
+    parts = [F.lit(header)]
+    for stored_row in range(8):  # bottom-up: stored row k is y = 7 - k
+        y = 7 - stored_row
+        for x in range(8):
+            parts.append(F.repeat(hexbyte(gray(x, y)), 3))
+    payload = F.unhex(F.concat(*parts))
+    imgs = docs.select("doc_id", payload.alias("payload"))
+    return image_near_dup_pairs(imgs, "doc_id", "payload", max_hamming=2)
+
+
+def _sql_image_near_dup() -> str:
+    from ml_hadoop_experiment_spark.operators.dedup import simhash_blocks_sql
+    from ml_hadoop_experiment_spark.operators.phash import (
+        DHASH_BITS,
+        DHASH_GRID,
+    )
+
+    def gray(x: int, y: int) -> str:
+        pert = (
+            f" + CASE WHEN doc_id % 5 = {x} THEN {83 * x} ELSE 0 END"
+            if (x == y and x > 0)
+            else ""
+        )
+        return f"((37 * (doc_id // 5) + {13 * x + 29 * y}{pert}) % 199 + 20)"
+
+    bits = []
+    for y in range(DHASH_GRID):
+        for x in range(DHASH_GRID - 1):
+            bits.append(
+                f"CASE WHEN {gray(x, y)} > {gray(x + 1, y)}"
+                f" THEN {1 << (y * (DHASH_GRID - 1) + x)} ELSE 0 END"
+            )
+    fp = "CAST(" + " + ".join(bits) + " AS BIGINT)"
+    blocks = simhash_blocks_sql(DHASH_BITS, 2)
+    return f"""
+WITH fps AS (SELECT doc_id AS id, {fp} AS fp FROM documents),
+blocks AS (
+  {blocks}
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+  FROM blocks a JOIN blocks b
+    ON a.part = b.part AND a.block = b.block AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
+FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 2
+"""
+
+
+SQL_IMAGE_NEAR_DUP = _sql_image_near_dup()
+
+
 SQL_STREAMING_HEAVY_HITTERS = """
 WITH c AS (
   SELECT event_type, user_id, count(*) AS n_occurrences
@@ -5237,6 +5326,7 @@ QUERIES = {
     "ivf_pq_topk": q_ivf_pq_topk,
     "bpe_merges": q_bpe_merges,
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
+    "image_near_dup": q_image_near_dup,
     "simhash_index": q_simhash_index,
     "group_split": q_group_split,
     "split_leakage": q_split_leakage,
@@ -5406,6 +5496,7 @@ ORACLE_SQL = {
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     "bpe_merges": SQL_BPE_MERGES,
     "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,
+    "image_near_dup": SQL_IMAGE_NEAR_DUP,
     "simhash_index": SQL_SIMHASH_INCR,
     "group_split": SQL_GROUP_SPLIT,
     "split_leakage": SQL_SPLIT_LEAKAGE,
