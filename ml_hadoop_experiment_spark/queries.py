@@ -5312,82 +5312,36 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # whose operator modules the round-9 edits touch (corpus / curation /
 # quantize importers + kmeans_clusters after the clustering.py
 # kmeans_ctes extraction) + 21 oldest-green unchanged backfill (the 18
-# r04 rows and 3 oldest r05 rows). See PARITY.md "Correctness
-# rotation".
+# r04 rows and 3 oldest r05 rows).
+# r10 window = 9 tier-0 (five round-10 additions: pq_index_topk,
+# ivf_pq_topk, bpe_merges, streaming_heavy_hitters, image_near_dup;
+# four changed-since-green: jaccard_join, topk_similar_pairs,
+# quality_rules, streaming_distinct — the setsim/rules/streaming-
+# sketches edits) + the ENTIRE 34-query round-5-green cohort (the
+# stalest rows) + 7 oldest round-7 rows; the five round-7 leftovers
+# (streaming_enrich, trailing_window, train_split, twap,
+# weighted_sample) lead position 51+ and are first in line for r11.
+# See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0: new queries with no driver row yet — the nine round-8-
-    # staged promotions (each local-parity-green at sf0.001 all of
-    # round 8) plus the round-9 additions: simhash_index (steady-state
-    # corpus index), group_split / split_leakage (leakage-safe splits +
-    # leak census), hll_audit (HyperLogLog est-vs-truth), ngram_novelty
-    # (cross-corpus novelty score)
+    # tier 0 (9): the five round-10 additions (pq_index_topk /
+    # ivf_pq_topk steady-state + composed ANN, bpe_merges
+    # iterative trainer, streaming_heavy_hitters MG state,
+    # image_near_dup BMP dHash) plus the four queries whose
+    # operator code changed this round (setsim probe_floor
+    # default, rules whitespace class, streaming sketches
+    # value-type guard) — changed-since-green goes first
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "bpe_merges": q_bpe_merges,
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
     "image_near_dup": q_image_near_dup,
-    "simhash_index": q_simhash_index,
-    "group_split": q_group_split,
-    "split_leakage": q_split_leakage,
-    "hll_audit": q_hll_audit,
-    "ngram_novelty": q_ngram_novelty,
-    "quality_rules": q_quality_rules,
-    "pq_topk": q_pq_topk,
-    "streaming_distinct": q_streaming_distinct,
-    "oov_rate": q_oov_rate,
-    # tier 1a: kmeans_clusters rejoins the window — clustering.py was
-    # refactored this round (kmeans_ctes extraction for the PQ oracle;
-    # generated SQL verified byte-identical)
-    "kmeans_clusters": q_kmeans_clusters,
-    "unigram_xent": q_unigram_xent,
     "jaccard_join": q_jaccard_join,
-    "pmi_bigrams": q_pmi_bigrams,
-    "source_overlap": q_source_overlap,
-    "cms_audit": q_cms_audit,
-    "neyman_sample": q_neyman_sample,
-    "jl_project": q_jl_project,
-    "bigram_xent": q_bigram_xent,
     "topk_similar_pairs": q_topk_similar_pairs,
-    # tier 1: queries whose operator modules change this round
-    # (corpus.py bigram_xent cost pass, curation.py null-fingerprint
-    # guard, quantize.py dim-arg removal) — scheduled ahead of the edits
-    "bm25_topk": q_bm25_topk,
-    "tfidf_topk": q_tfidf_topk,
-    "rare_tokens": q_rare_tokens,
-    "bpe_pairs": q_bpe_pairs,
-    "decontaminate": q_decontaminate,
-    "dedup_normalized": q_dedup_normalized,
-    "repeated_ngrams": q_repeated_ngrams,
-    "repeated_spans": q_repeated_spans,
-    "token_budget": q_token_budget,
-    "quantized_topk": q_quantized_topk,
-    # tier 2: oldest-green unchanged backfill (18 last-green r04 +
-    # 5 oldest last-green r05)
-    "big_orders": q_big_orders,
-    "bootstrap_metrics": q_bootstrap_metrics,
-    "cohort_retention": q_cohort_retention,
-    "doc_fingerprint": q_doc_fingerprint,
-    "event_transitions": q_event_transitions,
-    "events_long": q_events_long,
-    "feature_hash": q_feature_hash,
-    "lag_features": q_lag_features,
-    "null_default_fill": q_null_default_fill,
-    "pricing_summary": q_pricing_summary,
-    "promo_share": q_promo_share,
-    "region_revenue": q_region_revenue,
-    "returned_customers": q_returned_customers,
-    "segment_revenue": q_segment_revenue,
-    "sparse_coo": q_sparse_coo,
-    "text_stats": q_text_stats,
-    "udf_linear_score": q_udf_linear_score,
-    "zorder_stats": q_zorder_stats,
-    "ann_topk": q_ann_topk,
-    "ann_topk_batch": q_ann_topk_batch,
-    "anti_join": q_anti_join,
-    # --- outside the driver window (position 51+): unchanged,
-    #     driver-green, and re-gated locally every round by
-    #     tests/test_oracle_parity.py
+    "quality_rules": q_quality_rules,
+    "streaming_distinct": q_streaming_distinct,
+    # tier 2 (34): the full round-5-green cohort — the stalest
+    # rows in the history — re-enters for re-verification
     "audio_meta": q_audio_meta,
     "embedding_centroids": q_embedding_centroids,
     "embedding_near_dup": q_embedding_near_dup,
@@ -5422,6 +5376,8 @@ QUERIES = {
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
     "user_similarity": q_user_similarity,
     "window_topk": q_window_topk,
+    # tier 3 (7): oldest round-7 rows fill the window; the
+    # remaining five round-7 rows are first in line for r11
     "cap_per_key": q_cap_per_key,
     "gap_fill": q_gap_fill,
     "heavy_hitters": q_heavy_hitters,
@@ -5429,11 +5385,60 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "sample_by_class": q_sample_by_class,
     "sample_stratified": q_sample_stratified,
+    # --- outside the driver window (position 51+): unchanged,
+    #     driver-green, and re-gated locally every round by
+    #     tests/test_oracle_parity.py; r7 leftovers lead
     "streaming_enrich": q_streaming_enrich,
     "trailing_window": q_trailing_window,
     "train_split": q_train_split,
     "twap": q_twap,
     "weighted_sample": q_weighted_sample,
+    "simhash_index": q_simhash_index,
+    "group_split": q_group_split,
+    "split_leakage": q_split_leakage,
+    "hll_audit": q_hll_audit,
+    "ngram_novelty": q_ngram_novelty,
+    "pq_topk": q_pq_topk,
+    "oov_rate": q_oov_rate,
+    "kmeans_clusters": q_kmeans_clusters,
+    "unigram_xent": q_unigram_xent,
+    "pmi_bigrams": q_pmi_bigrams,
+    "source_overlap": q_source_overlap,
+    "cms_audit": q_cms_audit,
+    "neyman_sample": q_neyman_sample,
+    "jl_project": q_jl_project,
+    "bigram_xent": q_bigram_xent,
+    "bm25_topk": q_bm25_topk,
+    "tfidf_topk": q_tfidf_topk,
+    "rare_tokens": q_rare_tokens,
+    "bpe_pairs": q_bpe_pairs,
+    "decontaminate": q_decontaminate,
+    "dedup_normalized": q_dedup_normalized,
+    "repeated_ngrams": q_repeated_ngrams,
+    "repeated_spans": q_repeated_spans,
+    "token_budget": q_token_budget,
+    "quantized_topk": q_quantized_topk,
+    "big_orders": q_big_orders,
+    "bootstrap_metrics": q_bootstrap_metrics,
+    "cohort_retention": q_cohort_retention,
+    "doc_fingerprint": q_doc_fingerprint,
+    "event_transitions": q_event_transitions,
+    "events_long": q_events_long,
+    "feature_hash": q_feature_hash,
+    "lag_features": q_lag_features,
+    "null_default_fill": q_null_default_fill,
+    "pricing_summary": q_pricing_summary,
+    "promo_share": q_promo_share,
+    "region_revenue": q_region_revenue,
+    "returned_customers": q_returned_customers,
+    "segment_revenue": q_segment_revenue,
+    "sparse_coo": q_sparse_coo,
+    "text_stats": q_text_stats,
+    "udf_linear_score": q_udf_linear_score,
+    "zorder_stats": q_zorder_stats,
+    "ann_topk": q_ann_topk,
+    "ann_topk_batch": q_ann_topk_batch,
+    "anti_join": q_anti_join,
     "cdf_normalize": q_cdf_normalize,
     "chi_square": q_chi_square,
     "corr_matrix": q_corr_matrix,
