@@ -48,6 +48,62 @@ def test_fan_out_guard(spark):
     assert wide.count() == 1000
 
 
+def test_fan_out_scan_only_placement_contract():
+    """fan_out's ``df.rdd.getNumPartitions()`` probe materializes query
+    stages when AQE has already planned a shuffle upstream — the same
+    eager-under-AQE hazard plans/prefix.py removed in round 8 (see
+    prefix.py:270-295). The engine's placement CONTRACT is therefore:
+    fan_out is called ONLY immediately after a parquet scan (before any
+    shuffle), where the probe reads leaf-scan partitioning and triggers
+    nothing. The in-code fix would re-fingerprint every declared query
+    (queries.py::_t imports fan_out, so plans/optimize.py is in all 140
+    import closures — a 50-slot window cannot re-verify 140 queries),
+    so the contract is pinned HERE, mechanically: every call site of
+    fan_out inside the engine package must be _t's scan-adjacent one.
+    A new call site fails this test until its placement is audited and
+    listed below."""
+    import re
+    from pathlib import Path
+
+    import ml_hadoop_experiment_spark as pkg
+
+    root = Path(pkg.__file__).parent
+    call_sites = []
+    for py in root.rglob("*.py"):
+        text = py.read_text()
+        for m in re.finditer(r"fan_out\s*\(", text):
+            line = text[: m.start()].count("\n") + 1
+            # skip the definition itself and import statements
+            pre = text[max(0, m.start() - 60): m.start()]
+            if "def " in pre.split("\n")[-1] or "import" in pre.split("\n")[-1]:
+                continue
+            call_sites.append((py.relative_to(root).as_posix(), line))
+    assert call_sites == [("queries.py", _t_fan_out_line())], call_sites
+    # and that one site sits in _t, directly after the parquet scan
+    from ml_hadoop_experiment_spark import queries as q
+    import inspect
+
+    src = inspect.getsource(q._t)
+    scan_pos = src.index("spark.read.parquet")
+    call_pos = src.index("fan_out(df)")
+    between = src[scan_pos:call_pos]
+    assert "groupBy" not in between and "join" not in between and (
+        "repartition" not in between
+    ), "_t must not shuffle between the scan and the fan_out probe"
+
+
+def _t_fan_out_line() -> int:
+    import inspect
+
+    from ml_hadoop_experiment_spark import queries as q
+
+    src, start = inspect.getsourcelines(q._t)
+    for i, line in enumerate(src):
+        if "fan_out(df)" in line:
+            return start + i
+    raise AssertionError("fan_out call not found in queries._t")
+
+
 def test_partition_sizes(spark):
     df = spark.range(100).repartition(4)
     sizes = partition_sizes(df)
