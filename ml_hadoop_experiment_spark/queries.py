@@ -2339,11 +2339,24 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = (F.col("doc_id") / 5).cast("long")
     r = F.col("doc_id") % 5
 
+    from ml_hadoop_experiment_spark.operators.hll import _nibble_val
+
     def gray(x: int, y: int):
-        base = F.lit(37) * grp + F.lit(13 * x + 29 * y)
+        # md5-derived pixel byte per (group, pixel) — the engine's
+        # portable-hash convention (hll.py's nibble decode). Arithmetic
+        # formulas here (linear-congruential, then Knuth multiplicative)
+        # both left the raster an arithmetic progression mod a small
+        # modulus, so distinct groups collided at hamming <= 2 and pair
+        # counts grew QUADRATICALLY (measured 86-94x pairs at 10x
+        # data); md5 rasters are pseudo-random per group, cross-group
+        # hamming ~ Binomial(56, 1/2), and pairs stay within groups.
+        d = F.md5(F.concat(grp.cast("string"), F.lit(f"_{y * 8 + x}")))
+        h = _nibble_val(F.substring(d, 1, 1)) * 16 + _nibble_val(
+            F.substring(d, 2, 1)
+        )
         if x == y and x > 0:
-            base = base + F.when(r == x, F.lit(83 * x)).otherwise(F.lit(0))
-        return base % 199 + 20
+            h = h + F.when(r == x, F.lit(83 * x)).otherwise(F.lit(0))
+        return h % 199 + 20
 
     def hexbyte(c):
         return F.lpad(F.hex(c), 2, "0")
@@ -2371,13 +2384,20 @@ def _sql_image_near_dup() -> str:
         DHASH_GRID,
     )
 
+    from ml_hadoop_experiment_spark.operators.hll import _nibble_val_sql
+
     def gray(x: int, y: int) -> str:
         pert = (
             f" + CASE WHEN doc_id % 5 = {x} THEN {83 * x} ELSE 0 END"
             if (x == y and x > 0)
             else ""
         )
-        return f"((37 * (doc_id // 5) + {13 * x + 29 * y}{pert}) % 199 + 20)"
+        d = (
+            f"md5(CAST(doc_id // 5 AS VARCHAR) || '_{y * 8 + x}')"
+        )
+        n1 = _nibble_val_sql(f"substring({d}, 1, 1)")
+        n2 = _nibble_val_sql(f"substring({d}, 2, 1)")
+        return f"((({n1} * 16 + {n2}{pert})) % 199 + 20)"
 
     bits = []
     for y in range(DHASH_GRID):
