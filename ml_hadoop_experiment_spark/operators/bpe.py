@@ -192,14 +192,11 @@ def _merge_fold_sql(syms_expr: str, left_expr: str, right_expr: str) -> str:
     )
 
 
-def bpe_learn_sql(relation: str, text_expr: str, n_merges: int) -> str:
-    """DuckDB replay of :func:`bpe_learn`'s ENTIRE loop in one
-    statement: the distinct-word vocabulary, then per iteration a pair
-    aggregation, a 1-row ``best_i`` under the same (count desc, pair
-    asc) total order, and the same greedy merge fold correlated on
-    ``best_i`` — the ``kmeans_ctes`` pattern for data-dependent
-    iterative state. Final projection is the whole segmented
-    vocabulary."""
+def _learn_ctes(relation: str, text_expr: str, n_merges: int):
+    """The shared CTE chain of the training loop: returns
+    ``(ctes, final_vocab_cte)`` where the final CTE holds the fully
+    segmented vocabulary ``(w, c, s array<varchar>)`` — consumed by
+    both :func:`bpe_learn_sql` and :func:`bpe_apply_sql`."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
     ctes = [
@@ -230,12 +227,114 @@ def bpe_learn_sql(relation: str, text_expr: str, n_merges: int) -> str:
             f"v{i + 1} AS (SELECT v.w, v.c, {fold} AS s "
             f"FROM v{i} v, best{i} b)"
         )
+    return ctes, f"v{n_merges}"
+
+
+def bpe_learn_sql(relation: str, text_expr: str, n_merges: int) -> str:
+    """DuckDB replay of :func:`bpe_learn`'s ENTIRE loop in one
+    statement: the distinct-word vocabulary, then per iteration a pair
+    aggregation, a 1-row ``best_i`` under the same (count desc, pair
+    asc) total order, and the same greedy merge fold correlated on
+    ``best_i`` — the ``kmeans_ctes`` pattern for data-dependent
+    iterative state. Final projection is the whole segmented
+    vocabulary."""
+    ctes, final = _learn_ctes(relation, text_expr, n_merges)
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
 SELECT w AS word, array_to_string(s, '{PAIR_SEP}') AS segmentation,
        CAST(c AS BIGINT) AS word_count
-FROM v{n_merges}
+FROM {final}
+"""
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_seg: DataFrame,
+) -> DataFrame:
+    """Segment every document with a TRAINED vocabulary — the apply
+    half of the tokenizer story (:func:`bpe_learn` is the train half):
+    ``(id, n_tokens, tokens)`` where ``tokens`` is the document's
+    full BPE token stream space-joined in document order.
+
+    The classic trainer-side optimization applies to encoding too:
+    each DISTINCT word is segmented once (it already was, in
+    ``vocab_seg`` = ``bpe_learn``'s output frame), and documents
+    reassemble by a broadcast join of their positioned words against
+    that vocabulary-sized table — the text itself shuffles once for
+    the order-preserving regroup, the fold expressions never run per
+    occurrence (the ``tokens_to_ids`` pattern). Words shorter than 2
+    characters are their own token (nothing to merge — they carry no
+    vocab row by the training filter); empty strings are dropped.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "w"),
+    ).where(F.length("w") >= 1)
+    seg = vocab_seg.select(
+        F.col("word").alias("__w"), F.col("segmentation").alias("__seg")
+    )
+    joined = words.join(
+        F.broadcast(seg), words["w"] == F.col("__w"), "left"
+    ).select("id", "pos", F.coalesce("__seg", F.col("w")).alias("seg"))
+    toks = (
+        joined.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "seg"))
+                    ),
+                    lambda s: s["seg"],
+                ),
+                PAIR_SEP,
+            ).alias("tokens")
+        )
+    )
+    return toks.select(
+        "id",
+        F.size(F.split("tokens", f"[{PAIR_SEP}]")).alias("n_tokens"),
+        "tokens",
+    )
+
+
+def bpe_apply_sql(
+    relation: str, id_expr: str, text_expr: str, n_merges: int
+) -> str:
+    """DuckDB twin of learn-then-apply: the :func:`_learn_ctes` chain
+    trains the segmented vocabulary, then documents re-split with
+    zipped positional unnest, LEFT JOIN the vocabulary, and
+    ``string_agg(..., ORDER BY pos)`` reassembles each document's
+    token stream in order."""
+    ctes, final = _learn_ctes(relation, text_expr, n_merges)
+    ctes.append(
+        "docw AS (SELECT "
+        f"{id_expr} AS id, "
+        f"unnest(regexp_split_to_array(trim(lower({text_expr})), '\\s+'))"
+        " AS w, "
+        f"unnest(range(1, len(regexp_split_to_array(trim(lower("
+        f"{text_expr})), '\\s+')) + 1)) AS pos "
+        f"FROM {relation})"
+    )
+    ctes.append(
+        "docseg AS (SELECT d.id, d.pos, coalesce("
+        f"array_to_string(v.s, '{PAIR_SEP}'), d.w) AS seg "
+        f"FROM docw d LEFT JOIN {final} v ON d.w = v.w "
+        "WHERE len(d.w) >= 1)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, CAST(len(string_split(tokens, '{PAIR_SEP}')) AS INT)
+         AS n_tokens, tokens
+FROM (SELECT id, string_agg(seg, '{PAIR_SEP}' ORDER BY pos) AS tokens
+      FROM docseg GROUP BY id)
 """
     )

@@ -2317,6 +2317,32 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train-then-apply end-to-end (operators/bpe.bpe_learn
+    + bpe_apply): four merges trained on documents, then EVERY document
+    segmented into its BPE token stream — (id, n_tokens, tokens) with
+    the stream hash-checked whole (the llm_pipeline convention). The
+    apply half segments each DISTINCT word exactly once (the trained
+    vocab frame IS the segmentation table) and reassembles documents
+    by a broadcast join + order-preserving regroup; the oracle replays
+    train AND apply in one statement (the unrolled learn CTEs feeding
+    a positional-unnest join + ordered string_agg)."""
+    from ml_hadoop_experiment_spark.operators.bpe import bpe_apply, bpe_learn
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab_seg, _merges = bpe_learn(docs, "text", n_merges=4)
+    return bpe_apply(docs, "doc_id", "text", vocab_seg)
+
+
+def _sql_bpe_encode() -> str:
+    from ml_hadoop_experiment_spark.operators.bpe import bpe_apply_sql
+
+    return bpe_apply_sql("documents", "doc_id", "text", 4)
+
+
+SQL_BPE_ENCODE = _sql_bpe_encode()
+
+
 def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image CONTENT near-dup (operators/phash.image_near_dup_pairs):
     real 8x8 24-bit BMP blobs are synthesized per document with pure
@@ -5354,6 +5380,7 @@ QUERIES = {
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
     "image_near_dup": q_image_near_dup,
     "jaccard_join": q_jaccard_join,
@@ -5404,10 +5431,10 @@ QUERIES = {
     "kfold_assign": q_kfold_assign,
     "mixture_sample": q_mixture_sample,
     "sample_by_class": q_sample_by_class,
-    "sample_stratified": q_sample_stratified,
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py; r7 leftovers lead
+    "sample_stratified": q_sample_stratified,
     "streaming_enrich": q_streaming_enrich,
     "trailing_window": q_trailing_window,
     "train_split": q_train_split,
@@ -5520,6 +5547,7 @@ ORACLE_SQL = {
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     "bpe_merges": SQL_BPE_MERGES,
+    "bpe_encode": SQL_BPE_ENCODE,
     "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,
     "image_near_dup": SQL_IMAGE_NEAR_DUP,
     "simhash_index": SQL_SIMHASH_INCR,

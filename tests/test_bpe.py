@@ -74,6 +74,58 @@ class TestBpeLearn:
             # loudly, not silently diverge from the unrolled SQL
             bpe_learn(docs, "text", n_merges=2)
 
+    def test_apply_segments_documents_in_order(self, spark):
+        from ml_hadoop_experiment_spark.operators.bpe import (
+            bpe_apply,
+            bpe_learn,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "low low low lower lowest"), (2, "new newer newest low"),
+             (3, "a lone x")],
+            "doc_id long, text string",
+        )
+        vocab, merges = bpe_learn(docs, "text", n_merges=3)
+        out = {r["id"]: r for r in bpe_apply(
+            docs, "doc_id", "text", vocab
+        ).collect()}
+        # merges on THIS corpus: (l,o), (lo,w), then (n,e) — "lone"
+        # lifts 'n e' to 4 over 'e w' at 3. Doc order preserved; words
+        # shorter than 2 chars pass through as their own token
+        assert [(m[0], m[1]) for m in merges] == [
+            ("l", "o"), ("lo", "w"), ("n", "e"),
+        ]
+        assert out[1]["tokens"] == "low low low low e r low e s t"
+        assert out[1]["n_tokens"] == 10
+        assert out[2]["tokens"] == "ne w ne w e r ne w e s t low"
+        assert out[3]["tokens"] == "a lo ne x"
+        assert out[3]["n_tokens"] == 4
+
+    def test_apply_matches_duckdb_train_and_apply(self, spark):
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.bpe import (
+            bpe_apply,
+            bpe_apply_sql,
+            bpe_learn,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        vocab, _ = bpe_learn(docs, "text", n_merges=4)
+        s = sorted(
+            map(tuple, bpe_apply(docs, "doc_id", "text", vocab).collect())
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            "'/root/testdata/sf0.001/documents.parquet')"
+        )
+        d = sorted(map(tuple, con.execute(
+            bpe_apply_sql("documents", "doc_id", "text", 4)
+        ).fetchall()))
+        con.close()
+        assert s == d
+
     def test_matches_duckdb_full_loop(self, spark):
         import duckdb
 
