@@ -2317,6 +2317,81 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deterministic bounded sample
+    (streaming/sampling.stateful_priority_sample): the 8
+    smallest-portable-hash users per event type, held as EXACTLY k
+    (id, priority) pairs of stream state per key forever. Bottom-k by
+    a pure hash of the id makes the sample a function of the ID SET —
+    arrival order, batch boundaries, and duplicates cannot change it —
+    so the drained result equals the batch twin exactly: DuckDB ranks
+    DISTINCT (event_type, user_id) by the same hash integers and takes
+    the same 8 (the max-seq emission per key is the whole-stream
+    sample, the MG convention)."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ml_hadoop_experiment_spark.streaming.sampling import (
+        stateful_priority_sample,
+    )
+
+    wire_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(wire_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_type", "user_id")
+    )
+    out = stateful_priority_sample(
+        stream, ["event_type"], "user_id", k=8, salt=7
+    )
+    sink = f"streaming_sample_{uuid.uuid4().hex}"
+    with _drained_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    sunk = spark.table(sink)
+    return (
+        sunk.withColumn(
+            "__mx", F.max("seq").over(Window.partitionBy("event_type"))
+        )
+        .where(F.col("seq") == F.col("__mx"))
+        .select(
+            "event_type",
+            F.col("id").alias("user_id"),
+            "priority",
+        )
+    )
+
+
+def _sql_streaming_sample() -> str:
+    from ml_hadoop_experiment_spark.functions.hashing import (
+        portable_int_hash_sql,
+    )
+
+    pri = portable_int_hash_sql("user_id", salt=7)
+    return f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+r AS (
+  SELECT event_type, user_id, CAST({pri} AS BIGINT) AS priority,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY {pri} ASC, user_id ASC
+         ) AS rn
+  FROM d
+)
+SELECT event_type, user_id, priority FROM r WHERE rn <= 8
+"""
+
+
+SQL_STREAMING_SAMPLE = _sql_streaming_sample()
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer train-then-apply end-to-end (operators/bpe.bpe_learn
     + bpe_apply): four merges trained on documents, then EVERY document
@@ -5382,6 +5457,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
+    "streaming_sample": q_streaming_sample,
     "image_near_dup": q_image_near_dup,
     "jaccard_join": q_jaccard_join,
     "topk_similar_pairs": q_topk_similar_pairs,
@@ -5430,10 +5506,10 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "kfold_assign": q_kfold_assign,
     "mixture_sample": q_mixture_sample,
-    "sample_by_class": q_sample_by_class,
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py; r7 leftovers lead
+    "sample_by_class": q_sample_by_class,
     "sample_stratified": q_sample_stratified,
     "streaming_enrich": q_streaming_enrich,
     "trailing_window": q_trailing_window,
@@ -5549,6 +5625,7 @@ ORACLE_SQL = {
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_encode": SQL_BPE_ENCODE,
     "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,
+    "streaming_sample": SQL_STREAMING_SAMPLE,
     "image_near_dup": SQL_IMAGE_NEAR_DUP,
     "simhash_index": SQL_SIMHASH_INCR,
     "group_split": SQL_GROUP_SPLIT,
