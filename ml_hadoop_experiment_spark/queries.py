@@ -2317,6 +2317,57 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based corpus-merge audit
+    (operators/setsketch.kmv_overlap): pairwise vocabulary overlap
+    between every two document SOURCES, estimated from 64-minima KMV
+    sketches over word 3-gram sets (~1.4k distinct grams per source at
+    sf0.01, so the estimator arm — not the small-set fallback — is
+    what the gate hashes), with the exact Jaccard yardstick alongside
+    (est-vs-truth, the cms_audit/hll_audit convention). Exchange shape
+    at scale: each source contributes exactly k hash rows to the
+    pairwise stage; the exact columns are the audit-run extra. The
+    portable string hash makes the sketch CONTENT deterministic, so
+    estimate and truth both replay in DuckDB."""
+    from ml_hadoop_experiment_spark.operators.setsketch import kmv_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__ws"),
+    ).select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__ws) < 3 THEN cast(array() as array<string>)"
+                " ELSE transform(sequence(1, size(__ws) - 2),"
+                " i -> concat_ws(' ', __ws[i - 1], __ws[i], __ws[i + 1]))"
+                " END"
+            )
+        ).alias("gram"),
+    )
+    return kmv_overlap(
+        grams, "source", "gram", k=64, hash_mode="string"
+    )
+
+
+def _sql_kmv_source_overlap() -> str:
+    from ml_hadoop_experiment_spark.operators.setsketch import (
+        kmv_overlap_sql,
+    )
+
+    grams = (
+        "(SELECT source, unnest(list_transform(range(1, len(__ws) - 1),"
+        " i -> __ws[i] || ' ' || __ws[i + 1] || ' ' || __ws[i + 2]))"
+        " AS gram FROM (SELECT source, regexp_split_to_array(trim(lower("
+        "text)), '\\s+') AS __ws FROM documents))"
+    )
+    return kmv_overlap_sql(grams, "source", "gram", k=64, hash_mode="string")
+
+
+SQL_KMV_SOURCE_OVERLAP = _sql_kmv_source_overlap()
+
+
 def q_streaming_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deterministic bounded sample
     (streaming/sampling.stateful_priority_sample): the 8
@@ -5458,6 +5509,7 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
     "streaming_sample": q_streaming_sample,
+    "kmv_source_overlap": q_kmv_source_overlap,
     "image_near_dup": q_image_near_dup,
     "jaccard_join": q_jaccard_join,
     "topk_similar_pairs": q_topk_similar_pairs,
@@ -5505,10 +5557,10 @@ QUERIES = {
     "gap_fill": q_gap_fill,
     "heavy_hitters": q_heavy_hitters,
     "kfold_assign": q_kfold_assign,
-    "mixture_sample": q_mixture_sample,
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py; r7 leftovers lead
+    "mixture_sample": q_mixture_sample,
     "sample_by_class": q_sample_by_class,
     "sample_stratified": q_sample_stratified,
     "streaming_enrich": q_streaming_enrich,
@@ -5626,6 +5678,7 @@ ORACLE_SQL = {
     "bpe_encode": SQL_BPE_ENCODE,
     "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,
     "streaming_sample": SQL_STREAMING_SAMPLE,
+    "kmv_source_overlap": SQL_KMV_SOURCE_OVERLAP,
     "image_near_dup": SQL_IMAGE_NEAR_DUP,
     "simhash_index": SQL_SIMHASH_INCR,
     "group_split": SQL_GROUP_SPLIT,
