@@ -274,6 +274,234 @@ def ivf_pq_topk(
     )
 
 
+def _residual_frame(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``(id, list_id, res array<double>)``: each vector's frozen-IVF
+    list plus its residual against that list's centroid — one IEEE
+    subtraction per component, so both engines compute identical
+    doubles from identical inputs."""
+    cent_arr = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in cent])
+            for cent in centroids
+        ]
+    )
+    list_id = kmeans_assign_expr(F.col(vec_col), centroids)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        list_id.alias("list_id"),
+    )
+    return base.select(
+        "id",
+        "list_id",
+        F.zip_with(
+            F.col("v"),
+            F.element_at(cent_arr, F.col("list_id") + 1),
+            lambda x, y: x.cast("double") - y,
+        ).alias("res"),
+    )
+
+
+def ivf_pq_residual_topk(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    n_subspaces: int = 4,
+    codebook_k: int = 16,
+    iters: int = 2,
+    train_fraction: float = 1.0,
+    seed: int = 0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF+PQ with RESIDUAL encoding — the actual FAISS default
+    (``by_residual=True``): vectors are quantized as offsets from
+    their routing centroid, which concentrates the codebooks' capacity
+    on within-cell variation (coarse position is already carried by
+    the list id), and the query builds a PER-PROBED-LIST ADC table
+    from the query's residual against that list's centroid. Same
+    result contract as :func:`ivf_pq_topk` ((id, score) ascending,
+    query row excluded); scores are residual-space asymmetric
+    distances.
+
+    Plan shape: the residual column is one fused map expression
+    (argmin + element_at + zip_with subtract); training is
+    sample-bounded Lloyd on residual slices; scoring is one map-only
+    scan of the probed lists with nprobe x n_subspaces literal lookup
+    tables. The ENTIRE pipeline — assignment, residuals, per-subspace
+    Lloyd chains on residuals, codes, per-list ADC tables, final order
+    — replays in DuckDB (:func:`ivf_pq_residual_topk_sql`).
+    """
+    sub_dim = _check_geometry(dim, n_subspaces)
+    resid = _residual_frame(df, centroids, id_col, vec_col)
+    codebooks = pq_train(
+        resid, "id", "res", dim, n_subspaces, codebook_k, iters,
+        train_fraction, seed, round_digits,
+    )
+    qrow = (
+        df.where(F.col(id_col) == query_id).select(F.col(vec_col)).collect()
+    )
+    if len(qrow) != 1:
+        raise ValueError(
+            f"query_id {query_id}: expected 1 row, got {len(qrow)}"
+        )
+    query = [float(x) for x in qrow[0][0]]
+    if len(query) != dim:
+        raise ValueError(f"query vector has {len(query)} dims, expected {dim}")
+    probes = ivf_probes_fixed(centroids, query, nprobe)
+    # per-probe query residuals -> per (probe, subspace) literal tables
+    qres = {
+        p: [query[j] - float(centroids[p][j]) for j in range(dim)]
+        for p in probes
+    }
+    score = None
+    for s in range(n_subspaces):
+        code = kmeans_assign_expr(
+            F.slice(F.col("res"), s * sub_dim + 1, sub_dim), codebooks[s]
+        )
+        table = None
+        for p in probes:
+            adc = _adc_table(qres[p], codebooks[s], s * sub_dim)
+            arr = F.array(*[F.lit(d) for d in adc])
+            table = (
+                F.when(F.col("list_id") == p, arr)
+                if table is None
+                else table.when(F.col("list_id") == p, arr)
+            )
+        term = F.element_at(table, code + F.lit(1))
+        score = term if score is None else score + term
+    return (
+        resid.where(F.col("id") != query_id)
+        .where(F.col("list_id").isin(probes))
+        .select(
+            "id", F.round(score, round_digits).alias("score"),
+        )
+        .orderBy(F.col("score").asc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def ivf_pq_residual_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    dim: int,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    n_subspaces: int = 4,
+    codebook_k: int = 16,
+    iters: int = 2,
+    train_fraction: float = 1.0,
+    seed: int = 0,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_residual_topk`: assignment and
+    residual subtraction as relational CTEs, the per-subspace Lloyd
+    chains over residual slices, and the probe-dependent ADC tables
+    built RELATIONALLY (``qres`` joins the probed centroids, so the
+    data-dependent probe set needs no literal inlining) — candidates
+    pick their list's table by an equi-join on ``list_id``."""
+    sub_dim = _check_geometry(dim, n_subspaces)
+    values = ",\n    ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in cent))
+        for i, cent in enumerate(centroids)
+    )
+    ctes = [
+        f"pts AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})",
+        f"cent AS (SELECT * FROM (VALUES\n    {values}\n  ) AS t(c, v))",
+        f"qfull AS (SELECT v AS qvec FROM pts WHERE id = {query_id})",
+        (
+            "probes AS (SELECT c FROM cent, qfull q ORDER BY "
+            + _sqdist_sql("q.qvec", "cent.v", dim)
+            + " ASC, c ASC LIMIT "
+            + str(nprobe)
+            + ")"
+        ),
+        (
+            "assigned AS (SELECT id, c AS list_id FROM ("
+            "SELECT p.id, cent.c, row_number() OVER (PARTITION BY p.id "
+            "ORDER BY " + _sqdist_sql("p.v", "cent.v", dim) + " ASC, cent.c "
+            "ASC) AS rn FROM pts p, cent) WHERE rn = 1)"
+        ),
+        (
+            "resid AS (SELECT p.id, a.list_id, "
+            f"list_transform(range(1, {dim} + 1), "
+            "i -> CAST(p.v[i] AS DOUBLE) - cv.v[i]) AS v "
+            "FROM pts p JOIN assigned a ON a.id = p.id "
+            "JOIN cent cv ON cv.c = a.list_id)"
+        ),
+        (
+            "qres AS (SELECT cv.c AS l, "
+            f"list_transform(range(1, {dim} + 1), "
+            "i -> CAST(q.qvec[i] AS DOUBLE) - cv.v[i]) AS v "
+            "FROM qfull q, cent cv "
+            "WHERE cv.c IN (SELECT c FROM probes))"
+        ),
+    ]
+    if train_fraction < 1.0:
+        u = portable_unit_hash_sql("id", salt=seed)
+        ctes.append(
+            f"train AS (SELECT id, v FROM resid WHERE {u} <"
+            f" CAST({train_fraction!r} AS DOUBLE))"
+        )
+        train_base = "train"
+    else:
+        train_base = "resid"
+    for s in range(n_subspaces):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        ctes.append(
+            f"s{s}pts AS (SELECT id, v[{lo}:{hi}] AS v FROM resid)"
+        )
+        ctes.append(
+            f"s{s}train AS (SELECT id, v[{lo}:{hi}] AS v FROM {train_base})"
+        )
+        chain, final = kmeans_ctes(
+            f"s{s}pts", sub_dim, codebook_k, iters, round_digits,
+            prefix=f"s{s}", train_cte=f"s{s}train",
+        )
+        ctes.extend(chain)
+        sq = _sqdist_sql(f"(r.v[{lo}:{hi}])", "c.v", sub_dim)
+        ctes.append(
+            f"adc{s} AS (SELECT r.l, c.c, {sq} AS d FROM {final} c, qres r)"
+        )
+        esq = _sqdist_sql("e.v", "c.v", sub_dim)
+        ctes.append(
+            f"code{s} AS (SELECT id, c FROM ("
+            f"SELECT e.id, c.c, row_number() OVER ("
+            f"PARTITION BY e.id ORDER BY {esq} ASC, c.c ASC) AS rn "
+            f"FROM s{s}pts e, {final} c) WHERE rn = 1)"
+        )
+    joins = "".join(
+        f" JOIN code{s} ON code{s}.id = r.id"
+        f" JOIN adc{s} ON adc{s}.l = r.list_id AND adc{s}.c = code{s}.c"
+        for s in range(n_subspaces)
+    )
+    score = " + ".join(f"adc{s}.d" for s in range(n_subspaces))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT r.id AS id, round({score}, {round_digits}) AS score
+FROM resid r{joins}
+WHERE r.id <> {query_id}
+  AND r.list_id IN (SELECT c FROM probes)
+ORDER BY score ASC, id ASC
+LIMIT {k}
+"""
+    )
+
+
 def ivf_pq_topk_sql(
     table: str,
     id_col: str,

@@ -2317,6 +2317,50 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF+PQ (operators/pq_index.
+    ivf_pq_residual_topk) — the actual FAISS default
+    (by_residual=True): vectors quantize as offsets from their routing
+    centroid (codebook capacity spent on within-cell variation), the
+    query builds a PER-PROBED-LIST ADC table from its residual against
+    that list's centroid, and candidates pick their list's table. The
+    oracle replays assignment, residual subtraction, the per-subspace
+    Lloyd chains over residuals, codes, the RELATIONALLY-built
+    per-list ADC tables (no literal probe inlining — the probe set is
+    data-dependent) and the final (score, id) order."""
+    from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+        FROZEN_CENTROIDS_8X64,
+    )
+    from ml_hadoop_experiment_spark.operators.pq_index import (
+        ivf_pq_residual_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_residual_topk(
+        emb, FROZEN_CENTROIDS_8X64, "vec_id", "embedding", dim=64,
+        query_id=0, k=20, nprobe=4, n_subspaces=4, codebook_k=8,
+        iters=2, train_fraction=0.5, seed=3,
+    )
+
+
+def _sql_ivf_pq_residual() -> str:
+    from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+        FROZEN_CENTROIDS_8X64,
+    )
+    from ml_hadoop_experiment_spark.operators.pq_index import (
+        ivf_pq_residual_topk_sql,
+    )
+
+    return ivf_pq_residual_topk_sql(
+        "embeddings", "vec_id", "embedding", FROZEN_CENTROIDS_8X64, dim=64,
+        query_id=0, k=20, nprobe=4, n_subspaces=4, codebook_k=8,
+        iters=2, train_fraction=0.5, seed=3,
+    )
+
+
+SQL_IVF_PQ_RESIDUAL = _sql_ivf_pq_residual()
+
+
 def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based corpus-merge audit
     (operators/setsketch.kmv_overlap): pairwise vocabulary overlap
@@ -5505,6 +5549,7 @@ QUERIES = {
     # value-type guard) — changed-since-green goes first
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
+    "ivf_pq_residual": q_ivf_pq_residual,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
@@ -5556,10 +5601,10 @@ QUERIES = {
     "cap_per_key": q_cap_per_key,
     "gap_fill": q_gap_fill,
     "heavy_hitters": q_heavy_hitters,
-    "kfold_assign": q_kfold_assign,
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py; r7 leftovers lead
+    "kfold_assign": q_kfold_assign,
     "mixture_sample": q_mixture_sample,
     "sample_by_class": q_sample_by_class,
     "sample_stratified": q_sample_stratified,
@@ -5674,6 +5719,7 @@ ORACLE_SQL = {
     # (the simhash_index precedent — equivalence pytest-gated)
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
+    "ivf_pq_residual": SQL_IVF_PQ_RESIDUAL,
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_encode": SQL_BPE_ENCODE,
     "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,

@@ -161,6 +161,72 @@ class TestIvfPq:
             idx.unpersist()
         assert routed == one_shot
 
+    def test_residual_matches_duckdb_twin(self, spark, emb):
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+            FROZEN_CENTROIDS_8X64,
+        )
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            ivf_pq_residual_topk,
+            ivf_pq_residual_topk_sql,
+        )
+
+        s = [
+            tuple(r)
+            for r in ivf_pq_residual_topk(
+                emb, FROZEN_CENTROIDS_8X64, "vec_id", "embedding",
+                query_id=0, k=20, nprobe=4, **PQ_KW
+            ).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+            "'/root/testdata/sf0.001/embeddings.parquet')"
+        )
+        d = con.execute(
+            ivf_pq_residual_topk_sql(
+                "embeddings", "vec_id", "embedding", FROZEN_CENTROIDS_8X64,
+                query_id=0, k=20, nprobe=4, **PQ_KW
+            )
+        ).fetchall()
+        con.close()
+        assert s == [tuple(r) for r in d]
+
+    def test_residual_recall_against_exact_ranking(self, spark, emb, qvec):
+        """Residual encoding is the FAISS-default accuracy lever: its
+        top-10 must overlap the exact squared-distance top-20 well
+        above chance, like the plain-PQ recall bar in test_pq.py."""
+        from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+            FROZEN_CENTROIDS_8X64,
+        )
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            ivf_pq_residual_topk,
+        )
+        from ml_hadoop_experiment_spark.operators.similarity import (
+            squared_distance_expr,
+        )
+
+        exact = [
+            r["vec_id"]
+            for r in emb.where(F.col("vec_id") != 0)
+            .select(
+                "vec_id",
+                squared_distance_expr(F.col("embedding"), qvec).alias("d"),
+            )
+            .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+            .limit(20)
+            .collect()
+        ]
+        approx = [
+            r["id"]
+            for r in ivf_pq_residual_topk(
+                emb, FROZEN_CENTROIDS_8X64, "vec_id", "embedding",
+                query_id=0, k=10, nprobe=8, **PQ_KW
+            ).collect()
+        ]
+        assert len(set(approx) & set(exact)) >= 4
+
     def test_routing_prunes_and_full_probe_degrades_to_pq(
         self, spark, emb, qvec
     ):
