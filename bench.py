@@ -166,9 +166,13 @@ BENCH_QUERIES = [
     # streaming MG heavy hitters, image content dedup
     "pq_index_topk",
     "ivf_pq_topk",
+    "ivf_pq_residual",
     "bpe_merges",
+    "bpe_encode",
     "streaming_heavy_hitters",
+    "streaming_sample",
     "image_near_dup",
+    "kmv_source_overlap",
 ]
 
 

@@ -5540,13 +5540,15 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0 (9): the five round-10 additions (pq_index_topk /
-    # ivf_pq_topk steady-state + composed ANN, bpe_merges
-    # iterative trainer, streaming_heavy_hitters MG state,
-    # image_near_dup BMP dHash) plus the four queries whose
-    # operator code changed this round (setsim probe_floor
-    # default, rules whitespace class, streaming sketches
-    # value-type guard) — changed-since-green goes first
+    # tier 0 (14): the TEN round-10 additions (pq_index_topk /
+    # ivf_pq_topk / ivf_pq_residual: steady-state, composed, and
+    # residual-encoded ANN; bpe_merges / bpe_encode: tokenizer train
+    # and apply; streaming_heavy_hitters / streaming_sample: bounded
+    # MG and bottom-k-by-hash stream state; image_near_dup: BMP dHash
+    # content dedup; kmv_source_overlap: KMV set-operation estimates)
+    # plus the four queries whose operator code changed this round
+    # (setsim probe_floor default, rules whitespace class, streaming
+    # sketches value-type guard) — changed-since-green goes first
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "ivf_pq_residual": q_ivf_pq_residual,
@@ -5596,8 +5598,10 @@ QUERIES = {
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
     "user_similarity": q_user_similarity,
     "window_topk": q_window_topk,
-    # tier 3 (7): oldest round-7 rows fill the window; the
-    # remaining five round-7 rows are first in line for r11
+    # tier 3 (3): oldest round-7 rows fill the window; each of the
+    # five late-round-10 query additions displaced one more
+    # unchanged-green r7 row below the boundary (all first in line
+    # for r11 alongside the five r7 leftovers)
     "cap_per_key": q_cap_per_key,
     "gap_fill": q_gap_fill,
     "heavy_hitters": q_heavy_hitters,
