@@ -521,9 +521,10 @@ def main() -> None:
             for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
         ]
         rnd = max(rounds, default=0) + 1
-        local_record = f"BENCH_LOCAL_r{rnd:02d}.json"
-        with open(os.path.join(here, local_record), "w") as f:
+        name = f"BENCH_LOCAL_r{rnd:02d}.json"
+        with open(os.path.join(here, name), "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
+        local_record = name  # only advertise the record once it exists
     except Exception:
         pass  # the durable record must never fail the bench itself
     # compact separators: the driver's BENCH record keeps only the TAIL

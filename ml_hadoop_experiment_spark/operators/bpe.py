@@ -38,15 +38,21 @@ Reference parity: criteo/ml-hadoop-experiment has no tokenizer surface
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: symbols never contain whitespace (words are split on \s+), so a
-#: single space joins a pair into one string both engines order and
+#: symbols never contain whitespace (words are split on whitespace), so
+#: a single space joins a pair into one string both engines order and
 #: split identically
 PAIR_SEP = " "
+
+#: word-split regex with the whitespace class spelled explicitly on both
+#: engines — Java's \s includes \x0B where RE2's (DuckDB) does not, the
+#: same cross-engine divergence operators/rules.py pins down
+WORD_SPLIT_SPARK = "[ \t\n\x0B\f\r]+"
+WORD_SPLIT_SQL = "[ \\t\\n\\x0B\\f\\r]+"
 
 
 def _char_symbols(col_name: str) -> Column:
@@ -130,7 +136,7 @@ def bpe_learn(
 
     words = df.select(
         F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            F.split(F.trim(F.lower(F.col(text_col))), WORD_SPLIT_SPARK)
         ).alias("__w")
     ).where(F.length("__w") >= 2)
     vocab = (
@@ -202,7 +208,7 @@ def _learn_ctes(relation: str, text_expr: str, n_merges: int):
     ctes = [
         (
             "w0 AS (SELECT unnest(regexp_split_to_array(trim(lower("
-            f"{text_expr})), '\\s+')) AS w FROM {relation})"
+            f"{text_expr})), '{WORD_SPLIT_SQL}')) AS w FROM {relation})"
         ),
         (
             "v0 AS (SELECT w, count(*) AS c, list_transform(range(1, "
@@ -255,6 +261,7 @@ def bpe_apply(
     id_col: str,
     text_col: str,
     vocab_seg: DataFrame,
+    merges: Optional[List[Tuple[str, str, int]]] = None,
 ) -> DataFrame:
     """Segment every document with a TRAINED vocabulary — the apply
     half of the tokenizer story (:func:`bpe_learn` is the train half):
@@ -266,23 +273,39 @@ def bpe_apply(
     ``vocab_seg`` = ``bpe_learn``'s output frame), and documents
     reassemble by a broadcast join of their positioned words against
     that vocabulary-sized table — the text itself shuffles once for
-    the order-preserving regroup, the fold expressions never run per
-    occurrence (the ``tokens_to_ids`` pattern). Words shorter than 2
-    characters are their own token (nothing to merge — they carry no
-    vocab row by the training filter); empty strings are dropped.
+    the order-preserving regroup (the ``tokens_to_ids`` pattern).
+
+    Out-of-vocabulary words: pass ``merges`` (``bpe_learn``'s ordered
+    merge list) and unseen words are segmented by applying the trained
+    merges to their character arrays inline — exactly what the trained
+    tokenizer produces on NEW text, as a pure fold-expression chain
+    evaluated only on join misses. WITHOUT ``merges`` an OOV word
+    passes through as one unsegmented token — correct only for
+    same-corpus application (apply to the corpus the vocab was trained
+    on), so cross-corpus callers must pass ``merges``. Words shorter
+    than 2 characters carry no vocab row (the training filter) and
+    segment to themselves under either path; empty strings are
+    dropped.
     """
     words = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            F.split(F.trim(F.lower(F.col(text_col))), WORD_SPLIT_SPARK)
         ).alias("pos", "w"),
     ).where(F.length("w") >= 1)
     seg = vocab_seg.select(
         F.col("word").alias("__w"), F.col("segmentation").alias("__seg")
     )
+    if merges is not None:
+        syms = _char_symbols("w")
+        for left, right, *_ in merges:
+            syms = merge_pair_expr(syms, left, right)
+        fallback = F.array_join(syms, PAIR_SEP)
+    else:
+        fallback = F.col("w")
     joined = words.join(
         F.broadcast(seg), words["w"] == F.col("__w"), "left"
-    ).select("id", "pos", F.coalesce("__seg", F.col("w")).alias("seg"))
+    ).select("id", "pos", F.coalesce("__seg", fallback).alias("seg"))
     toks = (
         joined.groupBy("id")
         .agg(
@@ -311,21 +334,30 @@ def bpe_apply_sql(
     trains the segmented vocabulary, then documents re-split with
     zipped positional unnest, LEFT JOIN the vocabulary, and
     ``string_agg(..., ORDER BY pos)`` reassembles each document's
-    token stream in order."""
+    token stream in order. Out-of-vocabulary words fall back to the
+    trained merge folds applied inline (nested ``list_reduce`` chain
+    correlated on the ``best_i`` rows) — the twin of
+    :func:`bpe_apply` WITH ``merges`` supplied."""
     ctes, final = _learn_ctes(relation, text_expr, n_merges)
+    split = f"regexp_split_to_array(trim(lower({text_expr})), '{WORD_SPLIT_SQL}')"  # noqa: E501
     ctes.append(
         "docw AS (SELECT "
         f"{id_expr} AS id, "
-        f"unnest(regexp_split_to_array(trim(lower({text_expr})), '\\s+'))"
-        " AS w, "
-        f"unnest(range(1, len(regexp_split_to_array(trim(lower("
-        f"{text_expr})), '\\s+')) + 1)) AS pos "
+        f"unnest({split}) AS w, "
+        f"unnest(range(1, len({split}) + 1)) AS pos "
         f"FROM {relation})"
     )
+    fold = (
+        "list_transform(range(1, len(d.w) + 1), i -> substring(d.w, i, 1))"
+    )
+    for i in range(n_merges):
+        fold = _merge_fold_sql(fold, f"b{i}.l", f"b{i}.r")
+    best_joins = "".join(f", best{i} b{i}" for i in range(n_merges))
     ctes.append(
         "docseg AS (SELECT d.id, d.pos, coalesce("
-        f"array_to_string(v.s, '{PAIR_SEP}'), d.w) AS seg "
-        f"FROM docw d LEFT JOIN {final} v ON d.w = v.w "
+        f"array_to_string(v.s, '{PAIR_SEP}'), "
+        f"array_to_string({fold}, '{PAIR_SEP}')) AS seg "
+        f"FROM docw d LEFT JOIN {final} v ON d.w = v.w{best_joins} "
         "WHERE len(d.w) >= 1)"
     )
     return (

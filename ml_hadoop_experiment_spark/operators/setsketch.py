@@ -19,8 +19,11 @@ Exchange shape at 100 TB: each set contributes exactly ``k`` hash rows
 (its sketch) to the pairwise stage — set sizes never travel. With the
 portable hash the sketch CONTENT is deterministic, so the whole
 estimator replays in DuckDB and the estimate itself is
-oracle-checkable (the ``kmv_distinct`` precedent). Sets smaller than
-``k`` keep their entire hash set and every estimate degrades to exact.
+oracle-checkable (the ``kmv_distinct`` precedent). When a pair's
+UNION has fewer than ``k`` distinct keys, both sketches are complete
+and every estimate degrades to exact (two complete sketches of sets
+whose union exceeds ``k`` still truncate at the combine, so the
+estimator arm runs).
 
 This lives in its own module (not sketches.py) so `kmv_distinct`'s
 import closure keeps its verified fingerprint.
@@ -62,6 +65,7 @@ def kmv_overlap(
     ``jaccard`` yardstick (est-vs-truth audit, the ``cms_audit`` /
     ``hll_audit`` convention; at 100 TB the exact columns are the
     audit-run extra, the sketch columns are the production path).
+    Estimates are exact whenever the pair's UNION fits under ``k``.
 
     Plan: ONE distinct pass builds every set's k-minima sketch (window
     top-k per set — k rows per set leave the stage); the pairwise

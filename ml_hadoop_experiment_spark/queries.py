@@ -2376,9 +2376,13 @@ def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ml_hadoop_experiment_spark.operators.setsketch import kmv_overlap
 
     docs = _t(spark, sf_dir, "documents")
+    from ml_hadoop_experiment_spark.operators.bpe import WORD_SPLIT_SPARK
+
     grams = docs.select(
         "source",
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__ws"),
+        F.split(F.trim(F.lower(F.col("text"))), WORD_SPLIT_SPARK).alias(
+            "__ws"
+        ),
     ).select(
         "source",
         F.explode(
@@ -2400,11 +2404,13 @@ def _sql_kmv_source_overlap() -> str:
         kmv_overlap_sql,
     )
 
+    from ml_hadoop_experiment_spark.operators.bpe import WORD_SPLIT_SQL
+
     grams = (
         "(SELECT source, unnest(list_transform(range(1, len(__ws) - 1),"
         " i -> __ws[i] || ' ' || __ws[i + 1] || ' ' || __ws[i + 2]))"
         " AS gram FROM (SELECT source, regexp_split_to_array(trim(lower("
-        "text)), '\\s+') AS __ws FROM documents))"
+        f"text)), '{WORD_SPLIT_SQL}') AS __ws FROM documents))"
     )
     return kmv_overlap_sql(grams, "source", "gram", k=64, hash_mode="string")
 
@@ -2500,8 +2506,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ml_hadoop_experiment_spark.operators.bpe import bpe_apply, bpe_learn
 
     docs = _t(spark, sf_dir, "documents")
-    vocab_seg, _merges = bpe_learn(docs, "text", n_merges=4)
-    return bpe_apply(docs, "doc_id", "text", vocab_seg)
+    vocab_seg, merges = bpe_learn(docs, "text", n_merges=4)
+    # merges supplied: OOV words (none in same-corpus application, but
+    # the oracle twin always carries the fold fallback) segment by the
+    # trained merges instead of passing through unsegmented
+    return bpe_apply(docs, "doc_id", "text", vocab_seg, merges=merges)
 
 
 def _sql_bpe_encode() -> str:
@@ -5529,18 +5538,19 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # quantize importers + kmeans_clusters after the clustering.py
 # kmeans_ctes extraction) + 21 oldest-green unchanged backfill (the 18
 # r04 rows and 3 oldest r05 rows).
-# r10 window = 9 tier-0 (five round-10 additions: pq_index_topk,
-# ivf_pq_topk, bpe_merges, streaming_heavy_hitters, image_near_dup;
-# four changed-since-green: jaccard_join, topk_similar_pairs,
-# quality_rules, streaming_distinct — the setsim/rules/streaming-
-# sketches edits) + the ENTIRE 34-query round-5-green cohort (the
-# stalest rows) + 7 oldest round-7 rows; the five round-7 leftovers
-# (streaming_enrich, trailing_window, train_split, twap,
-# weighted_sample) lead position 51+ and are first in line for r11.
+# r10 window = 13 tier-0 (NINE round-10 additions: pq_index_topk,
+# ivf_pq_topk, ivf_pq_residual, bpe_merges, bpe_encode,
+# streaming_heavy_hitters, streaming_sample, kmv_source_overlap,
+# image_near_dup; four changed-since-green: jaccard_join,
+# topk_similar_pairs, quality_rules, streaming_distinct — the
+# setsim/rules/streaming-sketches edits) + the ENTIRE 34-query
+# round-5-green cohort (the stalest rows) + 3 oldest round-7 rows;
+# the nine displaced/leftover round-7 rows lead position 51+ and are
+# first in line for r11.
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0 (14): the TEN round-10 additions (pq_index_topk /
+    # tier 0 (13): the NINE round-10 additions (pq_index_topk /
     # ivf_pq_topk / ivf_pq_residual: steady-state, composed, and
     # residual-encoded ANN; bpe_merges / bpe_encode: tokenizer train
     # and apply; streaming_heavy_hitters / streaming_sample: bounded
@@ -5599,7 +5609,7 @@ QUERIES = {
     "user_similarity": q_user_similarity,
     "window_topk": q_window_topk,
     # tier 3 (3): oldest round-7 rows fill the window; each of the
-    # five late-round-10 query additions displaced one more
+    # FOUR late-round-10 query additions displaced one more
     # unchanged-green r7 row below the boundary (all first in line
     # for r11 alongside the five r7 leftovers)
     "cap_per_key": q_cap_per_key,

@@ -101,6 +101,33 @@ class TestBpeLearn:
         assert out[3]["tokens"] == "a lo ne x"
         assert out[3]["n_tokens"] == 4
 
+    def test_apply_oov_words_segment_by_trained_merges(self, spark):
+        """Cross-corpus application: a word UNSEEN at training time
+        must be segmented by the trained merges applied to its chars
+        (what the tokenizer produces on new text), not passed through
+        as one unsegmented token."""
+        from ml_hadoop_experiment_spark.operators.bpe import (
+            bpe_apply,
+            bpe_learn,
+        )
+
+        train = spark.createDataFrame(
+            [("low low low lower lowest",), ("new newer newest low",),
+             ("a lone x",)],
+            "text string",
+        )
+        vocab, merges = bpe_learn(train, "text", n_merges=3)
+        # merges: (l,o), (lo,w), (n,e). 'lowland' is OOV: chars ->
+        # (l,o)->'lo' ... -> lo w l a n d -> (lo,w)->'low' -> low l a n d
+        # -> (n,e): no 'n e' adjacency -> final: low l a n d
+        new = spark.createDataFrame(
+            [(9, "lowland low")], "doc_id long, text string"
+        )
+        with_m = bpe_apply(new, "doc_id", "text", vocab, merges=merges)
+        assert with_m.collect()[0]["tokens"] == "low l a n d low"
+        without = bpe_apply(new, "doc_id", "text", vocab)
+        assert without.collect()[0]["tokens"] == "lowland low"
+
     def test_apply_matches_duckdb_train_and_apply(self, spark):
         import duckdb
 
@@ -111,9 +138,14 @@ class TestBpeLearn:
         )
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        vocab, _ = bpe_learn(docs, "text", n_merges=4)
+        vocab, merges = bpe_learn(docs, "text", n_merges=4)
         s = sorted(
-            map(tuple, bpe_apply(docs, "doc_id", "text", vocab).collect())
+            map(
+                tuple,
+                bpe_apply(
+                    docs, "doc_id", "text", vocab, merges=merges
+                ).collect(),
+            )
         )
         con = duckdb.connect()
         con.execute(
