@@ -334,15 +334,27 @@ def ivf_pq_residual_topk(
     distances.
 
     Plan shape: the residual column is one fused map expression
-    (argmin + element_at + zip_with subtract); training is
-    sample-bounded Lloyd on residual slices; scoring is one map-only
-    scan of the probed lists with nprobe x n_subspaces literal lookup
-    tables. The ENTIRE pipeline — assignment, residuals, per-subspace
-    Lloyd chains on residuals, codes, per-list ADC tables, final order
-    — replays in DuckDB (:func:`ivf_pq_residual_topk_sql`).
+    (argmin + element_at + zip_with subtract), MATERIALIZED once
+    (MEMORY_AND_DISK pin, registered for sweep reclaim): the trainer's
+    ~(iters + 2) x n_subspaces Lloyd aggregations and the scoring scan
+    all read the computed residuals instead of re-running the
+    assignment argmin per scan (measured 14.3 s -> see SCALE.md);
+    training is sample-bounded Lloyd on residual slices; scoring is
+    one map-only scan of the probed lists with nprobe x n_subspaces
+    literal lookup tables. The ENTIRE pipeline — assignment,
+    residuals, per-subspace Lloyd chains on residuals, codes, per-list
+    ADC tables, final order — replays in DuckDB
+    (:func:`ivf_pq_residual_topk_sql`).
     """
+    from pyspark import StorageLevel
+
+    from ..common.cache_registry import register_pinned
+
     sub_dim = _check_geometry(dim, n_subspaces)
-    resid = _residual_frame(df, centroids, id_col, vec_col)
+    resid = _residual_frame(df, centroids, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    register_pinned(resid)
     codebooks = pq_train(
         resid, "id", "res", dim, n_subspaces, codebook_k, iters,
         train_fraction, seed, round_digits,
