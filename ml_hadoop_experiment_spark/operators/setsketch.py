@@ -35,8 +35,6 @@ and `operators/hll.py`.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
