@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "pq_index_topk",
     "ivf_pq_topk",
     "ivf_pq_residual",
+    "pq_residual_index",
     "bpe_merges",
     "bpe_encode",
     "streaming_heavy_hitters",

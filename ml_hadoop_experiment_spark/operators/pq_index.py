@@ -59,6 +59,9 @@ class PQIndex:
     and the trained codebooks that decode them. The codebooks travel
     with the index: scoring against codes produced by OTHER codebooks
     is silently meaningless, so the pairing is structural.
+    ``by_residual`` indexes remember that their codes quantize
+    RESIDUALS (offsets from the routing centroid), so probes build
+    per-list ADC tables from the query's residuals.
 
     Build with :func:`build_pq_index`; probe with
     :func:`pq_topk_against_index`; :meth:`unpersist` when the corpus
@@ -72,12 +75,14 @@ class PQIndex:
         dim: int,
         round_digits: int,
         centroids: Optional[Sequence[Sequence[float]]] = None,
+        by_residual: bool = False,
     ):
         self.codes = codes
         self.codebooks = codebooks
         self.dim = dim
         self.round_digits = round_digits
         self.centroids = centroids
+        self.by_residual = by_residual
 
     @property
     def n_subspaces(self) -> int:
@@ -99,6 +104,7 @@ def build_pq_index(
     seed: int = 0,
     round_digits: int = 6,
     centroids: Optional[Sequence[Sequence[float]]] = None,
+    by_residual: bool = False,
     storage_level: Optional["StorageLevel"] = None,  # noqa: F821
     eager: bool = True,
     register: bool = True,
@@ -110,7 +116,11 @@ def build_pq_index(
     ``n_subspaces`` ints per vector, landing on local disk at 100 TB
     rather than OOM). With ``centroids`` the frame also carries the
     frozen-IVF ``list_id`` (same argmin expression as
-    ``similarity.ivf_assign_fixed``), enabling routed probes.
+    ``similarity.ivf_assign_fixed``), enabling routed probes; with
+    ``by_residual`` (requires ``centroids``) training and codes run
+    over each vector's RESIDUAL against its routing centroid — the
+    FAISS-default index form whose one-shot twin is
+    :func:`ivf_pq_residual_topk`.
 
     ``eager`` materializes the pin here so the first probe doesn't pay
     the encode scan; ``register=True`` tracks the pin with
@@ -123,6 +133,35 @@ def build_pq_index(
     from ..common.cache_registry import register_pinned
 
     _check_geometry(dim, n_subspaces)
+    level = storage_level or StorageLevel.MEMORY_AND_DISK
+    if by_residual:
+        if centroids is None:
+            raise ValueError("by_residual requires centroids")
+        # materialize residuals once: the trainer's Lloyd aggregations
+        # and the encode scan all read them (the ivf_pq_residual_topk
+        # lesson: recomputing the argmin+subtract per scan cost 1.5x)
+        resid = _residual_frame(df, centroids, id_col, vec_col).persist(
+            level
+        )
+        codebooks = pq_train(
+            resid, "id", "res", dim, n_subspaces, codebook_k, iters,
+            train_fraction, seed, round_digits,
+        )
+        codes = resid.select(
+            "id",
+            "list_id",
+            pq_code_expr(F.col("res"), codebooks).alias("code"),
+        ).persist(level)
+        if eager:
+            codes.count()
+            resid.unpersist()  # codes materialized; scaffold not needed
+        elif register:
+            register_pinned(resid)
+        if register:
+            register_pinned(codes)
+        return PQIndex(
+            codes, codebooks, dim, round_digits, centroids, by_residual=True
+        )
     codebooks = pq_train(
         df, id_col, vec_col, dim, n_subspaces, codebook_k, iters,
         train_fraction, seed, round_digits,
@@ -135,9 +174,7 @@ def build_pq_index(
         cols.insert(
             1, kmeans_assign_expr(F.col(vec_col), centroids).alias("list_id")
         )
-    codes = df.select(*cols).persist(
-        storage_level or StorageLevel.MEMORY_AND_DISK
-    )
+    codes = df.select(*cols).persist(level)
     if eager:
         codes.count()
     if register:
@@ -163,6 +200,40 @@ def _adc_score_expr(index: PQIndex, query: Sequence[float]) -> "Column":  # noqa
     return score
 
 
+def _residual_adc_score_expr(
+    index: PQIndex, query: Sequence[float], probes: Sequence[int]
+) -> "Column":  # noqa: F821
+    """Residual-index ADC score: per subspace, a CASE over ``list_id``
+    selects the probed list's table (built from the query's residual
+    against that list's centroid — :func:`~.pq._adc_table` doubles,
+    identical to :func:`ivf_pq_residual_topk`'s), then one lookup by
+    the stored code."""
+    sub_dim = index.dim // index.n_subspaces
+    qres = {
+        p: [
+            float(query[j]) - float(index.centroids[p][j])
+            for j in range(index.dim)
+        ]
+        for p in probes
+    }
+    score = None
+    for s in range(index.n_subspaces):
+        table = None
+        for p in probes:
+            adc = _adc_table(qres[p], index.codebooks[s], s * sub_dim)
+            arr = F.array(*[F.lit(d) for d in adc])
+            table = (
+                F.when(F.col("list_id") == p, arr)
+                if table is None
+                else table.when(F.col("list_id") == p, arr)
+            )
+        term = F.element_at(
+            table, F.element_at(F.col("code"), s + 1) + F.lit(1)
+        )
+        score = term if score is None else score + term
+    return score
+
+
 def pq_topk_against_index(
     index: PQIndex,
     query: Sequence[float],
@@ -178,13 +249,17 @@ def pq_topk_against_index(
     that was paid at encode time) over one map-only scan of the pinned
     frame. ``nprobe`` (index built with centroids only) routes the
     scan to the lists nearest the query first — the IVF+PQ serving
-    path."""
+    path. Against a ``by_residual`` index the ADC tables are built
+    per probed list from the query's residual against that list's
+    centroid (unrouted probes build tables for every list) — the
+    steady-state sibling of :func:`ivf_pq_residual_topk`."""
     query = [float(x) for x in query]
     if len(query) != index.dim:
         raise ValueError(
             f"query vector has {len(query)} dims, expected {index.dim}"
         )
     base = index.codes
+    probes = None
     if nprobe is not None:
         if index.centroids is None:
             raise ValueError(
@@ -194,12 +269,16 @@ def pq_topk_against_index(
         base = base.where(F.col("list_id").isin(probes))
     if exclude_id is not None:
         base = base.where(F.col("id") != exclude_id)
+    if index.by_residual:
+        if probes is None:
+            probes = list(range(len(index.centroids)))
+        score = _residual_adc_score_expr(index, query, probes)
+    else:
+        score = _adc_score_expr(index, query)
     return (
         base.select(
             "id",
-            F.round(_adc_score_expr(index, query), index.round_digits).alias(
-                "score"
-            ),
+            F.round(score, index.round_digits).alias("score"),
         )
         .orderBy(F.col("score").asc(), F.col("id").asc())
         .limit(k)

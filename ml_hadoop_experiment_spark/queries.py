@@ -2361,6 +2361,39 @@ def _sql_ivf_pq_residual() -> str:
 SQL_IVF_PQ_RESIDUAL = _sql_ivf_pq_residual()
 
 
+def q_pq_residual_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state residual PQ index (operators/pq_index.
+    build_pq_index(by_residual=True) + routed pq_topk_against_index):
+    the FAISS-default index form — residuals materialized once,
+    codebooks trained once on them, (id, list_id, residual-code)
+    pinned — then the probe is per-probed-list ADC lookups only. Same
+    parameters and same result contract as q_ivf_pq_residual
+    (equivalence pytest-gated in tests/test_pq_index.py), so the
+    oracle IS SQL_IVF_PQ_RESIDUAL — the pq_index_topk/simhash_index
+    precedent."""
+    from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+        FROZEN_CENTROIDS_8X64,
+    )
+    from ml_hadoop_experiment_spark.operators.pq_index import (
+        build_pq_index,
+        pq_topk_against_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = [
+        float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    idx = build_pq_index(
+        emb, "vec_id", "embedding", dim=64, n_subspaces=4, codebook_k=8,
+        iters=2, train_fraction=0.5, seed=3,
+        centroids=FROZEN_CENTROIDS_8X64, by_residual=True,
+    )
+    return pq_topk_against_index(idx, query, k=20, exclude_id=0, nprobe=4)
+
+
+SQL_PQ_RESIDUAL_INDEX = SQL_IVF_PQ_RESIDUAL
+
+
 def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based corpus-merge audit
     (operators/setsketch.kmv_overlap): pairwise vocabulary overlap
@@ -5538,21 +5571,22 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # quantize importers + kmeans_clusters after the clustering.py
 # kmeans_ctes extraction) + 21 oldest-green unchanged backfill (the 18
 # r04 rows and 3 oldest r05 rows).
-# r10 window = 13 tier-0 (NINE round-10 additions: pq_index_topk,
-# ivf_pq_topk, ivf_pq_residual, bpe_merges, bpe_encode,
-# streaming_heavy_hitters, streaming_sample, kmv_source_overlap,
-# image_near_dup; four changed-since-green: jaccard_join,
+# r10 window = 14 tier-0 (TEN round-10 additions: pq_index_topk,
+# ivf_pq_topk, ivf_pq_residual, pq_residual_index, bpe_merges,
+# bpe_encode, streaming_heavy_hitters, streaming_sample,
+# kmv_source_overlap, image_near_dup; four changed-since-green: jaccard_join,
 # topk_similar_pairs, quality_rules, streaming_distinct — the
 # setsim/rules/streaming-sketches edits) + the ENTIRE 34-query
-# round-5-green cohort (the stalest rows) + 3 oldest round-7 rows;
-# the nine displaced/leftover round-7 rows lead position 51+ and are
+# round-5-green cohort (the stalest rows) + 2 oldest round-7 rows;
+# the ten displaced/leftover round-7 rows lead position 51+ and are
 # first in line for r11.
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0 (13): the NINE round-10 additions (pq_index_topk /
-    # ivf_pq_topk / ivf_pq_residual: steady-state, composed, and
-    # residual-encoded ANN; bpe_merges / bpe_encode: tokenizer train
+    # tier 0 (14): the TEN round-10 additions (pq_index_topk /
+    # ivf_pq_topk / ivf_pq_residual / pq_residual_index: steady-state,
+    # composed, residual-encoded, and steady-state-residual ANN;
+    # bpe_merges / bpe_encode: tokenizer train
     # and apply; streaming_heavy_hitters / streaming_sample: bounded
     # MG and bottom-k-by-hash stream state; image_near_dup: BMP dHash
     # content dedup; kmv_source_overlap: KMV set-operation estimates)
@@ -5562,6 +5596,7 @@ QUERIES = {
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "ivf_pq_residual": q_ivf_pq_residual,
+    "pq_residual_index": q_pq_residual_index,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
@@ -5608,16 +5643,16 @@ QUERIES = {
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
     "user_similarity": q_user_similarity,
     "window_topk": q_window_topk,
-    # tier 3 (3): oldest round-7 rows fill the window; each of the
-    # FOUR late-round-10 query additions displaced one more
+    # tier 3 (2): oldest round-7 rows fill the window; each of the
+    # FIVE late-round-10 query additions displaced one more
     # unchanged-green r7 row below the boundary (all first in line
     # for r11 alongside the five r7 leftovers)
     "cap_per_key": q_cap_per_key,
     "gap_fill": q_gap_fill,
-    "heavy_hitters": q_heavy_hitters,
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py; r7 leftovers lead
+    "heavy_hitters": q_heavy_hitters,
     "kfold_assign": q_kfold_assign,
     "mixture_sample": q_mixture_sample,
     "sample_by_class": q_sample_by_class,
@@ -5734,6 +5769,9 @@ ORACLE_SQL = {
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     "ivf_pq_residual": SQL_IVF_PQ_RESIDUAL,
+    # pq_residual_index: identical result contract to ivf_pq_residual,
+    # same oracle (equivalence pytest-gated)
+    "pq_residual_index": SQL_PQ_RESIDUAL_INDEX,
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_encode": SQL_BPE_ENCODE,
     "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,

@@ -227,6 +227,71 @@ class TestIvfPq:
         ]
         assert len(set(approx) & set(exact)) >= 4
 
+    def test_residual_index_equals_one_shot(self, spark, emb, qvec):
+        """Steady-state residual index (train-once/encode-once residual
+        codes, routed per-list ADC probes) must return exactly the
+        one-shot ivf_pq_residual_topk rows — and unrouted probes
+        (tables for every list) must include the same top rows when
+        nprobe spans all lists."""
+        from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+            FROZEN_CENTROIDS_8X64,
+        )
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            build_pq_index,
+            ivf_pq_residual_topk,
+            pq_topk_against_index,
+        )
+
+        one_shot = [
+            tuple(r)
+            for r in ivf_pq_residual_topk(
+                emb, FROZEN_CENTROIDS_8X64, "vec_id", "embedding",
+                query_id=0, k=20, nprobe=4, **PQ_KW
+            ).collect()
+        ]
+        idx = build_pq_index(
+            emb, "vec_id", "embedding",
+            centroids=FROZEN_CENTROIDS_8X64, by_residual=True,
+            register=False, **PQ_KW
+        )
+        try:
+            assert idx.by_residual
+            assert idx.codes.columns == ["id", "list_id", "code"]
+            routed = [
+                tuple(r)
+                for r in pq_topk_against_index(
+                    idx, qvec, k=20, exclude_id=0, nprobe=4
+                ).collect()
+            ]
+            unrouted = [
+                tuple(r)
+                for r in pq_topk_against_index(
+                    idx, qvec, k=20, exclude_id=0,
+                    nprobe=len(FROZEN_CENTROIDS_8X64),
+                ).collect()
+            ]
+            all_lists = [
+                tuple(r)
+                for r in pq_topk_against_index(
+                    idx, qvec, k=20, exclude_id=0
+                ).collect()
+            ]
+        finally:
+            idx.unpersist()
+        assert routed == one_shot
+        assert unrouted == all_lists
+
+    def test_residual_index_requires_centroids(self, spark, emb):
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            build_pq_index,
+        )
+
+        with pytest.raises(ValueError, match="requires centroids"):
+            build_pq_index(
+                emb, "vec_id", "embedding", by_residual=True,
+                register=False, **PQ_KW
+            )
+
     def test_routing_prunes_and_full_probe_degrades_to_pq(
         self, spark, emb, qvec
     ):
