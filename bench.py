@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "streaming_sample",
     "image_near_dup",
     "kmv_source_overlap",
+    # round-10 late addition: trained trigram language ID
+    "language_id",
 ]
 
 

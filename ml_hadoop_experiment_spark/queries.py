@@ -2664,6 +2664,42 @@ FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 2
 SQL_IMAGE_NEAR_DUP = _sql_image_near_dup()
 
 
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained character-trigram language ID (operators/langid):
+    Cavnar-Trenkle profiles — top-200 trigrams per labeled language,
+    integer rank-weights — trained on the documents table and applied
+    back to it resubstitution-style; output is the per-doc
+    (truth, prediction, score) frame a routing/per-language-dedup
+    stage consumes. Scoring is a broadcast profile join + one integer
+    sum per (doc, lang) + one min(struct) argmax — no float anywhere,
+    no window on the scoring path."""
+    from ml_hadoop_experiment_spark.operators.langid import (
+        language_id,
+        train_language_profiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    profiles = train_language_profiles(
+        docs, "lang", "text", profile_size=200
+    )
+    pred = language_id(docs, "doc_id", "text", profiles)
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_true")
+    ).join(pred, "doc_id")
+
+
+def _sql_language_id() -> str:
+    from ml_hadoop_experiment_spark.operators.langid import language_id_sql
+
+    return language_id_sql(
+        "documents", "documents", "doc_id", "lang", "text",
+        profile_size=200,
+    )
+
+
+SQL_LANGUAGE_ID = _sql_language_id()
+
+
 SQL_STREAMING_HEAVY_HITTERS = """
 WITH c AS (
   SELECT event_type, user_id, count(*) AS n_occurrences
@@ -5571,19 +5607,20 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # quantize importers + kmeans_clusters after the clustering.py
 # kmeans_ctes extraction) + 21 oldest-green unchanged backfill (the 18
 # r04 rows and 3 oldest r05 rows).
-# r10 window = 14 tier-0 (TEN round-10 additions: pq_index_topk,
-# ivf_pq_topk, ivf_pq_residual, pq_residual_index, bpe_merges,
-# bpe_encode, streaming_heavy_hitters, streaming_sample,
+# r10 window = 15 tier-0 (ELEVEN round-10 additions: language_id,
+# pq_index_topk, ivf_pq_topk, ivf_pq_residual, pq_residual_index,
+# bpe_merges, bpe_encode, streaming_heavy_hitters, streaming_sample,
 # kmv_source_overlap, image_near_dup; four changed-since-green: jaccard_join,
 # topk_similar_pairs, quality_rules, streaming_distinct — the
 # setsim/rules/streaming-sketches edits) + the ENTIRE 34-query
-# round-5-green cohort (the stalest rows) + 2 oldest round-7 rows;
-# the ten displaced/leftover round-7 rows lead position 51+ and are
+# round-5-green cohort (the stalest rows) + 1 oldest round-7 row;
+# the eleven displaced/leftover round-7 rows lead position 51+ and are
 # first in line for r11.
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0 (14): the TEN round-10 additions (pq_index_topk /
+    # tier 0 (15): the ELEVEN round-10 additions (language_id: trained
+    # trigram profiles; pq_index_topk /
     # ivf_pq_topk / ivf_pq_residual / pq_residual_index: steady-state,
     # composed, residual-encoded, and steady-state-residual ANN;
     # bpe_merges / bpe_encode: tokenizer train
@@ -5593,6 +5630,7 @@ QUERIES = {
     # plus the four queries whose operator code changed this round
     # (setsim probe_floor default, rules whitespace class, streaming
     # sketches value-type guard) — changed-since-green goes first
+    "language_id": q_language_id,
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "ivf_pq_residual": q_ivf_pq_residual,
@@ -5643,15 +5681,15 @@ QUERIES = {
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
     "user_similarity": q_user_similarity,
     "window_topk": q_window_topk,
-    # tier 3 (2): oldest round-7 rows fill the window; each of the
-    # FIVE late-round-10 query additions displaced one more
+    # tier 3 (1): oldest round-7 row fills the window; each of the
+    # SIX late-round-10 query additions displaced one more
     # unchanged-green r7 row below the boundary (all first in line
     # for r11 alongside the five r7 leftovers)
     "cap_per_key": q_cap_per_key,
-    "gap_fill": q_gap_fill,
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py; r7 leftovers lead
+    "gap_fill": q_gap_fill,
     "heavy_hitters": q_heavy_hitters,
     "kfold_assign": q_kfold_assign,
     "mixture_sample": q_mixture_sample,
@@ -5766,6 +5804,7 @@ ORACLE_SQL = {
     # the near_dup_index precedent)
     # pq_index_topk: identical result contract to pq_topk, same oracle
     # (the simhash_index precedent — equivalence pytest-gated)
+    "language_id": SQL_LANGUAGE_ID,
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     "ivf_pq_residual": SQL_IVF_PQ_RESIDUAL,
