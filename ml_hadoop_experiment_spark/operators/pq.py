@@ -44,7 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_unit_hash, portable_unit_hash_sql
-from .clustering import kmeans_assign_expr, kmeans_ctes, kmeans_lloyd
+from .clustering import _SUM_DECIMAL, kmeans_assign_expr, kmeans_ctes
 
 
 def _check_geometry(dim: int, n_subspaces: int) -> int:
@@ -69,27 +69,97 @@ def pq_train(
 ) -> List[List[List[float]]]:
     """``n_subspaces`` codebooks (each ``codebook_k x dim/n_subspaces``
     rounded-double centroids) via deterministic Lloyd per sub-slice,
-    trained on the portable-hash sample when ``train_fraction < 1``."""
+    trained on the portable-hash sample when ``train_fraction < 1``.
+
+    All subspaces train FUSED: one init collect (the ``codebook_k``
+    smallest-id vectors seed every subspace — slicing does not change
+    ids) and ONE aggregation job per iteration, with the per-subspace
+    assignment + slice exploded to ``(subspace, cluster)`` keys. This
+    replaces ``n_subspaces`` sequential :func:`~.clustering.kmeans_lloyd`
+    chains (``n_subspaces x (iters + 1)`` driver-coordinated jobs) with
+    ``iters + 1`` — and is bit-identical to them, because every
+    arithmetic step is unchanged: same ``kmeans_assign_expr`` argmin on
+    the same slices, per-dimension ``decimal(27,10)`` sums (exact, so
+    the grouping route cannot change them), the same single double
+    division + rounding, and the same empty-cluster keep-previous rule
+    per (subspace, cluster). The fused==sequential equivalence is
+    pytest-pinned (tests/test_pq.py) and the DuckDB oracle remains the
+    per-subspace :func:`~.clustering.kmeans_ctes` chains."""
     sub_dim = _check_geometry(dim, n_subspaces)
     if not 0.0 < train_fraction <= 1.0:
         raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
+    if codebook_k < 1 or iters < 0:
+        raise ValueError(
+            f"need k >= 1 and iters >= 0, got k={codebook_k} iters={iters}"
+        )
     base = df
     if train_fraction < 1.0:
         base = df.where(
             portable_unit_hash(F.col(id_col), salt=seed)
             < F.lit(train_fraction)
         )
-    codebooks = []
-    for s in range(n_subspaces):
-        sub = base.select(
-            F.col(id_col).alias("id"),
-            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("v"),
+    init_rows = (
+        base.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(codebook_k)
+        .collect()
+    )
+    if len(init_rows) < codebook_k:
+        raise ValueError(
+            f"k={codebook_k} but only {len(init_rows)} rows"
         )
-        _, cents = kmeans_lloyd(
-            sub, "id", "v", sub_dim, codebook_k, iters,
-            round_digits=round_digits,
+    codebooks = [
+        [
+            [float(x) for x in r[1][s * sub_dim : (s + 1) * sub_dim]]
+            for r in init_rows
+        ]
+        for s in range(n_subspaces)
+    ]
+    sums = [
+        F.sum(F.col("v")[i].cast(_SUM_DECIMAL)).alias(f"__s{i}")
+        for i in range(sub_dim)
+    ]
+    means = [
+        F.round(
+            F.col(f"__s{i}").cast("double") / F.col("n"), round_digits
+        ).alias(f"__m{i}")
+        for i in range(sub_dim)
+    ]
+    for _ in range(iters):
+        slices = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    kmeans_assign_expr(
+                        F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim),
+                        codebooks[s],
+                    ).alias("c"),
+                    F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
+                        "v"
+                    ),
+                )
+                for s in range(n_subspaces)
+            ]
         )
-        codebooks.append(cents)
+        agg = (
+            base.select(F.explode(slices).alias("e"))
+            .select("e.s", "e.c", "e.v")
+            .groupBy("s", "c")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .select("s", "c", *means)
+        )
+        got = {
+            (r[0], r[1]): [r[i + 2] for i in range(sub_dim)]
+            for r in agg.collect()
+        }
+        # empty (subspace, cluster) cells keep their previous centroid
+        codebooks = [
+            [
+                got.get((s, j), codebooks[s][j])
+                for j in range(codebook_k)
+            ]
+            for s in range(n_subspaces)
+        ]
     return codebooks
 
 

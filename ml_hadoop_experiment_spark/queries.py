@@ -5607,19 +5607,20 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # quantize importers + kmeans_clusters after the clustering.py
 # kmeans_ctes extraction) + 21 oldest-green unchanged backfill (the 18
 # r04 rows and 3 oldest r05 rows).
-# r10 window = 15 tier-0 (ELEVEN round-10 additions: language_id,
+# r10 window = 16 tier-0 (ELEVEN round-10 additions: language_id,
 # pq_index_topk, ivf_pq_topk, ivf_pq_residual, pq_residual_index,
 # bpe_merges, bpe_encode, streaming_heavy_hitters, streaming_sample,
-# kmv_source_overlap, image_near_dup; four changed-since-green: jaccard_join,
+# kmv_source_overlap, image_near_dup; five changed-since-green: jaccard_join,
 # topk_similar_pairs, quality_rules, streaming_distinct — the
-# setsim/rules/streaming-sketches edits) + the ENTIRE 34-query
-# round-5-green cohort (the stalest rows) + 1 oldest round-7 row;
-# the eleven displaced/leftover round-7 rows lead position 51+ and are
+# setsim/rules/streaming-sketches edits — and pq_topk after the fused
+# pq_train trainer) + the ENTIRE 34-query
+# round-5-green cohort (the stalest rows); no round-7 filler remains —
+# the twelve displaced/leftover round-7 rows lead position 51+ and are
 # first in line for r11.
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0 (15): the ELEVEN round-10 additions (language_id: trained
+    # tier 0 (16): the ELEVEN round-10 additions (language_id: trained
     # trigram profiles; pq_index_topk /
     # ivf_pq_topk / ivf_pq_residual / pq_residual_index: steady-state,
     # composed, residual-encoded, and steady-state-residual ANN;
@@ -5645,6 +5646,11 @@ QUERIES = {
     "topk_similar_pairs": q_topk_similar_pairs,
     "quality_rules": q_quality_rules,
     "streaming_distinct": q_streaming_distinct,
+    # changed-since-green late in round 10: the fused PQ trainer
+    # (operators/pq.py pq_train — one aggregation job per Lloyd
+    # iteration across all subspaces) re-fingerprints the whole PQ
+    # family; the other four PQ queries are already tier-0 above
+    "pq_topk": q_pq_topk,
     # tier 2 (34): the full round-5-green cohort — the stalest
     # rows in the history — re-enters for re-verification
     "audio_meta": q_audio_meta,
@@ -5681,14 +5687,14 @@ QUERIES = {
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
     "user_similarity": q_user_similarity,
     "window_topk": q_window_topk,
-    # tier 3 (1): oldest round-7 row fills the window; each of the
-    # SIX late-round-10 query additions displaced one more
-    # unchanged-green r7 row below the boundary (all first in line
+    # (no tier-3 filler: 16 tier-0 + 34 tier-2 fill the window; the
+    # SEVEN late-round-10 tier-0 additions each displaced one more
+    # unchanged-green r7 row below the boundary — all first in line
     # for r11 alongside the five r7 leftovers)
-    "cap_per_key": q_cap_per_key,
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py; r7 leftovers lead
+    "cap_per_key": q_cap_per_key,
     "gap_fill": q_gap_fill,
     "heavy_hitters": q_heavy_hitters,
     "kfold_assign": q_kfold_assign,
@@ -5705,7 +5711,6 @@ QUERIES = {
     "split_leakage": q_split_leakage,
     "hll_audit": q_hll_audit,
     "ngram_novelty": q_ngram_novelty,
-    "pq_topk": q_pq_topk,
     "oov_rate": q_oov_rate,
     "kmeans_clusters": q_kmeans_clusters,
     "unigram_xent": q_unigram_xent,

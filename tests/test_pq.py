@@ -33,6 +33,38 @@ class TestPqTrain:
         with pytest.raises(ValueError, match="train_fraction"):
             pq_train(emb, "vec_id", "embedding", 64, train_fraction=0.0)
 
+    def test_fused_trainer_equals_sequential_lloyd(self, spark, emb):
+        """pq_train's one-job-per-iteration fused trainer must be
+        bit-identical to the per-subspace kmeans_lloyd chains it
+        replaced (same init ids, same assignment argmin, exact decimal
+        sums, same division/rounding, same empty-cluster rule)."""
+        from ml_hadoop_experiment_spark.operators.clustering import (
+            kmeans_lloyd,
+        )
+        from ml_hadoop_experiment_spark.operators.pq import pq_train
+
+        fused = pq_train(
+            emb, "vec_id", "embedding", 64, n_subspaces=4,
+            codebook_k=8, iters=2, train_fraction=0.5, seed=3,
+        )
+        from ml_hadoop_experiment_spark.functions.hashing import (
+            portable_unit_hash,
+        )
+
+        base = emb.where(
+            portable_unit_hash(F.col("vec_id"), salt=3) < F.lit(0.5)
+        )
+        sub_dim = 16
+        for s in range(4):
+            sub = base.select(
+                F.col("vec_id").alias("id"),
+                F.slice(
+                    F.col("embedding"), s * sub_dim + 1, sub_dim
+                ).alias("v"),
+            )
+            _, cents = kmeans_lloyd(sub, "id", "v", sub_dim, 8, 2)
+            assert fused[s] == cents, f"subspace {s} diverged"
+
     def test_sample_training_is_deterministic(self, spark, emb):
         from ml_hadoop_experiment_spark.operators.pq import pq_train
 
