@@ -174,8 +174,10 @@ BENCH_QUERIES = [
     "streaming_sample",
     "image_near_dup",
     "kmv_source_overlap",
-    # round-10 late addition: trained trigram language ID
+    # round-10 late additions: trained trigram language ID, streaming
+    # fixed-width histogram quantiles
     "language_id",
+    "streaming_quantiles",
 ]
 
 

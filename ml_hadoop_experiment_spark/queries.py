@@ -2246,6 +2246,72 @@ def _sql_streaming_distinct() -> str:
 SQL_STREAMING_DISTINCT = _sql_streaming_distinct()
 
 
+def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile sketch
+    (streaming/quantiles.stateful_histogram): p50/p90/p99 of event
+    value per event type with a fixed-width histogram as the per-key
+    state (1000 longs per key FOREVER, vs exact quantile state that
+    grows with cardinality), drained availableNow. The emitted
+    (key, bin, cnt) rows are max-merged (counts only grow) and
+    finished through the SAME estimator as the batch sketch
+    (operators/histogram.quantiles_from_histogram — lower edge of the
+    bin holding rank ceil(q*N)), so the streaming result equals a
+    batch replay and the DuckDB oracle replays that batch chain over
+    events."""
+    import uuid
+
+    from ml_hadoop_experiment_spark.operators.histogram import (
+        quantiles_from_histogram,
+    )
+    from ml_hadoop_experiment_spark.streaming.quantiles import (
+        stateful_histogram,
+    )
+
+    wire_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(wire_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_type", "value")
+    )
+    out = stateful_histogram(
+        stream, ["event_type"], "value", lo=0.0, hi=500.0, n_bins=1000
+    )
+    sink = f"streaming_quantiles_{uuid.uuid4().hex}"
+    with _drained_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    sketch = (
+        spark.table(sink)
+        .groupBy("event_type", "bin")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    return quantiles_from_histogram(
+        sketch, ["event_type"], lo=0.0, hi=500.0, n_bins=1000,
+        qs=(0.5, 0.9, 0.99),
+    )
+
+
+def _sql_streaming_quantiles() -> str:
+    from ml_hadoop_experiment_spark.operators.histogram import (
+        histogram_quantiles_sql,
+    )
+
+    return histogram_quantiles_sql(
+        "events", ["event_type"], "value", lo=0.0, hi=500.0,
+        n_bins=1000, qs=(0.5, 0.9, 0.99),
+    )
+
+
+SQL_STREAMING_QUANTILES = _sql_streaming_quantiles()
+
+
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming heavy hitters
     (streaming/sketches.stateful_heavy_hitters): per-event-type
@@ -5607,21 +5673,23 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # quantize importers + kmeans_clusters after the clustering.py
 # kmeans_ctes extraction) + 21 oldest-green unchanged backfill (the 18
 # r04 rows and 3 oldest r05 rows).
-# r10 window = 16 tier-0 (ELEVEN round-10 additions: language_id,
-# pq_index_topk, ivf_pq_topk, ivf_pq_residual, pq_residual_index,
-# bpe_merges, bpe_encode, streaming_heavy_hitters, streaming_sample,
+# r10 window = 17 tier-0 (TWELVE round-10 additions: language_id,
+# streaming_quantiles, pq_index_topk, ivf_pq_topk, ivf_pq_residual,
+# pq_residual_index, bpe_merges, bpe_encode, streaming_heavy_hitters,
+# streaming_sample,
 # kmv_source_overlap, image_near_dup; five changed-since-green: jaccard_join,
 # topk_similar_pairs, quality_rules, streaming_distinct — the
 # setsim/rules/streaming-sketches edits — and pq_topk after the fused
-# pq_train trainer) + the ENTIRE 34-query
-# round-5-green cohort (the stalest rows); no round-7 filler remains —
-# the twelve displaced/leftover round-7 rows lead position 51+ and are
-# first in line for r11.
+# pq_train trainer) + 33 of the 34-query
+# round-5-green cohort (the stalest rows; window_topk displaced to 51+)
+# — the displaced/leftover round-5/round-7 rows lead position 51+ and
+# are first in line for r11.
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0 (16): the ELEVEN round-10 additions (language_id: trained
-    # trigram profiles; pq_index_topk /
+    # tier 0 (17): the TWELVE round-10 additions (language_id: trained
+    # trigram profiles; streaming_quantiles: fixed-width histogram
+    # stream state finished by the batch estimator; pq_index_topk /
     # ivf_pq_topk / ivf_pq_residual / pq_residual_index: steady-state,
     # composed, residual-encoded, and steady-state-residual ANN;
     # bpe_merges / bpe_encode: tokenizer train
@@ -5632,6 +5700,7 @@ QUERIES = {
     # (setsim probe_floor default, rules whitespace class, streaming
     # sketches value-type guard) — changed-since-green goes first
     "language_id": q_language_id,
+    "streaming_quantiles": q_streaming_quantiles,
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "ivf_pq_residual": q_ivf_pq_residual,
@@ -5686,7 +5755,6 @@ QUERIES = {
     "streaming_sessionize": q_streaming_sessionize,
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
     "user_similarity": q_user_similarity,
-    "window_topk": q_window_topk,
     # (no tier-3 filler: 16 tier-0 + 34 tier-2 fill the window; the
     # SEVEN late-round-10 tier-0 additions each displaced one more
     # unchanged-green r7 row below the boundary — all first in line
@@ -5696,6 +5764,7 @@ QUERIES = {
     #     tests/test_oracle_parity.py; r7 leftovers lead
     "cap_per_key": q_cap_per_key,
     "gap_fill": q_gap_fill,
+    "window_topk": q_window_topk,
     "heavy_hitters": q_heavy_hitters,
     "kfold_assign": q_kfold_assign,
     "mixture_sample": q_mixture_sample,
@@ -5810,6 +5879,7 @@ ORACLE_SQL = {
     # pq_index_topk: identical result contract to pq_topk, same oracle
     # (the simhash_index precedent — equivalence pytest-gated)
     "language_id": SQL_LANGUAGE_ID,
+    "streaming_quantiles": SQL_STREAMING_QUANTILES,
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     "ivf_pq_residual": SQL_IVF_PQ_RESIDUAL,
