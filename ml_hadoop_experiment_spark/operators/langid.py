@@ -3,7 +3,12 @@
 The classic Cavnar-Trenkle (1994, "N-Gram-Based Text Categorization")
 recipe, re-expressed as two DataFrame stages with integer-exact
 scoring — the language-ID screen every multilingual data-mix pipeline
-runs before routing documents to per-language dedup / quality stages:
+runs before routing documents to per-language dedup / quality stages.
+This is the TRAINED complement of ``functions/text.lang_id`` (the
+zero-setup fixed-stopword heuristic): that one needs no labels and
+covers only its built-in stopword lists; this one learns its profiles
+from any labeled corpus (new languages, domain-specific registers,
+even non-language routing labels) at the cost of a training pass:
 
 1. **Train** (:func:`train_language_profiles`): from a LABELED corpus,
    count character trigrams of ``lower(text)`` per language, rank them
