@@ -175,9 +175,10 @@ BENCH_QUERIES = [
     "image_near_dup",
     "kmv_source_overlap",
     # round-10 late additions: trained trigram language ID, streaming
-    # fixed-width histogram quantiles
+    # fixed-width histogram quantiles, Hilbert layout audit
     "language_id",
     "streaming_quantiles",
+    "hilbert_stats",
 ]
 
 

@@ -4260,6 +4260,54 @@ GROUP BY 1
 SQL_ZORDER_STATS = _sql_zorder_stats()
 
 
+def q_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering audit (plans/hilbert.py): bucket orders
+    by the top 8 bits of the 2x6-bit Hilbert position of
+    (o_custkey, o_totalprice) and report each bucket's bounding box —
+    the same audit shape as zorder_stats on the same dims, so the two
+    layouts' per-bucket tightness is directly comparable. The curve is
+    a driver-built 4096-entry lookup evaluated as one literal-array
+    element_at per row (map-only; unrolling the xy2d rotation loop as
+    expressions would explode under projection collapse — see the
+    module docstring)."""
+    from ml_hadoop_experiment_spark.plans.hilbert import hilbert_value_expr
+
+    orders = _t(spark, sf_dir, "orders")
+    h = hilbert_value_expr(
+        [(F.col(c), lo, hi) for (c, lo, hi) in _ZDIMS], bits=6
+    )
+    return (
+        orders.withColumn("h_bucket", F.shiftright(h, 4))
+        .groupBy("h_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+def _sql_hilbert_stats() -> str:
+    from ml_hadoop_experiment_spark.plans.hilbert import hilbert_value_sql
+
+    h = hilbert_value_sql(_ZDIMS, bits=6)
+    return f"""
+SELECT ({h} >> 4) AS h_bucket,
+       count(*) AS n_rows,
+       min(o_custkey) AS min_custkey,
+       max(o_custkey) AS max_custkey,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1
+"""
+
+
+SQL_HILBERT_STATS = _sql_hilbert_stats()
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join, drained availableNow: purchases
     within 30 minutes after a click by the same user. Both sides are
@@ -5673,23 +5721,25 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # quantize importers + kmeans_clusters after the clustering.py
 # kmeans_ctes extraction) + 21 oldest-green unchanged backfill (the 18
 # r04 rows and 3 oldest r05 rows).
-# r10 window = 17 tier-0 (TWELVE round-10 additions: language_id,
-# streaming_quantiles, pq_index_topk, ivf_pq_topk, ivf_pq_residual,
+# r10 window = 18 tier-0 (THIRTEEN round-10 additions: language_id,
+# streaming_quantiles, hilbert_stats, pq_index_topk, ivf_pq_topk,
+# ivf_pq_residual,
 # pq_residual_index, bpe_merges, bpe_encode, streaming_heavy_hitters,
 # streaming_sample,
 # kmv_source_overlap, image_near_dup; five changed-since-green: jaccard_join,
 # topk_similar_pairs, quality_rules, streaming_distinct — the
 # setsim/rules/streaming-sketches edits — and pq_topk after the fused
-# pq_train trainer) + 33 of the 34-query
-# round-5-green cohort (the stalest rows; window_topk displaced to 51+)
+# pq_train trainer) + 32 of the 34-query round-5-green cohort (the
+# stalest rows; window_topk and user_similarity displaced to 51+)
 # — the displaced/leftover round-5/round-7 rows lead position 51+ and
 # are first in line for r11.
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0 (17): the TWELVE round-10 additions (language_id: trained
+    # tier 0 (18): the THIRTEEN round-10 additions (language_id: trained
     # trigram profiles; streaming_quantiles: fixed-width histogram
-    # stream state finished by the batch estimator; pq_index_topk /
+    # stream state finished by the batch estimator; hilbert_stats:
+    # Hilbert-curve layout audit via literal lookup; pq_index_topk /
     # ivf_pq_topk / ivf_pq_residual / pq_residual_index: steady-state,
     # composed, residual-encoded, and steady-state-residual ANN;
     # bpe_merges / bpe_encode: tokenizer train
@@ -5701,6 +5751,7 @@ QUERIES = {
     # sketches value-type guard) — changed-since-green goes first
     "language_id": q_language_id,
     "streaming_quantiles": q_streaming_quantiles,
+    "hilbert_stats": q_hilbert_stats,
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "ivf_pq_residual": q_ivf_pq_residual,
@@ -5754,17 +5805,17 @@ QUERIES = {
     "streaming_score": q_streaming_score,
     "streaming_sessionize": q_streaming_sessionize,
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
-    "user_similarity": q_user_similarity,
-    # (no tier-3 filler: 16 tier-0 + 34 tier-2 fill the window; the
-    # SEVEN late-round-10 tier-0 additions each displaced one more
-    # unchanged-green r7 row below the boundary — all first in line
-    # for r11 alongside the five r7 leftovers)
+    # (no tier-3 filler: 18 tier-0 + 32 tier-2 fill the window; each
+    # late-round-10 tier-0 addition displaced one more unchanged-green
+    # r5/r7 row below the boundary — all first in line for r11
+    # alongside the five r7 leftovers)
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py; r7 leftovers lead
     "cap_per_key": q_cap_per_key,
     "gap_fill": q_gap_fill,
     "window_topk": q_window_topk,
+    "user_similarity": q_user_similarity,
     "heavy_hitters": q_heavy_hitters,
     "kfold_assign": q_kfold_assign,
     "mixture_sample": q_mixture_sample,
@@ -5880,6 +5931,7 @@ ORACLE_SQL = {
     # (the simhash_index precedent — equivalence pytest-gated)
     "language_id": SQL_LANGUAGE_ID,
     "streaming_quantiles": SQL_STREAMING_QUANTILES,
+    "hilbert_stats": SQL_HILBERT_STATS,
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     "ivf_pq_residual": SQL_IVF_PQ_RESIDUAL,

@@ -1,0 +1,148 @@
+"""Hilbert layout: curve properties (bijection + unit steps), the
+vectorized-vs-scalar identity, the Spark lookup expression, the UDF
+path for fine grids, and the locality edge over Morton."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestCurveProperties:
+    @pytest.mark.parametrize("bits", [1, 2, 4, 6])
+    def test_bijection_and_unit_steps(self, bits):
+        from ml_hadoop_experiment_spark.plans.hilbert import hilbert_xy2d
+
+        n = 1 << bits
+        pos = {}
+        for x in range(n):
+            for y in range(n):
+                pos[hilbert_xy2d(bits, x, y)] = (x, y)
+        assert set(pos) == set(range(n * n))  # bijection
+        for d in range(n * n - 1):
+            (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1  # unit step
+
+    def test_morton_jumps_hilbert_does_not(self):
+        """The reason this module exists next to plans/layout.py: on
+        the same 8x8 grid, consecutive Morton codes jump across the
+        space (total step length > cell count) while Hilbert's steps
+        are all unit — tighter file bounding boxes for the same
+        write."""
+        from ml_hadoop_experiment_spark.plans.hilbert import hilbert_xy2d
+
+        bits, n = 3, 8
+
+        def morton(x, y):
+            z = 0
+            for b in range(bits):
+                z |= ((x >> b) & 1) << (2 * b)
+                z |= ((y >> b) & 1) << (2 * b + 1)
+            return z
+
+        def total_step(fn):
+            pos = {}
+            for x in range(n):
+                for y in range(n):
+                    pos[fn(x, y)] = (x, y)
+            return sum(
+                abs(pos[d][0] - pos[d + 1][0])
+                + abs(pos[d][1] - pos[d + 1][1])
+                for d in range(n * n - 1)
+            )
+
+        h = total_step(lambda x, y: hilbert_xy2d(bits, x, y))
+        m = total_step(morton)
+        assert h == n * n - 1
+        assert m > h
+
+    def test_vectorized_matches_scalar(self):
+        from ml_hadoop_experiment_spark.plans.hilbert import (
+            hilbert_value_batch,
+            hilbert_xy2d,
+        )
+
+        rng = np.random.RandomState(7)
+        for bits in (4, 10, 16):
+            n = 1 << bits
+            xs = rng.randint(0, n, size=200).astype("int64")
+            ys = rng.randint(0, n, size=200).astype("int64")
+            got = hilbert_value_batch(xs, ys, bits)
+            want = np.array(
+                [hilbert_xy2d(bits, int(x), int(y)) for x, y in zip(xs, ys)]
+            )
+            assert (got == want).all()
+
+
+class TestSparkPaths:
+    def test_lookup_expr_matches_reference(self, spark):
+        from ml_hadoop_experiment_spark.plans.hilbert import (
+            hilbert_value_expr,
+            hilbert_xy2d,
+        )
+
+        n = 1 << 4
+        df = spark.createDataFrame(
+            [(float(x), float(y)) for x in range(n) for y in range(n)],
+            "x double, y double",
+        )
+        got = {
+            (int(r["x"]), int(r["y"])): r["h"]
+            for r in df.select(
+                "x",
+                "y",
+                hilbert_value_expr(
+                    [(F.col("x"), 0.0, float(n)), (F.col("y"), 0.0, float(n))],
+                    bits=4,
+                ).alias("h"),
+            ).collect()
+        }
+        for (x, y), h in got.items():
+            assert h == hilbert_xy2d(4, x, y)
+
+    def test_udf_path_matches_lookup_path_on_shared_grid(self, spark):
+        """bits > MAX_LOOKUP_BITS switches to the vectorized pandas_udf;
+        on coordinates where a 2^6 grid embeds in a 2^12 grid the two
+        paths must rank identically — checked directly at equal bits
+        by forcing the UDF path through with_hilbert_value."""
+        from ml_hadoop_experiment_spark.plans.hilbert import (
+            hilbert_value_batch,
+            with_hilbert_value,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet"
+        ).select("o_orderkey", "o_custkey", "o_totalprice").limit(500)
+        dims = [
+            (F.col("o_custkey"), 0.0, 150_000.0),
+            (F.col("o_totalprice"), 0.0, 600_000.0),
+        ]
+        out = with_hilbert_value(emb, dims, bits=12, out_col="h").collect()
+        from ml_hadoop_experiment_spark.plans.layout import quantize
+
+        q = emb.select(
+            "o_orderkey",
+            quantize(F.col("o_custkey"), 0.0, 150_000.0, 12).alias("qx"),
+            quantize(F.col("o_totalprice"), 0.0, 600_000.0, 12).alias("qy"),
+        ).collect()
+        want = {
+            r["o_orderkey"]: int(
+                hilbert_value_batch(
+                    np.array([r["qx"]]), np.array([r["qy"]]), 12
+                )[0]
+            )
+            for r in q
+        }
+        assert {r["o_orderkey"]: r["h"] for r in out} == want
+
+    def test_contracts(self, spark):
+        from ml_hadoop_experiment_spark.plans.hilbert import (
+            hilbert_lookup,
+            hilbert_value_expr,
+        )
+
+        with pytest.raises(ValueError, match="lookup path"):
+            hilbert_lookup(9)
+        with pytest.raises(ValueError, match="2-D"):
+            hilbert_value_expr([(F.lit(1.0), 0.0, 1.0)], bits=4)
