@@ -19,9 +19,11 @@ width, the classic monitoring-quantile posture (Prometheus histograms
 work this way — public knowledge).
 
 Binning contract (shared by Spark expression, pandas fold, and SQL):
-``bin = clamp(floor((v - lo) / width), 0, n_bins - 1)`` with
+``bin = floor(clamp((v - lo) / width, 0, n_bins - 1))`` with
 ``width = (hi - lo) / n_bins`` computed ONCE in Python and embedded as
-the same double literal everywhere; NULL values are skipped. Values
+the same double literal everywhere (the clamp happens in DOUBLE before
+any integer cast so out-of-range values land in edge bins in every
+engine rather than overflowing a cast); NULL and NaN are both skipped. Values
 outside [lo, hi) clamp into the edge bins (so N counts every non-null
 row and quantiles of clipped tails still resolve to the edge).
 
@@ -55,14 +57,19 @@ def fixed_width_bin_expr(
     col: Column, lo: float, hi: float, n_bins: int
 ) -> Column:
     """Bin index of ``col`` under the module's binning contract —
-    pure codegen, map-only."""
+    pure codegen, map-only. Callers must exclude NULL/NaN upstream
+    (:func:`histogram_counts` and the streaming fold both do)."""
     width = _geometry(lo, hi, n_bins)
-    raw = F.floor((col.cast("double") - F.lit(float(lo))) / F.lit(width))
-    # clamp in LONG, cast to int after: a far-out-of-range value must
-    # clamp into an edge bin, not wrap through a long->int overflow
-    return F.least(
-        F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
-    ).cast("int")
+    scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(width)
+    # clamp in DOUBLE before floor/cast: a far-out-of-range value must
+    # land in an edge bin in BOTH engines — floor-then-cast of a huge
+    # double saturates in Spark but raises a Conversion Error in
+    # DuckDB, so the cast may only ever see [0, n_bins-1].
+    # floor(clamp(x)) == clamp(floor(x)) for every finite x.
+    clamped = F.least(
+        F.greatest(scaled, F.lit(0.0)), F.lit(float(n_bins - 1))
+    )
+    return F.floor(clamped).cast("int")
 
 
 def histogram_counts(
@@ -76,9 +83,13 @@ def histogram_counts(
     """``(*key_cols, bin, cnt)`` for occupied bins — the batch producer
     of the sketch (the streaming producer is
     ``streaming/quantiles.stateful_histogram``; both feed
-    :func:`quantiles_from_histogram`). NULL values are skipped."""
+    :func:`quantiles_from_histogram`). NULL and NaN values are both
+    skipped — NaN is NOT null in Spark, and the streaming fold's
+    pandas ``dropna`` drops both, so the explicit isnan test is what
+    keeps the batch, stream, and DuckDB producers on one rule."""
+    v = F.col(value_col).cast("double")
     return (
-        df.where(F.col(value_col).isNotNull())
+        df.where(v.isNotNull() & ~F.isnan(v))
         .select(
             *key_cols,
             fixed_width_bin_expr(
@@ -142,32 +153,37 @@ def histogram_quantiles_sql(
 ) -> str:
     """DuckDB twin of :func:`histogram_counts` +
     :func:`quantiles_from_histogram` (same embedded double literals,
-    same clamp/floor bin rule, same rank rule, same lower-edge
-    estimate)."""
+    same NULL/NaN skip, same clamp-in-double-then-floor bin rule —
+    a raw floor-then-BIGINT-cast would raise a Conversion Error in
+    DuckDB on values Spark clamps — same rank rule, same lower-edge
+    estimate). ``key_exprs`` may be empty for a global (un-keyed)
+    quantile, matching the Spark twins."""
     width = _geometry(lo, hi, n_bins)
-    keys = ", ".join(key_exprs)
+    keys = "".join(f"{k}, " for k in key_exprs)
+    part = (
+        "PARTITION BY " + ", ".join(key_exprs) if key_exprs else ""
+    )
     qlist = ", ".join(repr(float(q)) for q in qs)
-    # same clamp-in-BIGINT-then-narrow order as fixed_width_bin_expr
     bin_expr = (
-        f"CAST(least(greatest(CAST(floor((CAST({value_expr} AS DOUBLE)"
-        f" - {float(lo)!r}) / {width!r}) AS BIGINT), 0),"
-        f" {n_bins - 1}) AS INTEGER)"
+        f"CAST(floor(least(greatest((CAST({value_expr} AS DOUBLE)"
+        f" - {float(lo)!r}) / {width!r}, 0.0),"
+        f" {float(n_bins - 1)!r})) AS INTEGER)"
     )
     return f"""
 WITH counts AS (
-  SELECT {keys}, {bin_expr} AS bin, count(*) AS cnt
+  SELECT {keys}{bin_expr} AS bin, count(*) AS cnt
   FROM {relation}
-  WHERE {value_expr} IS NOT NULL
+  WHERE {value_expr} IS NOT NULL AND NOT isnan(CAST({value_expr} AS DOUBLE))
   GROUP BY ALL
 ),
 cum AS (
-  SELECT {keys}, bin,
-         sum(cnt) OVER (PARTITION BY {keys} ORDER BY bin) AS cum,
-         sum(cnt) OVER (PARTITION BY {keys}) AS tot
+  SELECT {keys}bin,
+         sum(cnt) OVER ({part} ORDER BY bin) AS cum,
+         sum(cnt) OVER ({part}) AS tot
   FROM counts
 ),
 qs AS (SELECT unnest([{qlist}]) AS q)
-SELECT {keys}, q,
+SELECT {keys}q,
        {float(lo)!r} + CAST(min(bin) AS DOUBLE) * {width!r} AS est
 FROM cum, qs
 WHERE cum >= ceil(q * tot)

@@ -166,6 +166,7 @@ def language_id_sql(
     score ``score_relation``, attach the true label. Same trigrams,
     same rank tie-break, same integer weights, same argmax order."""
     k = profile_size
+    unknown = unknown.replace("'", "''")  # SQL string-literal escape
     return f"""
 WITH tri_train AS ({_trigram_cte(train_relation, lang_expr, text_expr)}
 ),

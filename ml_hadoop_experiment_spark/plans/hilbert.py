@@ -90,7 +90,14 @@ def hilbert_value_batch(
 ) -> np.ndarray:
     """Vectorized xy2d over int64 arrays — ``bits`` rounds of numpy
     vector ops, no per-row Python. Matches :func:`hilbert_xy2d`
-    element-wise (pytest-pinned)."""
+    element-wise (pytest-pinned). ``2 * bits`` must stay below 63 —
+    the curve position is an int64 and the per-level distance term
+    reaches ``3 * 4^(bits-1)`` — the same bound `layout.interleave_bits`
+    asserts; int64 numpy arithmetic would wrap SILENTLY past it."""
+    if bits < 1 or 2 * bits >= 63:
+        raise ValueError(
+            f"need 1 <= bits and 2 * bits < 63 (int64 positions), got {bits}"
+        )
     x = qx.astype("int64").copy()
     y = qy.astype("int64").copy()
     d = np.zeros_like(x)
@@ -158,19 +165,31 @@ def with_hilbert_value(
         raise ValueError(f"hilbert layout is 2-D here, got {len(dims)} dims")
     if bits <= MAX_LOOKUP_BITS:
         return df.withColumn(out_col, hilbert_value_expr(dims, bits))
+    if 2 * bits >= 63:
+        raise ValueError(
+            f"need 2 * bits < 63 (int64 curve positions), got {bits}"
+        )
     from pyspark.sql.functions import pandas_udf
 
     (cx, lox, hix), (cy, loy, hiy) = dims
 
     @pandas_udf("long")
     def _h(qx: pd.Series, qy: pd.Series) -> pd.Series:
-        return pd.Series(
-            hilbert_value_batch(
-                qx.to_numpy(dtype="int64"),
-                qy.to_numpy(dtype="int64"),
+        # quantize() clamps NULL/NaN into edge cells (greatest/least
+        # skip nulls — the layout-module contract: a curve position
+        # exists for every row), so qx/qy are normally non-null here.
+        # The mask is a guard against any upstream that DOES hand this
+        # UDF a null: Arrow delivers it as float64 NaN and a blind
+        # int64 cast would mint a garbage position — emit NULL instead.
+        mask = qx.notna() & qy.notna()
+        out = pd.Series(pd.NA, index=qx.index, dtype="Int64")
+        if mask.any():
+            out[mask] = hilbert_value_batch(
+                qx[mask].to_numpy(dtype="int64"),
+                qy[mask].to_numpy(dtype="int64"),
                 bits,
             )
-        )
+        return out
 
     return df.withColumn(
         out_col,

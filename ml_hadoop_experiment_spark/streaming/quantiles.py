@@ -68,8 +68,9 @@ def stateful_histogram(
     """Per-key fixed-width histogram across the whole stream:
     ``(*key_cols, bin, cnt)`` rows for occupied bins, emitted after
     every micro-batch the key appears in, with the ``n_bins`` count
-    array as the per-key state. NULL (NaN) values are skipped,
-    matching the batch operator.
+    array as the per-key state. NULL and NaN values are both skipped
+    (pandas ``dropna`` drops both), matching the batch operator's
+    explicit NULL-and-isnan filter.
 
     Finish with ``max(cnt)`` per (key, bin) over the drained sink
     (counts only grow), then

@@ -136,13 +136,61 @@ class TestSparkPaths:
         }
         assert {r["o_orderkey"]: r["h"] for r in out} == want
 
+    def test_null_dims_clamp_to_edge_cell_on_both_paths(self, spark):
+        """quantize() clamps NULL dims into edge cell 0 (greatest/least
+        skip nulls — the layout contract: every row gets a curve
+        position, like write_zordered). Both hilbert paths must agree
+        with each other AND with the driver reference on that cell —
+        a blind int64 cast of Arrow's NaN would instead mint an
+        arbitrary position on the UDF path."""
+        from ml_hadoop_experiment_spark.plans.hilbert import (
+            hilbert_xy2d,
+            with_hilbert_value,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5.0, 5.0), (2, None, 5.0), (3, 5.0, None)],
+            "id int, x double, y double",
+        )
+        dims = [(F.col("x"), 0.0, 10.0), (F.col("y"), 0.0, 10.0)]
+        for bits in (4, 12):  # lookup path, UDF path
+            n = 1 << bits
+            q5 = min(int(5.0 * n / 10.0), n - 1)  # quantize(5.0)
+            got = {
+                r["id"]: r["h"]
+                for r in with_hilbert_value(
+                    df, dims, bits=bits, out_col="h"
+                ).collect()
+            }
+            want = {
+                1: hilbert_xy2d(bits, q5, q5),
+                2: hilbert_xy2d(bits, 0, q5),  # NULL x -> edge cell
+                3: hilbert_xy2d(bits, q5, 0),  # NULL y -> edge cell
+            }
+            assert got == want, f"bits={bits}"
+
     def test_contracts(self, spark):
         from ml_hadoop_experiment_spark.plans.hilbert import (
             hilbert_lookup,
+            hilbert_value_batch,
             hilbert_value_expr,
+            with_hilbert_value,
         )
 
         with pytest.raises(ValueError, match="lookup path"):
             hilbert_lookup(9)
         with pytest.raises(ValueError, match="2-D"):
             hilbert_value_expr([(F.lit(1.0), 0.0, 1.0)], bits=4)
+        # int64 curve positions: 2*bits must stay below 63 — numpy
+        # would wrap silently past it
+        with pytest.raises(ValueError, match="int64"):
+            hilbert_value_batch(
+                np.array([0], dtype="int64"),
+                np.array([0], dtype="int64"),
+                32,
+            )
+        df = None  # with_hilbert_value validates before touching df
+        with pytest.raises(ValueError, match="int64"):
+            with_hilbert_value(
+                df, [(F.lit(1.0), 0.0, 1.0), (F.lit(1.0), 0.0, 1.0)], 32
+            )

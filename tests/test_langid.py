@@ -99,6 +99,29 @@ class TestLanguageId:
         assert out.select("doc_id").distinct().count() == documents.count()
 
 
+class TestSqlTwin:
+    def test_unknown_label_quote_escaped(self):
+        """An unknown label containing a single quote must produce a
+        parseable (escaped) SQL literal, not a syntax error."""
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.langid import (
+            language_id_sql,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES"
+            " (1, 'aa', 'xy')) AS v(doc_id, lang, text)"
+        )
+        sql = language_id_sql(
+            "t", "t", "doc_id", "lang", "text", profile_size=5,
+            unknown="it's",
+        )
+        rows = con.execute(sql).fetchall()  # 'xy' too short -> unknown
+        assert rows == [(1, "aa", "it's", 0)]
+
+
 class TestCharTrigrams:
     def test_boundary_lengths(self, spark):
         from ml_hadoop_experiment_spark.operators.langid import char_trigrams

@@ -53,6 +53,78 @@ class TestFixedWidthBins:
         # bin, far out-of-range clamps (not wraps) to the last bin
         assert got == [0, 0, 0, 1, 5, 9, 9]
 
+    def test_nan_null_and_huge_values_one_rule_in_both_engines(self, spark):
+        """NaN is skipped like NULL (NaN is NOT null in Spark), and a
+        far-out-of-range value clamps into the top bin WITHOUT a cast
+        error in either engine — the double-domain clamp-then-floor
+        rule. The DuckDB twin replays the same rows."""
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.histogram import (
+            histogram_counts,
+            histogram_quantiles_sql,
+        )
+
+        rows = [
+            ("k", 5.0),
+            ("k", float("nan")),
+            ("k", None),
+            ("k", 1e300),
+            ("k", -1e300),
+        ]
+        df = spark.createDataFrame(rows, "key string, v double")
+        got = {
+            (r["bin"]): r["cnt"]
+            for r in histogram_counts(
+                df, ["key"], "v", 0.0, 100.0, 10
+            ).collect()
+        }
+        assert got == {0: 2, 9: 1}  # 5.0 and -1e300 -> bin 0; 1e300 -> 9
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES"
+            " ('k', 5.0), ('k', CAST('nan' AS DOUBLE)), ('k', NULL),"
+            " ('k', 1e300), ('k', -1e300)) AS v(key, v)"
+        )
+        sql = histogram_quantiles_sql(
+            "t", ["key"], "v", 0.0, 100.0, 10, (0.5, 1.0)
+        )
+        du = {(r[1], r[2]) for r in con.execute(sql).fetchall()}
+        # ranks over the 3 kept rows: p50 -> rank 2 -> bin 0 -> 0.0;
+        # p100 -> rank 3 -> bin 9 -> 90.0
+        assert du == {(0.5, 0.0), (1.0, 90.0)}
+
+    def test_unkeyed_sql_twin_is_valid(self, spark):
+        """key_exprs may be empty — the Spark twins support global
+        quantiles and the SQL builder must emit parseable SQL for the
+        same case."""
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.histogram import (
+            histogram_counts,
+            histogram_quantiles_sql,
+            quantiles_from_histogram,
+        )
+
+        df = spark.createDataFrame(
+            [(10.0 * i + 5.0,) for i in range(10)], "v double"
+        )
+        counts = histogram_counts(df, [], "v", 0.0, 100.0, 10)
+        got = {
+            r["q"]: r["est"]
+            for r in quantiles_from_histogram(
+                counts, [], 0.0, 100.0, 10, (0.5,)
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT unnest("
+            "[5.0,15.0,25.0,35.0,45.0,55.0,65.0,75.0,85.0,95.0]) AS v"
+        )
+        sql = histogram_quantiles_sql("t", [], "v", 0.0, 100.0, 10, (0.5,))
+        du = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+        assert got == du == {0.5: 40.0}
+
     def test_bad_geometry_rejected(self, spark):
         from ml_hadoop_experiment_spark.operators.histogram import (
             histogram_counts,
