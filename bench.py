@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "language_id",
     "streaming_quantiles",
     "hilbert_stats",
+    "mixture_plan",
 ]
 
 

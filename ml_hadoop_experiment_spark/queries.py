@@ -4308,6 +4308,39 @@ GROUP BY 1
 SQL_HILBERT_STATS = _sql_hilbert_stats()
 
 
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mix plan (operators/mixture.mixture_plan):
+    allocate a 1M-token budget across the 20 document sources by
+    p^0.3-smoothed shares — the planning step before mixture_sample
+    draws the mix and token_budget_select caps it, with epochs > 1
+    flagging oversampled tail sources. One partial-aggregated count
+    per source over the corpus, then k-row arithmetic under a
+    broadcast of the single totals row."""
+    from ml_hadoop_experiment_spark.functions.text import token_count
+    from ml_hadoop_experiment_spark.operators.mixture import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs.withColumn("n_tok", token_count(F.col("text"))),
+        "source", "n_tok", budget=1_000_000, alpha=0.3,
+    )
+
+
+def _sql_mixture_plan() -> str:
+    from ml_hadoop_experiment_spark.functions.text import token_count_sql
+    from ml_hadoop_experiment_spark.operators.mixture import (
+        mixture_plan_sql,
+    )
+
+    return mixture_plan_sql(
+        "documents", "source", token_count_sql("text"),
+        budget=1_000_000, alpha=0.3,
+    )
+
+
+SQL_MIXTURE_PLAN = _sql_mixture_plan()
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join, drained availableNow: purchases
     within 30 minutes after a click by the same user. Both sides are
@@ -5721,25 +5754,27 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # quantize importers + kmeans_clusters after the clustering.py
 # kmeans_ctes extraction) + 21 oldest-green unchanged backfill (the 18
 # r04 rows and 3 oldest r05 rows).
-# r10 window = 18 tier-0 (THIRTEEN round-10 additions: language_id,
-# streaming_quantiles, hilbert_stats, pq_index_topk, ivf_pq_topk,
-# ivf_pq_residual,
+# r10 window = 19 tier-0 (FOURTEEN round-10 additions: language_id,
+# streaming_quantiles, hilbert_stats, mixture_plan, pq_index_topk,
+# ivf_pq_topk, ivf_pq_residual,
 # pq_residual_index, bpe_merges, bpe_encode, streaming_heavy_hitters,
 # streaming_sample,
 # kmv_source_overlap, image_near_dup; five changed-since-green: jaccard_join,
 # topk_similar_pairs, quality_rules, streaming_distinct — the
 # setsim/rules/streaming-sketches edits — and pq_topk after the fused
-# pq_train trainer) + 32 of the 34-query round-5-green cohort (the
-# stalest rows; window_topk and user_similarity displaced to 51+)
+# pq_train trainer) + 31 of the 34-query round-5-green cohort (the
+# stalest rows; window_topk, user_similarity, tfrecord_roundtrip
+# displaced to 51+)
 # — the displaced/leftover round-5/round-7 rows lead position 51+ and
 # are first in line for r11.
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0 (18): the THIRTEEN round-10 additions (language_id: trained
+    # tier 0 (19): the FOURTEEN round-10 additions (language_id: trained
     # trigram profiles; streaming_quantiles: fixed-width histogram
     # stream state finished by the batch estimator; hilbert_stats:
-    # Hilbert-curve layout audit via literal lookup; pq_index_topk /
+    # Hilbert-curve layout audit via literal lookup; mixture_plan:
+    # temperature-scaled data-mix allocation; pq_index_topk /
     # ivf_pq_topk / ivf_pq_residual / pq_residual_index: steady-state,
     # composed, residual-encoded, and steady-state-residual ANN;
     # bpe_merges / bpe_encode: tokenizer train
@@ -5752,6 +5787,7 @@ QUERIES = {
     "language_id": q_language_id,
     "streaming_quantiles": q_streaming_quantiles,
     "hilbert_stats": q_hilbert_stats,
+    "mixture_plan": q_mixture_plan,
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "ivf_pq_residual": q_ivf_pq_residual,
@@ -5804,14 +5840,14 @@ QUERIES = {
     "streaming_rollup": q_streaming_rollup,
     "streaming_score": q_streaming_score,
     "streaming_sessionize": q_streaming_sessionize,
-    "tfrecord_roundtrip": q_tfrecord_roundtrip,
-    # (no tier-3 filler: 18 tier-0 + 32 tier-2 fill the window; each
+    # (no tier-3 filler: 19 tier-0 + 31 tier-2 fill the window; each
     # late-round-10 tier-0 addition displaced one more unchanged-green
     # r5/r7 row below the boundary — all first in line for r11
     # alongside the five r7 leftovers)
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
-    #     tests/test_oracle_parity.py; r7 leftovers lead
+    #     tests/test_oracle_parity.py; r5/r7 leftovers lead
+    "tfrecord_roundtrip": q_tfrecord_roundtrip,
     "cap_per_key": q_cap_per_key,
     "gap_fill": q_gap_fill,
     "window_topk": q_window_topk,
@@ -5932,6 +5968,7 @@ ORACLE_SQL = {
     "language_id": SQL_LANGUAGE_ID,
     "streaming_quantiles": SQL_STREAMING_QUANTILES,
     "hilbert_stats": SQL_HILBERT_STATS,
+    "mixture_plan": SQL_MIXTURE_PLAN,
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     "ivf_pq_residual": SQL_IVF_PQ_RESIDUAL,

@@ -25,6 +25,13 @@ STREAMING = {
     "streaming_score",
     "streaming_interval_join",
     "streaming_enrich",
+    # stateful-sketch queries: the callable drains the whole stream
+    # before returning the batch finisher frame — the finisher plan is
+    # not the streaming plan, and re-running the drain here is waste
+    "streaming_distinct",
+    "streaming_heavy_hitters",
+    "streaming_sample",
+    "streaming_quantiles",
 }
 
 
