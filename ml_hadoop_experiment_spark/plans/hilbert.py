@@ -150,6 +150,34 @@ def hilbert_value_sql(
     return f"([{table}])[CAST({qx} * {1 << bits} + {qy} + 1 AS INTEGER)]"
 
 
+def write_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    dims: Sequence[ZDim],
+    bits: int = 6,
+    num_files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered along the Hilbert curve of
+    ``dims`` — `layout.write_zordered` with the tighter curve:
+    ``repartitionByRange`` on the curve position splits it into
+    contiguous segments (one per output file, boundaries from Spark's
+    reservoir sampling — no driver materialization), the
+    within-partition sort tightens row-group stats, and because every
+    consecutive curve step is a unit grid move, each file's bounding
+    box over BOTH dimensions is as tight as the segment allows.
+    Exactly one shuffle; domain bounds are caller-supplied for the
+    same reason as the z-order writer (a production table knows its
+    domains; computing them inline would add a scan)."""
+    out = with_hilbert_value(df, dims, bits, out_col="__h")
+    if num_files:
+        out = out.repartitionByRange(num_files, "__h")
+    else:
+        out = out.repartitionByRange("__h")
+    out.sortWithinPartitions("__h").drop("__h").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def with_hilbert_value(
     df: DataFrame,
     dims: Sequence[ZDim],

@@ -1,10 +1,15 @@
 """Hilbert layout: curve properties (bijection + unit steps), the
 vectorized-vs-scalar identity, the Spark lookup expression, the UDF
-path for fine grids, and the locality edge over Morton."""
+path for fine grids, the locality edge over Morton, and the clustered
+writer's measured skipping win."""
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -168,6 +173,51 @@ class TestSparkPaths:
                 3: hilbert_xy2d(bits, q5, 0),  # NULL y -> edge cell
             }
             assert got == want, f"bits={bits}"
+
+    def test_clustered_write_skips_on_both_dims(self, spark):
+        """A hilbert-clustered write must let a narrow range predicate
+        on EITHER dimension skip a majority of files (the same
+        file_stats yardstick as the z-order writer's test)."""
+        from ml_hadoop_experiment_spark.plans.hilbert import (
+            write_hilbert_clustered,
+        )
+        from ml_hadoop_experiment_spark.plans.layout import (
+            file_stats,
+            skipping_fraction,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 40_000
+        pdf = pd.DataFrame(
+            {
+                "a": rng.integers(0, 10_000, n),
+                "b": rng.integers(0, 10_000, n),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        hdir, pdir = tempfile.mkdtemp(), tempfile.mkdtemp()
+        try:
+            write_hilbert_clustered(
+                df,
+                hdir,
+                [(F.col("a"), 0, 10_000), (F.col("b"), 0, 10_000)],
+                bits=8,
+                num_files=16,
+            )
+            df.repartition(16).write.mode("overwrite").parquet(pdir)
+            hs = file_stats(hdir, ["a", "b"])
+            ps = file_stats(pdir, ["a", "b"])
+            assert len(hs) == 16
+            for col in ("a", "b"):
+                h_skip = skipping_fraction(hs, col, 1000.0, 1500.0)
+                p_skip = skipping_fraction(ps, col, 1000.0, 1500.0)
+                assert h_skip >= 0.5, (col, h_skip)
+                assert h_skip > p_skip, (col, h_skip, p_skip)
+            back = spark.read.parquet(hdir)
+            assert back.count() == n
+        finally:
+            shutil.rmtree(hdir, ignore_errors=True)
+            shutil.rmtree(pdir, ignore_errors=True)
 
     def test_contracts(self, spark):
         from ml_hadoop_experiment_spark.plans.hilbert import (
