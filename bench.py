@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "streaming_quantiles",
     "hilbert_stats",
     "mixture_plan",
+    "streaming_moments",
 ]
 
 

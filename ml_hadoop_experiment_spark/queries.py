@@ -4341,6 +4341,54 @@ def _sql_mixture_plan() -> str:
 SQL_MIXTURE_PLAN = _sql_mixture_plan()
 
 
+def q_streaming_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-stream running moments (streaming/moments.moment_sums):
+    count/mean/std of event value per event type as a NATIVE streaming
+    aggregation (three integers of state per key, no Python state),
+    drained availableNow in complete mode. Fixed-point quantization
+    (floor(v*100 + 0.5)) makes the sums exact integers, so the
+    streamed result equals the batch replay bit-for-bit under any
+    micro-batching — the DuckDB oracle replays the same quantization,
+    integer sums, and fixed-order double finisher."""
+    import uuid
+
+    from ml_hadoop_experiment_spark.streaming.moments import (
+        moment_sums,
+        moments_from_sums,
+    )
+
+    wire_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(wire_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_type", "value")
+    )
+    sums = moment_sums(stream, ["event_type"], "value", scale=100)
+    sink = f"streaming_moments_{uuid.uuid4().hex}"
+    with _drained_state_partitions(spark):
+        q = (
+            sums.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return moments_from_sums(
+        spark.table(sink), ["event_type"], scale=100
+    )
+
+
+def _sql_streaming_moments() -> str:
+    from ml_hadoop_experiment_spark.streaming.moments import moments_sql
+
+    return moments_sql("events", ["event_type"], "value", scale=100)
+
+
+SQL_STREAMING_MOMENTS = _sql_streaming_moments()
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join, drained availableNow: purchases
     within 30 minutes after a click by the same user. Both sides are
@@ -5754,27 +5802,30 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # quantize importers + kmeans_clusters after the clustering.py
 # kmeans_ctes extraction) + 21 oldest-green unchanged backfill (the 18
 # r04 rows and 3 oldest r05 rows).
-# r10 window = 19 tier-0 (FOURTEEN round-10 additions: language_id,
-# streaming_quantiles, hilbert_stats, mixture_plan, pq_index_topk,
+# r10 window = 20 tier-0 (FIFTEEN round-10 additions: language_id,
+# streaming_quantiles, hilbert_stats, mixture_plan, streaming_moments,
+# pq_index_topk,
 # ivf_pq_topk, ivf_pq_residual,
 # pq_residual_index, bpe_merges, bpe_encode, streaming_heavy_hitters,
 # streaming_sample,
 # kmv_source_overlap, image_near_dup; five changed-since-green: jaccard_join,
 # topk_similar_pairs, quality_rules, streaming_distinct — the
 # setsim/rules/streaming-sketches edits — and pq_topk after the fused
-# pq_train trainer) + 31 of the 34-query round-5-green cohort (the
-# stalest rows; window_topk, user_similarity, tfrecord_roundtrip
-# displaced to 51+)
+# pq_train trainer) + 30 of the 34-query round-5-green cohort (the
+# stalest rows; window_topk, user_similarity, tfrecord_roundtrip,
+# streaming_sessionize displaced to 51+)
 # — the displaced/leftover round-5/round-7 rows lead position 51+ and
 # are first in line for r11.
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0 (19): the FOURTEEN round-10 additions (language_id: trained
+    # tier 0 (20): the FIFTEEN round-10 additions (language_id: trained
     # trigram profiles; streaming_quantiles: fixed-width histogram
     # stream state finished by the batch estimator; hilbert_stats:
     # Hilbert-curve layout audit via literal lookup; mixture_plan:
-    # temperature-scaled data-mix allocation; pq_index_topk /
+    # temperature-scaled data-mix allocation; streaming_moments:
+    # native complete-mode aggregation over fixed-point integer sums;
+    # pq_index_topk /
     # ivf_pq_topk / ivf_pq_residual / pq_residual_index: steady-state,
     # composed, residual-encoded, and steady-state-residual ANN;
     # bpe_merges / bpe_encode: tokenizer train
@@ -5788,6 +5839,7 @@ QUERIES = {
     "streaming_quantiles": q_streaming_quantiles,
     "hilbert_stats": q_hilbert_stats,
     "mixture_plan": q_mixture_plan,
+    "streaming_moments": q_streaming_moments,
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "ivf_pq_residual": q_ivf_pq_residual,
@@ -5839,14 +5891,14 @@ QUERIES = {
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_rollup": q_streaming_rollup,
     "streaming_score": q_streaming_score,
-    "streaming_sessionize": q_streaming_sessionize,
-    # (no tier-3 filler: 19 tier-0 + 31 tier-2 fill the window; each
+    # (no tier-3 filler: 20 tier-0 + 30 tier-2 fill the window; each
     # late-round-10 tier-0 addition displaced one more unchanged-green
     # r5/r7 row below the boundary — all first in line for r11
     # alongside the five r7 leftovers)
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py; r5/r7 leftovers lead
+    "streaming_sessionize": q_streaming_sessionize,
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
     "cap_per_key": q_cap_per_key,
     "gap_fill": q_gap_fill,
@@ -5969,6 +6021,7 @@ ORACLE_SQL = {
     "streaming_quantiles": SQL_STREAMING_QUANTILES,
     "hilbert_stats": SQL_HILBERT_STATS,
     "mixture_plan": SQL_MIXTURE_PLAN,
+    "streaming_moments": SQL_STREAMING_MOMENTS,
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     "ivf_pq_residual": SQL_IVF_PQ_RESIDUAL,

@@ -32,6 +32,7 @@ STREAMING = {
     "streaming_heavy_hitters",
     "streaming_sample",
     "streaming_quantiles",
+    "streaming_moments",
 }
 
 
