@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "hilbert_stats",
     "mixture_plan",
     "streaming_moments",
+    "psi_drift",
 ]
 
 

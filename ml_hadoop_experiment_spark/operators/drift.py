@@ -1,0 +1,136 @@
+"""Distribution-drift reports between two data slices: PSI over a
+shared fixed-width histogram.
+
+The monitoring question every recurring ingestion asks: did this
+batch's value distribution MOVE relative to the reference corpus?
+The engine's `chi_square` (operators/stats.py) answers it for
+categorical columns; this module covers continuous columns with the
+industry-standard Population Stability Index (credit-scoring
+literature, public knowledge): bin both slices on the SAME declared
+grid (`operators/histogram.fixed_width_bin_expr` — the
+engine-portable clamp/floor rule), convert counts to smoothed
+fractions, and score ``sum((p_a - p_b) * ln(p_a / p_b))`` per bin.
+Rule of thumb (public): < 0.1 stable, 0.1-0.25 moderate shift,
+> 0.25 action.
+
+Laplace smoothing (+1 per bin on BOTH sides, over the full declared
+grid including empty bins) keeps ``ln`` finite when a bin is occupied
+on one side only — and because the smoothing is part of the declared
+estimator, the DuckDB twin replays it exactly: integer counts, then
+one fixed double-operation order per bin, one rounding at the end.
+
+Scale shape: two map-side binned counts (each a partial-aggregated
+(bin) exchange bounded by ``n_bins``), one ``n_bins``-sized
+full-outer join, pure arithmetic after — the corpus is scanned once
+per side and nothing data-sized moves.
+
+Reference parity: criteo/ml-hadoop-experiment has no drift surface
+(SURVEY.md §2) — north-star extension for ingestion monitoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .histogram import _geometry, histogram_counts
+
+
+def psi_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-bin PSI terms between slice A (e.g. the incoming batch) and
+    slice B (the reference): ``(bin, n_a, n_b, psi_term)`` for every
+    bin occupied on EITHER side, with add-one smoothing over the full
+    ``n_bins`` grid. ``sum(psi_term)`` is the headline PSI; the
+    per-bin frame is returned because the actionable answer is WHICH
+    region of the distribution moved. NULL/NaN skipped (the histogram
+    family's rule)."""
+    _geometry(lo, hi, n_bins)  # validate
+    ca = histogram_counts(df_a, [], value_col, lo, hi, n_bins).withColumnRenamed(
+        "cnt", "n_a"
+    )
+    cb = histogram_counts(df_b, [], value_col, lo, hi, n_bins).withColumnRenamed(
+        "cnt", "n_b"
+    )
+    joined = ca.join(cb, "bin", "full").select(
+        "bin",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tots = joined.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    # smoothed fraction: (n + 1) / (total + n_bins) — denominators use
+    # the FULL grid so empty bins are consistently priced on both sides
+    pa = (F.col("n_a").cast("double") + F.lit(1.0)) / (
+        F.col("__ta").cast("double") + F.lit(float(n_bins))
+    )
+    pb = (F.col("n_b").cast("double") + F.lit(1.0)) / (
+        F.col("__tb").cast("double") + F.lit(float(n_bins))
+    )
+    return joined.join(F.broadcast(tots)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb), round_digits).alias(
+            "psi_term"
+        ),
+    )
+
+
+def psi_report_sql(
+    relation_a: str,
+    relation_b: str,
+    value_expr: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`psi_report` (same clamp-in-double bin
+    rule as ``histogram_quantiles_sql``, same smoothing, same double
+    operation order, same rounding)."""
+    width = _geometry(lo, hi, n_bins)
+    bin_expr = (
+        f"CAST(floor(least(greatest((CAST({value_expr} AS DOUBLE)"
+        f" - {float(lo)!r}) / {width!r}, 0.0),"
+        f" {float(n_bins - 1)!r})) AS INTEGER)"
+    )
+    filt = (
+        f"{value_expr} IS NOT NULL"
+        f" AND NOT isnan(CAST({value_expr} AS DOUBLE))"
+    )
+    nb = float(n_bins)
+    return f"""
+WITH ca AS (
+  SELECT {bin_expr} AS bin, count(*) AS n_a
+  FROM {relation_a} WHERE {filt} GROUP BY 1
+),
+cb AS (
+  SELECT {bin_expr} AS bin, count(*) AS n_b
+  FROM {relation_b} WHERE {filt} GROUP BY 1
+),
+joined AS (
+  SELECT coalesce(ca.bin, cb.bin) AS bin,
+         coalesce(n_a, 0) AS n_a,
+         coalesce(n_b, 0) AS n_b
+  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin
+),
+tots AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM joined)
+SELECT bin,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round(((CAST(n_a AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + {nb!r})
+              - (CAST(n_b AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + {nb!r}))
+             * ln(((CAST(n_a AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + {nb!r}))
+                  / ((CAST(n_b AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + {nb!r}))),
+             {round_digits}) AS psi_term
+FROM joined, tots
+"""

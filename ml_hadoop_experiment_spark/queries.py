@@ -4389,6 +4389,38 @@ def _sql_streaming_moments() -> str:
 SQL_STREAMING_MOMENTS = _sql_streaming_moments()
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability drift report (operators/drift.psi_report):
+    per-bin PSI terms between purchase-event and view-event value
+    distributions on a shared 20-bin [0, 500) grid with add-one
+    smoothing — the continuous-column sibling of chi_square for
+    ingestion monitoring; sum(psi_term) is the headline index and the
+    per-bin frame shows WHICH region of the distribution moved. Two
+    map-side binned counts (each exchange bounded by n_bins), one
+    tiny full-outer join, pure arithmetic after."""
+    from ml_hadoop_experiment_spark.operators.drift import psi_report
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_report(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "view"),
+        "value", lo=0.0, hi=500.0, n_bins=20,
+    )
+
+
+def _sql_psi_drift() -> str:
+    from ml_hadoop_experiment_spark.operators.drift import psi_report_sql
+
+    return psi_report_sql(
+        "(SELECT * FROM events WHERE event_type = 'purchase')",
+        "(SELECT * FROM events WHERE event_type = 'view')",
+        "value", lo=0.0, hi=500.0, n_bins=20,
+    )
+
+
+SQL_PSI_DRIFT = _sql_psi_drift()
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join, drained availableNow: purchases
     within 30 minutes after a click by the same user. Both sides are
@@ -5802,29 +5834,31 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # quantize importers + kmeans_clusters after the clustering.py
 # kmeans_ctes extraction) + 21 oldest-green unchanged backfill (the 18
 # r04 rows and 3 oldest r05 rows).
-# r10 window = 20 tier-0 (FIFTEEN round-10 additions: language_id,
+# r10 window = 21 tier-0 (SIXTEEN round-10 additions: language_id,
 # streaming_quantiles, hilbert_stats, mixture_plan, streaming_moments,
-# pq_index_topk,
+# psi_drift, pq_index_topk,
 # ivf_pq_topk, ivf_pq_residual,
 # pq_residual_index, bpe_merges, bpe_encode, streaming_heavy_hitters,
 # streaming_sample,
 # kmv_source_overlap, image_near_dup; five changed-since-green: jaccard_join,
 # topk_similar_pairs, quality_rules, streaming_distinct — the
 # setsim/rules/streaming-sketches edits — and pq_topk after the fused
-# pq_train trainer) + 30 of the 34-query round-5-green cohort (the
+# pq_train trainer) + 29 of the 34-query round-5-green cohort (the
 # stalest rows; window_topk, user_similarity, tfrecord_roundtrip,
-# streaming_sessionize displaced to 51+)
+# streaming_sessionize, streaming_score displaced to 51+)
 # — the displaced/leftover round-5/round-7 rows lead position 51+ and
 # are first in line for r11.
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0 (20): the FIFTEEN round-10 additions (language_id: trained
+    # tier 0 (21): the SIXTEEN round-10 additions (language_id: trained
     # trigram profiles; streaming_quantiles: fixed-width histogram
     # stream state finished by the batch estimator; hilbert_stats:
     # Hilbert-curve layout audit via literal lookup; mixture_plan:
     # temperature-scaled data-mix allocation; streaming_moments:
     # native complete-mode aggregation over fixed-point integer sums;
+    # psi_drift: per-bin population-stability drift on the shared
+    # fixed-width grid;
     # pq_index_topk /
     # ivf_pq_topk / ivf_pq_residual / pq_residual_index: steady-state,
     # composed, residual-encoded, and steady-state-residual ANN;
@@ -5840,6 +5874,7 @@ QUERIES = {
     "hilbert_stats": q_hilbert_stats,
     "mixture_plan": q_mixture_plan,
     "streaming_moments": q_streaming_moments,
+    "psi_drift": q_psi_drift,
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "ivf_pq_residual": q_ivf_pq_residual,
@@ -5890,14 +5925,14 @@ QUERIES = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_rollup": q_streaming_rollup,
-    "streaming_score": q_streaming_score,
-    # (no tier-3 filler: 20 tier-0 + 30 tier-2 fill the window; each
+    # (no tier-3 filler: 21 tier-0 + 29 tier-2 fill the window; each
     # late-round-10 tier-0 addition displaced one more unchanged-green
     # r5/r7 row below the boundary — all first in line for r11
     # alongside the five r7 leftovers)
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py; r5/r7 leftovers lead
+    "streaming_score": q_streaming_score,
     "streaming_sessionize": q_streaming_sessionize,
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
     "cap_per_key": q_cap_per_key,
@@ -6022,6 +6057,7 @@ ORACLE_SQL = {
     "hilbert_stats": SQL_HILBERT_STATS,
     "mixture_plan": SQL_MIXTURE_PLAN,
     "streaming_moments": SQL_STREAMING_MOMENTS,
+    "psi_drift": SQL_PSI_DRIFT,
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     "ivf_pq_residual": SQL_IVF_PQ_RESIDUAL,

@@ -1,0 +1,100 @@
+"""psi_report: hand-computed terms, identical-slices near-zero,
+one-sided-bin smoothing stays finite, NULL/NaN skip, and grid
+validation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _report(spark, rows_a, rows_b, n_bins=4, lo=0.0, hi=4.0):
+    from ml_hadoop_experiment_spark.operators.drift import psi_report
+
+    a = spark.createDataFrame([(float(v),) for v in rows_a], "v double")
+    b = spark.createDataFrame([(float(v),) for v in rows_b], "v double")
+    return {
+        r["bin"]: (r["n_a"], r["n_b"], r["psi_term"])
+        for r in psi_report(a, b, "v", lo, hi, n_bins).collect()
+    }
+
+
+class TestPsiReport:
+    def test_hand_computed_term(self, spark):
+        """A: 3 rows in bin 0, 1 in bin 1. B: 2 and 2. With +1
+        smoothing over 4 bins: pa0=(3+1)/(4+4)=0.5, pb0=(2+1)/(2+2+4)
+        =0.375; term0=(0.5-0.375)*ln(0.5/0.375)."""
+        got = _report(
+            spark, [0.5, 0.5, 0.5, 1.5], [0.5, 0.5, 1.5, 1.5]
+        )
+        pa0, pb0 = 4 / 8, 3 / 8
+        want0 = round((pa0 - pb0) * math.log(pa0 / pb0), 6)
+        assert got[0] == (3, 2, want0)
+        pa1, pb1 = 2 / 8, 3 / 8
+        want1 = round((pa1 - pb1) * math.log(pa1 / pb1), 6)
+        assert got[1] == (1, 2, want1)
+
+    def test_identical_slices_score_zero(self, spark):
+        got = _report(spark, [0.5, 1.5, 2.5, 3.5], [0.5, 1.5, 2.5, 3.5])
+        assert all(v[2] == 0.0 for v in got.values())
+
+    def test_one_sided_bin_stays_finite(self, spark):
+        """A bin occupied on one side only must produce a finite term
+        (the add-one smoothing), and every term is non-negative by the
+        PSI identity sign((p-q)) == sign(ln(p/q))."""
+        got = _report(spark, [0.5, 0.5, 0.5], [3.5, 3.5, 3.5])
+        assert set(got) == {0, 3}
+        for n_a, n_b, term in got.values():
+            assert math.isfinite(term) and term > 0
+
+    def test_null_nan_skipped_and_geometry_validated(self, spark):
+        from ml_hadoop_experiment_spark.operators.drift import psi_report
+
+        a = spark.createDataFrame(
+            [(0.5,), (None,), (float("nan"),)], "v double"
+        )
+        b = spark.createDataFrame([(0.5,)], "v double")
+        rows = psi_report(a, b, "v", 0.0, 4.0, 4).collect()
+        assert [(r["n_a"], r["n_b"]) for r in rows] == [(1, 1)]
+        with pytest.raises(ValueError, match="hi > lo"):
+            psi_report(a, b, "v", 4.0, 4.0, 4)
+
+    def test_duckdb_twin(self, spark):
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.drift import (
+            psi_report,
+            psi_report_sql,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        sp = (
+            psi_report(
+                ev.where(F.col("user_id") % 2 == 0),
+                ev.where(F.col("user_id") % 2 == 1),
+                "value", 0.0, 500.0, 20,
+            )
+            .toPandas()
+            .sort_values("bin")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+        )
+        du = (
+            con.execute(
+                psi_report_sql(
+                    "(SELECT * FROM events WHERE user_id % 2 = 0)",
+                    "(SELECT * FROM events WHERE user_id % 2 = 1)",
+                    "value", 0.0, 500.0, 20,
+                )
+            )
+            .df()
+            .sort_values("bin")
+            .reset_index(drop=True)
+        )
+        assert sp[sorted(sp.columns)].equals(du[sorted(du.columns)])
