@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "mixture_plan",
     "streaming_moments",
     "psi_drift",
+    "streaming_psi",
 ]
 
 

@@ -36,29 +36,18 @@ from pyspark.sql import functions as F
 from .histogram import _geometry, histogram_counts
 
 
-def psi_report(
-    df_a: DataFrame,
-    df_b: DataFrame,
-    value_col: str,
-    lo: float,
-    hi: float,
-    n_bins: int = 20,
+def psi_from_counts(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+    n_bins: int,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Per-bin PSI terms between slice A (e.g. the incoming batch) and
-    slice B (the reference): ``(bin, n_a, n_b, psi_term)`` for every
-    bin occupied on EITHER side, with add-one smoothing over the full
-    ``n_bins`` grid. ``sum(psi_term)`` is the headline PSI; the
-    per-bin frame is returned because the actionable answer is WHICH
-    region of the distribution moved. NULL/NaN skipped (the histogram
-    family's rule)."""
-    _geometry(lo, hi, n_bins)  # validate
-    ca = histogram_counts(df_a, [], value_col, lo, hi, n_bins).withColumnRenamed(
-        "cnt", "n_a"
-    )
-    cb = histogram_counts(df_b, [], value_col, lo, hi, n_bins).withColumnRenamed(
-        "cnt", "n_b"
-    )
+    """Finish two ``(bin, cnt)`` histogram-count frames (batch OR a
+    drained streaming sketch — any producer sharing the fixed-width
+    grid) into per-bin PSI terms ``(bin, n_a, n_b, psi_term)`` with
+    add-one smoothing over the full ``n_bins`` grid."""
+    ca = counts_a.withColumnRenamed("cnt", "n_a")
+    cb = counts_b.withColumnRenamed("cnt", "n_b")
     joined = ca.join(cb, "bin", "full").select(
         "bin",
         F.coalesce("n_a", F.lit(0)).alias("n_a"),
@@ -82,6 +71,31 @@ def psi_report(
         F.round((pa - pb) * F.log(pa / pb), round_digits).alias(
             "psi_term"
         ),
+    )
+
+
+def psi_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-bin PSI terms between slice A (e.g. the incoming batch) and
+    slice B (the reference): ``(bin, n_a, n_b, psi_term)`` for every
+    bin occupied on EITHER side, with add-one smoothing over the full
+    ``n_bins`` grid. ``sum(psi_term)`` is the headline PSI; the
+    per-bin frame is returned because the actionable answer is WHICH
+    region of the distribution moved. NULL/NaN skipped (the histogram
+    family's rule)."""
+    _geometry(lo, hi, n_bins)  # validate
+    return psi_from_counts(
+        histogram_counts(df_a, [], value_col, lo, hi, n_bins),
+        histogram_counts(df_b, [], value_col, lo, hi, n_bins),
+        n_bins,
+        round_digits,
     )
 
 

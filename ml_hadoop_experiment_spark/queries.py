@@ -4421,6 +4421,65 @@ def _sql_psi_drift() -> str:
 SQL_PSI_DRIFT = _sql_psi_drift()
 
 
+def q_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: the purchase-event value stream folds
+    into the bounded histogram state (streaming/quantiles.
+    stateful_histogram), and the drained sketch is scored against a
+    STATIC reference slice (view events, batch-binned on the same
+    grid) by the PSI finisher (operators/drift.psi_from_counts) —
+    the composition an ingestion pipeline actually runs: sketch the
+    live side, hold the reference, alert on sum(psi_term). Identical
+    result contract to psi_drift, so the same DuckDB oracle gates it
+    (the simhash_index precedent; the stream==batch sketch identity
+    is pytest-pinned in test_streaming_quantiles)."""
+    import uuid
+
+    from ml_hadoop_experiment_spark.operators.drift import psi_from_counts
+    from ml_hadoop_experiment_spark.operators.histogram import (
+        histogram_counts,
+    )
+    from ml_hadoop_experiment_spark.streaming.quantiles import (
+        stateful_histogram,
+    )
+
+    wire_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(wire_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("event_type", "value")
+    )
+    out = stateful_histogram(
+        stream, ["event_type"], "value", lo=0.0, hi=500.0, n_bins=20
+    )
+    sink = f"streaming_psi_{uuid.uuid4().hex}"
+    with _drained_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    live = (
+        spark.table(sink)
+        .groupBy("bin")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    ref = histogram_counts(
+        _t(spark, sf_dir, "events").where(
+            F.col("event_type") == "view"
+        ),
+        [], "value", lo=0.0, hi=500.0, n_bins=20,
+    )
+    return psi_from_counts(live, ref, n_bins=20)
+
+
+SQL_STREAMING_PSI = SQL_PSI_DRIFT
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join, drained availableNow: purchases
     within 30 minutes after a click by the same user. Both sides are
@@ -5834,31 +5893,33 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # quantize importers + kmeans_clusters after the clustering.py
 # kmeans_ctes extraction) + 21 oldest-green unchanged backfill (the 18
 # r04 rows and 3 oldest r05 rows).
-# r10 window = 21 tier-0 (SIXTEEN round-10 additions: language_id,
+# r10 window = 22 tier-0 (SEVENTEEN round-10 additions: language_id,
 # streaming_quantiles, hilbert_stats, mixture_plan, streaming_moments,
-# psi_drift, pq_index_topk,
+# psi_drift, streaming_psi, pq_index_topk,
 # ivf_pq_topk, ivf_pq_residual,
 # pq_residual_index, bpe_merges, bpe_encode, streaming_heavy_hitters,
 # streaming_sample,
 # kmv_source_overlap, image_near_dup; five changed-since-green: jaccard_join,
 # topk_similar_pairs, quality_rules, streaming_distinct — the
 # setsim/rules/streaming-sketches edits — and pq_topk after the fused
-# pq_train trainer) + 29 of the 34-query round-5-green cohort (the
+# pq_train trainer) + 28 of the 34-query round-5-green cohort (the
 # stalest rows; window_topk, user_similarity, tfrecord_roundtrip,
-# streaming_sessionize, streaming_score displaced to 51+)
+# streaming_sessionize, streaming_score, streaming_rollup displaced
+# to 51+)
 # — the displaced/leftover round-5/round-7 rows lead position 51+ and
 # are first in line for r11.
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0 (21): the SIXTEEN round-10 additions (language_id: trained
+    # tier 0 (22): the SEVENTEEN round-10 additions (language_id: trained
     # trigram profiles; streaming_quantiles: fixed-width histogram
     # stream state finished by the batch estimator; hilbert_stats:
     # Hilbert-curve layout audit via literal lookup; mixture_plan:
     # temperature-scaled data-mix allocation; streaming_moments:
     # native complete-mode aggregation over fixed-point integer sums;
     # psi_drift: per-bin population-stability drift on the shared
-    # fixed-width grid;
+    # fixed-width grid; streaming_psi: the live-sketch-vs-static-
+    # reference composition of the two;
     # pq_index_topk /
     # ivf_pq_topk / ivf_pq_residual / pq_residual_index: steady-state,
     # composed, residual-encoded, and steady-state-residual ANN;
@@ -5875,6 +5936,7 @@ QUERIES = {
     "mixture_plan": q_mixture_plan,
     "streaming_moments": q_streaming_moments,
     "psi_drift": q_psi_drift,
+    "streaming_psi": q_streaming_psi,
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "ivf_pq_residual": q_ivf_pq_residual,
@@ -5924,14 +5986,14 @@ QUERIES = {
     "sessionize": q_sessionize,
     "streaming_dedup": q_streaming_dedup,
     "streaming_interval_join": q_streaming_interval_join,
-    "streaming_rollup": q_streaming_rollup,
-    # (no tier-3 filler: 21 tier-0 + 29 tier-2 fill the window; each
+    # (no tier-3 filler: 22 tier-0 + 28 tier-2 fill the window; each
     # late-round-10 tier-0 addition displaced one more unchanged-green
     # r5/r7 row below the boundary — all first in line for r11
     # alongside the five r7 leftovers)
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py; r5/r7 leftovers lead
+    "streaming_rollup": q_streaming_rollup,
     "streaming_score": q_streaming_score,
     "streaming_sessionize": q_streaming_sessionize,
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
@@ -6058,6 +6120,10 @@ ORACLE_SQL = {
     "mixture_plan": SQL_MIXTURE_PLAN,
     "streaming_moments": SQL_STREAMING_MOMENTS,
     "psi_drift": SQL_PSI_DRIFT,
+    # streaming_psi: identical result contract to psi_drift, same
+    # oracle (the simhash_index precedent — the live side arrives via
+    # the pytest-pinned stream==batch histogram sketch)
+    "streaming_psi": SQL_STREAMING_PSI,
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     "ivf_pq_residual": SQL_IVF_PQ_RESIDUAL,

@@ -61,6 +61,65 @@ class TestPsiReport:
         with pytest.raises(ValueError, match="hi > lo"):
             psi_report(a, b, "v", 4.0, 4.0, 4)
 
+    def test_psi_from_counts_composes_with_streaming_sketch(self, spark):
+        """The factored finisher must score a DRAINED streaming
+        histogram sketch identically to the batch psi_report on the
+        same slices — the streaming_psi query's contract."""
+        import uuid
+
+        from ml_hadoop_experiment_spark.operators.drift import (
+            psi_from_counts,
+            psi_report,
+        )
+        from ml_hadoop_experiment_spark.operators.histogram import (
+            histogram_counts,
+        )
+        from ml_hadoop_experiment_spark.streaming.quantiles import (
+            stateful_histogram,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where(F.col("event_type") == "purchase")
+            .select("event_type", "value")
+        )
+        sink = f"t_{uuid.uuid4().hex}"
+        q = (
+            stateful_histogram(
+                stream, ["event_type"], "value", 0.0, 500.0, 20
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        live = (
+            spark.table(sink).groupBy("bin").agg(F.max("cnt").alias("cnt"))
+        )
+        ref = histogram_counts(
+            ev.where(F.col("event_type") == "view"),
+            [], "value", 0.0, 500.0, 20,
+        )
+        got = {
+            r["bin"]: (r["n_a"], r["n_b"], r["psi_term"])
+            for r in psi_from_counts(live, ref, 20).collect()
+        }
+        want = {
+            r["bin"]: (r["n_a"], r["n_b"], r["psi_term"])
+            for r in psi_report(
+                ev.where(F.col("event_type") == "purchase"),
+                ev.where(F.col("event_type") == "view"),
+                "value", 0.0, 500.0, 20,
+            ).collect()
+        }
+        assert got == want
+
     def test_duckdb_twin(self, spark):
         import duckdb
 

@@ -33,6 +33,7 @@ STREAMING = {
     "streaming_sample",
     "streaming_quantiles",
     "streaming_moments",
+    "streaming_psi",
 }
 
 
