@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "streaming_moments",
     "psi_drift",
     "streaming_psi",
+    "ks_drift",
 ]
 
 

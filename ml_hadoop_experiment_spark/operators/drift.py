@@ -99,6 +99,127 @@ def psi_report(
     )
 
 
+def ks_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic: one row
+    ``(n_a, n_b, ks)`` with ``ks = max over observed values of
+    |F_a(v) - F_b(v)|`` — the third drift form next to `chi_square`
+    (categorical) and :func:`psi_report` (binned): no grid to declare,
+    sensitive to ANY distributional difference, at the cost of a
+    distinct-value-sized exchange instead of an ``n_bins``-bounded one.
+
+    Shape: per-side value counts (partial-aggregated), a full-outer
+    merge on value, ONE window cumsum ordered by value, a max — the
+    frames that shuffle are bounded by the distinct-value count, never
+    raw rows. Exactness: cumulative counts are integers; each CDF is
+    one integer-to-double division and the max runs over
+    ``round``-stable doubles, so the DuckDB twin
+    (:func:`ks_statistic_sql`) matches bit-for-bit. NULL/NaN skipped
+    (the family rule)."""
+    ca = (
+        _clean_values(df_a, value_col)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    cb = (
+        _clean_values(df_b, value_col)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c_b"))
+    )
+    merged = ca.join(cb, "v", "full").select(
+        "v",
+        F.coalesce("c_a", F.lit(0)).alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    )
+    from pyspark.sql import Window
+
+    # single-partition ordered cumsum: correct because the frame is the
+    # distinct-VALUE frame, not raw rows; for a column with unbounded
+    # distinct cardinality quantize first (or use psi_report's bounded
+    # grid) — same caveat applies to the DuckDB twin
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.select(
+        F.sum("c_a").over(w).alias("ca"),
+        F.sum("c_b").over(w).alias("cb"),
+    )
+    tots = cum.agg(
+        F.max("ca").alias("na"), F.max("cb").alias("nb")
+    )
+    return (
+        cum.join(F.broadcast(tots))
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca").cast("double")
+                        / F.col("na").cast("double")
+                        - F.col("cb").cast("double")
+                        / F.col("nb").cast("double")
+                    )
+                ),
+                round_digits,
+            ).alias("ks"),
+        )
+    )
+
+
+def _clean_values(df: DataFrame, value_col: str) -> DataFrame:
+    v = F.col(value_col).cast("double")
+    return df.where(v.isNotNull() & ~F.isnan(v)).select(v.alias("v"))
+
+
+def ks_statistic_sql(
+    relation_a: str,
+    relation_b: str,
+    value_expr: str,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ks_statistic` (same merge, same cumsum
+    order, same integer-to-double divisions, same rounding)."""
+    filt = (
+        f"{value_expr} IS NOT NULL"
+        f" AND NOT isnan(CAST({value_expr} AS DOUBLE))"
+    )
+    return f"""
+WITH ca AS (
+  SELECT CAST({value_expr} AS DOUBLE) AS v, count(*) AS c_a
+  FROM {relation_a} WHERE {filt} GROUP BY 1
+),
+cb AS (
+  SELECT CAST({value_expr} AS DOUBLE) AS v, count(*) AS c_b
+  FROM {relation_b} WHERE {filt} GROUP BY 1
+),
+merged AS (
+  SELECT coalesce(ca.v, cb.v) AS v,
+         coalesce(c_a, 0) AS c_a,
+         coalesce(c_b, 0) AS c_b
+  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+),
+cum AS (
+  SELECT sum(c_a) OVER (ORDER BY v) AS ca,
+         sum(c_b) OVER (ORDER BY v) AS cb
+  FROM merged
+),
+tots AS (SELECT max(ca) AS na, max(cb) AS nb FROM cum)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       round(max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))),
+             {round_digits}) AS ks
+FROM cum, tots
+GROUP BY na, nb
+"""
+
+
 def psi_report_sql(
     relation_a: str,
     relation_b: str,

@@ -4480,6 +4480,36 @@ def q_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_PSI = SQL_PSI_DRIFT
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift
+    (operators/drift.ks_statistic): max CDF gap between purchase and
+    view event values — the grid-free exact member of the drift
+    family (chi_square categorical, psi_drift binned, this one
+    value-exact). The shuffled frames are bounded by the
+    distinct-value count, never raw rows."""
+    from ml_hadoop_experiment_spark.operators.drift import ks_statistic
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_statistic(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "view"),
+        "value",
+    )
+
+
+def _sql_ks_drift() -> str:
+    from ml_hadoop_experiment_spark.operators.drift import ks_statistic_sql
+
+    return ks_statistic_sql(
+        "(SELECT * FROM events WHERE event_type = 'purchase')",
+        "(SELECT * FROM events WHERE event_type = 'view')",
+        "value",
+    )
+
+
+SQL_KS_DRIFT = _sql_ks_drift()
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join, drained availableNow: purchases
     within 30 minutes after a click by the same user. Both sides are
@@ -5893,25 +5923,25 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # quantize importers + kmeans_clusters after the clustering.py
 # kmeans_ctes extraction) + 21 oldest-green unchanged backfill (the 18
 # r04 rows and 3 oldest r05 rows).
-# r10 window = 22 tier-0 (SEVENTEEN round-10 additions: language_id,
+# r10 window = 23 tier-0 (EIGHTEEN round-10 additions: language_id,
 # streaming_quantiles, hilbert_stats, mixture_plan, streaming_moments,
-# psi_drift, streaming_psi, pq_index_topk,
+# psi_drift, streaming_psi, ks_drift, pq_index_topk,
 # ivf_pq_topk, ivf_pq_residual,
 # pq_residual_index, bpe_merges, bpe_encode, streaming_heavy_hitters,
 # streaming_sample,
 # kmv_source_overlap, image_near_dup; five changed-since-green: jaccard_join,
 # topk_similar_pairs, quality_rules, streaming_distinct — the
 # setsim/rules/streaming-sketches edits — and pq_topk after the fused
-# pq_train trainer) + 28 of the 34-query round-5-green cohort (the
+# pq_train trainer) + 27 of the 34-query round-5-green cohort (the
 # stalest rows; window_topk, user_similarity, tfrecord_roundtrip,
-# streaming_sessionize, streaming_score, streaming_rollup displaced
-# to 51+)
+# streaming_sessionize, streaming_score, streaming_rollup,
+# streaming_interval_join displaced to 51+)
 # — the displaced/leftover round-5/round-7 rows lead position 51+ and
 # are first in line for r11.
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0 (22): the SEVENTEEN round-10 additions (language_id: trained
+    # tier 0 (23): the EIGHTEEN round-10 additions (language_id: trained
     # trigram profiles; streaming_quantiles: fixed-width histogram
     # stream state finished by the batch estimator; hilbert_stats:
     # Hilbert-curve layout audit via literal lookup; mixture_plan:
@@ -5919,7 +5949,8 @@ QUERIES = {
     # native complete-mode aggregation over fixed-point integer sums;
     # psi_drift: per-bin population-stability drift on the shared
     # fixed-width grid; streaming_psi: the live-sketch-vs-static-
-    # reference composition of the two;
+    # reference composition of the two; ks_drift: the grid-free exact
+    # KS member of the drift family;
     # pq_index_topk /
     # ivf_pq_topk / ivf_pq_residual / pq_residual_index: steady-state,
     # composed, residual-encoded, and steady-state-residual ANN;
@@ -5937,6 +5968,7 @@ QUERIES = {
     "streaming_moments": q_streaming_moments,
     "psi_drift": q_psi_drift,
     "streaming_psi": q_streaming_psi,
+    "ks_drift": q_ks_drift,
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "ivf_pq_residual": q_ivf_pq_residual,
@@ -5985,14 +6017,14 @@ QUERIES = {
     "session_stats": q_session_stats,
     "sessionize": q_sessionize,
     "streaming_dedup": q_streaming_dedup,
-    "streaming_interval_join": q_streaming_interval_join,
-    # (no tier-3 filler: 22 tier-0 + 28 tier-2 fill the window; each
+    # (no tier-3 filler: 23 tier-0 + 27 tier-2 fill the window; each
     # late-round-10 tier-0 addition displaced one more unchanged-green
     # r5/r7 row below the boundary — all first in line for r11
     # alongside the five r7 leftovers)
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py; r5/r7 leftovers lead
+    "streaming_interval_join": q_streaming_interval_join,
     "streaming_rollup": q_streaming_rollup,
     "streaming_score": q_streaming_score,
     "streaming_sessionize": q_streaming_sessionize,
@@ -6124,6 +6156,7 @@ ORACLE_SQL = {
     # oracle (the simhash_index precedent — the live side arrives via
     # the pytest-pinned stream==batch histogram sketch)
     "streaming_psi": SQL_STREAMING_PSI,
+    "ks_drift": SQL_KS_DRIFT,
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     "ivf_pq_residual": SQL_IVF_PQ_RESIDUAL,

@@ -61,6 +61,55 @@ class TestPsiReport:
         with pytest.raises(ValueError, match="hi > lo"):
             psi_report(a, b, "v", 4.0, 4.0, 4)
 
+    def test_ks_hand_computed_and_boundaries(self, spark):
+        from ml_hadoop_experiment_spark.operators.drift import ks_statistic
+
+        a = spark.createDataFrame(
+            [(1.0,), (2.0,), (3.0,), (4.0,), (None,)], "v double"
+        )
+        b = spark.createDataFrame(
+            [(3.0,), (4.0,), (float("nan"),)], "v double"
+        )
+        row = ks_statistic(a, b, "v").collect()[0]
+        # F_a jumps 0.25 per value; F_b is 0 until v=3. Max gap at
+        # v=2: |0.5 - 0| = 0.5
+        assert (row["n_a"], row["n_b"], row["ks"]) == (4, 2, 0.5)
+        # identical slices -> 0
+        same = ks_statistic(a, a, "v").collect()[0]
+        assert same["ks"] == 0.0
+        # disjoint supports -> 1
+        c = spark.createDataFrame([(10.0,), (11.0,)], "v double")
+        disj = ks_statistic(a, c, "v").collect()[0]
+        assert disj["ks"] == 1.0
+
+    def test_ks_duckdb_twin(self, spark):
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.drift import (
+            ks_statistic,
+            ks_statistic_sql,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        sp = ks_statistic(
+            ev.where(F.col("user_id") % 2 == 0),
+            ev.where(F.col("user_id") % 2 == 1),
+            "value",
+        ).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+        )
+        du = con.execute(
+            ks_statistic_sql(
+                "(SELECT * FROM events WHERE user_id % 2 = 0)",
+                "(SELECT * FROM events WHERE user_id % 2 = 1)",
+                "value",
+            )
+        ).df()
+        assert sp[sorted(sp.columns)].equals(du[sorted(du.columns)])
+
     def test_psi_from_counts_composes_with_streaming_sketch(self, spark):
         """The factored finisher must score a DRAINED streaming
         histogram sketch identically to the batch psi_report on the
