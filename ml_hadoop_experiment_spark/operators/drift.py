@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .histogram import _geometry, histogram_counts
+from .histogram import (
+    _geometry,
+    finite_filter_sql,
+    fixed_width_bin_sql,
+    histogram_counts,
+)
 
 
 def psi_from_counts(
@@ -45,13 +50,27 @@ def psi_from_counts(
     """Finish two ``(bin, cnt)`` histogram-count frames (batch OR a
     drained streaming sketch — any producer sharing the fixed-width
     grid) into per-bin PSI terms ``(bin, n_a, n_b, psi_term)`` with
-    add-one smoothing over the full ``n_bins`` grid."""
+    add-one smoothing over the full ``n_bins`` grid. The output has
+    exactly ``n_bins`` rows — bins empty on BOTH sides still carry a
+    (usually tiny, zero when totals match) smoothed term, so the
+    headline ``sum(psi_term)`` is invariant to which bins happen to
+    be occupied."""
+    spark = counts_a.sparkSession
+    grid = spark.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
     ca = counts_a.withColumnRenamed("cnt", "n_a")
     cb = counts_b.withColumnRenamed("cnt", "n_b")
-    joined = ca.join(cb, "bin", "full").select(
-        "bin",
-        F.coalesce("n_a", F.lit(0)).alias("n_a"),
-        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    # the counts sides are n_bins-bounded — broadcast them so the
+    # grid spine never shuffles
+    joined = (
+        grid.join(F.broadcast(ca), "bin", "left")
+        .join(F.broadcast(cb), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
     )
     tots = joined.agg(
         F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
@@ -84,12 +103,11 @@ def psi_report(
     round_digits: int = 6,
 ) -> DataFrame:
     """Per-bin PSI terms between slice A (e.g. the incoming batch) and
-    slice B (the reference): ``(bin, n_a, n_b, psi_term)`` for every
-    bin occupied on EITHER side, with add-one smoothing over the full
-    ``n_bins`` grid. ``sum(psi_term)`` is the headline PSI; the
-    per-bin frame is returned because the actionable answer is WHICH
-    region of the distribution moved. NULL/NaN skipped (the histogram
-    family's rule)."""
+    slice B (the reference): ``(bin, n_a, n_b, psi_term)`` for EVERY
+    bin of the declared grid, with add-one smoothing. ``sum(psi_term)``
+    is the headline PSI; the per-bin frame is returned because the
+    actionable answer is WHICH region of the distribution moved.
+    NULL/NaN skipped (the histogram family's rule)."""
     _geometry(lo, hi, n_bins)  # validate
     return psi_from_counts(
         histogram_counts(df_a, [], value_col, lo, hi, n_bins),
@@ -149,14 +167,17 @@ def ks_statistic(
         F.sum("c_a").over(w).alias("ca"),
         F.sum("c_b").over(w).alias("cb"),
     )
-    tots = cum.agg(
-        F.max("ca").alias("na"), F.max("cb").alias("nb")
-    )
+    # totals from the still-distributed merged frame (not the
+    # single-partition cum frame); a side with zero rows yields ZERO
+    # result rows in both engines (the empty-slice contract) instead
+    # of a NULL-vs-NaN divergence from dividing by zero
+    tots = merged.agg(
+        F.sum("c_a").alias("na"), F.sum("c_b").alias("nb")
+    ).where((F.col("na") > 0) & (F.col("nb") > 0))
     return (
         cum.join(F.broadcast(tots))
+        .groupBy("na", "nb")
         .agg(
-            F.max("na").alias("n_a"),
-            F.max("nb").alias("n_b"),
             F.round(
                 F.max(
                     F.abs(
@@ -169,12 +190,17 @@ def ks_statistic(
                 round_digits,
             ).alias("ks"),
         )
+        .select(
+            F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "ks"
+        )
     )
 
 
 def _clean_values(df: DataFrame, value_col: str) -> DataFrame:
+    from .histogram import finite_filter
+
     v = F.col(value_col).cast("double")
-    return df.where(v.isNotNull() & ~F.isnan(v)).select(v.alias("v"))
+    return df.where(finite_filter(v)).select(v.alias("v"))
 
 
 def ks_statistic_sql(
@@ -184,11 +210,9 @@ def ks_statistic_sql(
     round_digits: int = 6,
 ) -> str:
     """DuckDB twin of :func:`ks_statistic` (same merge, same cumsum
-    order, same integer-to-double divisions, same rounding)."""
-    filt = (
-        f"{value_expr} IS NOT NULL"
-        f" AND NOT isnan(CAST({value_expr} AS DOUBLE))"
-    )
+    order, same integer-to-double divisions, same rounding, same
+    zero-rows-on-empty-slice contract)."""
+    filt = finite_filter_sql(value_expr)
     return f"""
 WITH ca AS (
   SELECT CAST({value_expr} AS DOUBLE) AS v, count(*) AS c_a
@@ -209,7 +233,11 @@ cum AS (
          sum(c_b) OVER (ORDER BY v) AS cb
   FROM merged
 ),
-tots AS (SELECT max(ca) AS na, max(cb) AS nb FROM cum)
+tots AS (
+  SELECT na, nb FROM (
+    SELECT sum(c_a) AS na, sum(c_b) AS nb FROM merged
+  ) WHERE na > 0 AND nb > 0
+)
 SELECT CAST(na AS BIGINT) AS n_a,
        CAST(nb AS BIGINT) AS n_b,
        round(max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
@@ -229,22 +257,17 @@ def psi_report_sql(
     n_bins: int = 20,
     round_digits: int = 6,
 ) -> str:
-    """DuckDB twin of :func:`psi_report` (same clamp-in-double bin
-    rule as ``histogram_quantiles_sql``, same smoothing, same double
-    operation order, same rounding)."""
-    width = _geometry(lo, hi, n_bins)
-    bin_expr = (
-        f"CAST(floor(least(greatest((CAST({value_expr} AS DOUBLE)"
-        f" - {float(lo)!r}) / {width!r}, 0.0),"
-        f" {float(n_bins - 1)!r})) AS INTEGER)"
-    )
-    filt = (
-        f"{value_expr} IS NOT NULL"
-        f" AND NOT isnan(CAST({value_expr} AS DOUBLE))"
-    )
+    """DuckDB twin of :func:`psi_report` (the SHARED bin/filter
+    builders from operators/histogram.py, same full-grid smoothing,
+    same double operation order, same rounding)."""
+    bin_expr = fixed_width_bin_sql(value_expr, lo, hi, n_bins)
+    filt = finite_filter_sql(value_expr)
     nb = float(n_bins)
     return f"""
-WITH ca AS (
+WITH grid AS (
+  SELECT CAST(unnest(range({n_bins})) AS INTEGER) AS bin
+),
+ca AS (
   SELECT {bin_expr} AS bin, count(*) AS n_a
   FROM {relation_a} WHERE {filt} GROUP BY 1
 ),
@@ -253,10 +276,12 @@ cb AS (
   FROM {relation_b} WHERE {filt} GROUP BY 1
 ),
 joined AS (
-  SELECT coalesce(ca.bin, cb.bin) AS bin,
+  SELECT grid.bin,
          coalesce(n_a, 0) AS n_a,
          coalesce(n_b, 0) AS n_b
-  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin
+  FROM grid
+  LEFT JOIN ca ON ca.bin = grid.bin
+  LEFT JOIN cb ON cb.bin = grid.bin
 ),
 tots AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM joined)
 SELECT bin,

@@ -53,6 +53,36 @@ def _geometry(lo: float, hi: float, n_bins: int) -> float:
     return (float(hi) - float(lo)) / n_bins
 
 
+def finite_filter(col: Column) -> Column:
+    """Shared NULL/NaN predicate (True = keep) for the histogram/drift
+    family — one copy of the load-bearing skip rule."""
+    v = col.cast("double")
+    return v.isNotNull() & ~F.isnan(v)
+
+
+def finite_filter_sql(value_expr: str) -> str:
+    """DuckDB twin of :func:`finite_filter`."""
+    return (
+        f"{value_expr} IS NOT NULL"
+        f" AND NOT isnan(CAST({value_expr} AS DOUBLE))"
+    )
+
+
+def fixed_width_bin_sql(
+    value_expr: str, lo: float, hi: float, n_bins: int
+) -> str:
+    """DuckDB twin of :func:`fixed_width_bin_expr` — ONE copy of the
+    clamp-in-double-then-floor rule (a raw floor-then-BIGINT-cast
+    raises a DuckDB Conversion Error on values Spark clamps), shared
+    by the histogram and drift oracles."""
+    width = _geometry(lo, hi, n_bins)
+    return (
+        f"CAST(floor(least(greatest((CAST({value_expr} AS DOUBLE)"
+        f" - {float(lo)!r}) / {width!r}, 0.0),"
+        f" {float(n_bins - 1)!r})) AS INTEGER)"
+    )
+
+
 def fixed_width_bin_expr(
     col: Column, lo: float, hi: float, n_bins: int
 ) -> Column:
@@ -87,9 +117,8 @@ def histogram_counts(
     skipped — NaN is NOT null in Spark, and the streaming fold's
     pandas ``dropna`` drops both, so the explicit isnan test is what
     keeps the batch, stream, and DuckDB producers on one rule."""
-    v = F.col(value_col).cast("double")
     return (
-        df.where(v.isNotNull() & ~F.isnan(v))
+        df.where(finite_filter(F.col(value_col)))
         .select(
             *key_cols,
             fixed_width_bin_expr(
@@ -164,16 +193,12 @@ def histogram_quantiles_sql(
         "PARTITION BY " + ", ".join(key_exprs) if key_exprs else ""
     )
     qlist = ", ".join(repr(float(q)) for q in qs)
-    bin_expr = (
-        f"CAST(floor(least(greatest((CAST({value_expr} AS DOUBLE)"
-        f" - {float(lo)!r}) / {width!r}, 0.0),"
-        f" {float(n_bins - 1)!r})) AS INTEGER)"
-    )
+    bin_expr = fixed_width_bin_sql(value_expr, lo, hi, n_bins)
     return f"""
 WITH counts AS (
   SELECT {keys}{bin_expr} AS bin, count(*) AS cnt
   FROM {relation}
-  WHERE {value_expr} IS NOT NULL AND NOT isnan(CAST({value_expr} AS DOUBLE))
+  WHERE {finite_filter_sql(value_expr)}
   GROUP BY ALL
 ),
 cum AS (
@@ -192,7 +217,10 @@ GROUP BY ALL
 
 
 __all__: List[str] = [
+    "finite_filter",
+    "finite_filter_sql",
     "fixed_width_bin_expr",
+    "fixed_width_bin_sql",
     "histogram_counts",
     "histogram_quantiles_sql",
     "quantiles_from_histogram",

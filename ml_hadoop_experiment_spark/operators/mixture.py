@@ -82,10 +82,27 @@ def mixture_plan(
         .agg(F.coalesce(F.sum(w), F.lit(0)).alias("n_tokens"))
         .where(F.col("n_tokens") > 0)
     )
+    # __tot is an exact integer sum; __tot_pow is a DOUBLE sum, which
+    # a plain F.sum would accumulate in partition order (flaky last
+    # ulps vs the sequential DuckDB oracle) — fold the per-source pow
+    # terms left-to-right over a deterministically sorted list instead
+    # (sort key: source with NULL->'' then n_tokens; the oracle sorts
+    # identically)
+    sorted_terms = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.coalesce(F.col("source"), F.lit("")).alias("k"),
+                    F.col("n_tokens").alias("n"),
+                )
+            )
+        ),
+        lambda x: F.pow(x["n"].cast("double"), F.lit(float(alpha))),
+    )
     totals = per_source.agg(
         F.sum("n_tokens").alias("__tot"),
-        F.sum(
-            F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+        F.aggregate(
+            sorted_terms, F.lit(0.0), lambda acc, x: acc + x
         ).alias("__tot_pow"),
     )
     n = F.col("n_tokens").cast("double")
@@ -128,8 +145,15 @@ WITH per_source AS (
   ) WHERE n_tokens > 0
 ),
 totals AS (
+  -- tot_pow: same left-to-right fold over the same source-sorted
+  -- order as the Spark side (never a parallel float sum)
   SELECT sum(n_tokens) AS tot,
-         sum(pow(CAST(n_tokens AS DOUBLE), {a!r})) AS tot_pow
+         list_reduce(
+           list_prepend(
+             CAST(0.0 AS DOUBLE),
+             list(pow(CAST(n_tokens AS DOUBLE), {a!r})
+                  ORDER BY coalesce(source, ''), n_tokens)),
+           (acc, x) -> acc + x) AS tot_pow
   FROM per_source
 )
 SELECT source,

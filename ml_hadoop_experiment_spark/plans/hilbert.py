@@ -168,14 +168,12 @@ def write_hilbert_clustered(
     Exactly one shuffle; domain bounds are caller-supplied for the
     same reason as the z-order writer (a production table knows its
     domains; computing them inline would add a scan)."""
-    out = with_hilbert_value(df, dims, bits, out_col="__h")
-    if num_files:
-        out = out.repartitionByRange(num_files, "__h")
-    else:
-        out = out.repartitionByRange("__h")
-    out.sortWithinPartitions("__h").drop("__h").write.mode(
-        "overwrite"
-    ).parquet(path)
+    from .layout import write_curve_clustered
+
+    write_curve_clustered(
+        with_hilbert_value(df, dims, bits, out_col="__h"), path, "__h",
+        num_files,
+    )
 
 
 def with_hilbert_value(

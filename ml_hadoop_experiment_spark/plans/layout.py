@@ -115,15 +115,30 @@ def write_zordered(
     their domains (or take them from catalog stats); computing them
     inline would add a scan and make the layout data-dependent.
     """
-    z = zorder_value(dims, bits).alias("__z")
-    out = df.withColumn("__z", z)
-    if num_files:
-        out = out.repartitionByRange(num_files, "__z")
-    else:
-        out = out.repartitionByRange("__z")
-    out.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").parquet(
-        path
+    write_curve_clustered(
+        df.withColumn("__z", zorder_value(dims, bits)), path, "__z",
+        num_files,
     )
+
+
+def write_curve_clustered(
+    df: DataFrame,
+    path: str,
+    curve_col: str,
+    num_files: int | None = None,
+) -> None:
+    """Shared clustered-write tail for any space-filling-curve column
+    (Z-order here, Hilbert in plans/hilbert.py): range-partition on
+    the curve value, sort within partitions for tight row-group
+    stats, drop the helper column, write parquet. One copy of the
+    one-shuffle write contract."""
+    if num_files:
+        out = df.repartitionByRange(num_files, curve_col)
+    else:
+        out = df.repartitionByRange(curve_col)
+    out.sortWithinPartitions(curve_col).drop(curve_col).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def file_stats(path: str, columns: List[str]) -> "list[dict]":

@@ -5923,7 +5923,7 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # quantize importers + kmeans_clusters after the clustering.py
 # kmeans_ctes extraction) + 21 oldest-green unchanged backfill (the 18
 # r04 rows and 3 oldest r05 rows).
-# r10 window = 23 tier-0 (EIGHTEEN round-10 additions: language_id,
+# r10 window = 24 tier-0 (EIGHTEEN round-10 additions: language_id,
 # streaming_quantiles, hilbert_stats, mixture_plan, streaming_moments,
 # psi_drift, streaming_psi, ks_drift, pq_index_topk,
 # ivf_pq_topk, ivf_pq_residual,
@@ -5931,17 +5931,18 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # streaming_sample,
 # kmv_source_overlap, image_near_dup; five changed-since-green: jaccard_join,
 # topk_similar_pairs, quality_rules, streaming_distinct — the
-# setsim/rules/streaming-sketches edits — and pq_topk after the fused
-# pq_train trainer) + 27 of the 34-query round-5-green cohort (the
+# setsim/rules/streaming-sketches edits — pq_topk after the fused
+# pq_train trainer — and zorder_stats after the write_curve_clustered
+# extraction) + 26 of the 34-query round-5-green cohort (the
 # stalest rows; window_topk, user_similarity, tfrecord_roundtrip,
 # streaming_sessionize, streaming_score, streaming_rollup,
-# streaming_interval_join displaced to 51+)
+# streaming_interval_join, streaming_dedup displaced to 51+)
 # — the displaced/leftover round-5/round-7 rows lead position 51+ and
 # are first in line for r11.
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0 (23): the EIGHTEEN round-10 additions (language_id: trained
+    # tier 0 (24): the EIGHTEEN round-10 additions (language_id: trained
     # trigram profiles; streaming_quantiles: fixed-width histogram
     # stream state finished by the batch estimator; hilbert_stats:
     # Hilbert-curve layout audit via literal lookup; mixture_plan:
@@ -5969,6 +5970,9 @@ QUERIES = {
     "psi_drift": q_psi_drift,
     "streaming_psi": q_streaming_psi,
     "ks_drift": q_ks_drift,
+    # changed-since-green late in round 10: the write_curve_clustered
+    # extraction in plans/layout.py re-fingerprints zorder_stats
+    "zorder_stats": q_zorder_stats,
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "ivf_pq_residual": q_ivf_pq_residual,
@@ -6016,14 +6020,14 @@ QUERIES = {
     "session_paths": q_session_paths,
     "session_stats": q_session_stats,
     "sessionize": q_sessionize,
-    "streaming_dedup": q_streaming_dedup,
-    # (no tier-3 filler: 23 tier-0 + 27 tier-2 fill the window; each
+    # (no tier-3 filler: 24 tier-0 + 26 tier-2 fill the window; each
     # late-round-10 tier-0 addition displaced one more unchanged-green
     # r5/r7 row below the boundary — all first in line for r11
     # alongside the five r7 leftovers)
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py; r5/r7 leftovers lead
+    "streaming_dedup": q_streaming_dedup,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_rollup": q_streaming_rollup,
     "streaming_score": q_streaming_score,
@@ -6084,7 +6088,6 @@ QUERIES = {
     "sparse_coo": q_sparse_coo,
     "text_stats": q_text_stats,
     "udf_linear_score": q_udf_linear_score,
-    "zorder_stats": q_zorder_stats,
     "ann_topk": q_ann_topk,
     "ann_topk_batch": q_ann_topk_batch,
     "anti_join": q_anti_join,

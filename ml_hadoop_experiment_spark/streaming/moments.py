@@ -23,7 +23,12 @@ DuckDB replay (:func:`moments_sql`). The cost is declared precision:
 meaningful digits. Overflow headroom: |v*scale| up to ~3e9 keeps a
 billion squared terms inside int64.
 
-NULL and NaN values are skipped (the histogram family's rule).
+NULL, NaN, and +-Infinity values are all skipped (only finite values
+quantize portably; the histogram family CLAMPS infinities into edge
+bins instead because its double-domain clamp precedes any cast).
+The remaining precondition is documented, not checked:
+``|v| * scale`` must stay under 2^62 — a finite value past that
+saturates Spark's floor-to-long while DuckDB errors.
 
 Reference parity: criteo/ml-hadoop-experiment has no streaming surface
 (SURVEY.md §2) — north-star extension.
@@ -43,8 +48,15 @@ def _fixed(value_col: str, scale: int):
 
 
 def _clean(df: DataFrame, value_col: str) -> DataFrame:
+    """Keep only FINITE values: beyond the family's NULL/NaN skip,
+    +-Infinity must be dropped too — floor(inf) saturates to Long.MAX
+    in Spark but raises a Conversion Error in DuckDB's BIGINT cast,
+    and a saturated quantization would silently poison the sums."""
     v = F.col(value_col).cast("double")
-    return df.where(v.isNotNull() & ~F.isnan(v))
+    inf = F.lit(float("inf"))
+    return df.where(
+        v.isNotNull() & ~F.isnan(v) & (v != inf) & (v != -inf)
+    )
 
 
 def moment_sums(
@@ -119,7 +131,8 @@ WITH sums AS (
          sum({fx}) AS s1,
          sum({fx} * {fx}) AS s2
   FROM {relation}
-  WHERE {value_expr} IS NOT NULL AND NOT isnan(CAST({value_expr} AS DOUBLE))
+  WHERE {value_expr} IS NOT NULL
+    AND isfinite(CAST({value_expr} AS DOUBLE))
   GROUP BY ALL
 )
 SELECT {keys}CAST(n AS BIGINT) AS n,

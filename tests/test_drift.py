@@ -40,14 +40,18 @@ class TestPsiReport:
         got = _report(spark, [0.5, 1.5, 2.5, 3.5], [0.5, 1.5, 2.5, 3.5])
         assert all(v[2] == 0.0 for v in got.values())
 
-    def test_one_sided_bin_stays_finite(self, spark):
-        """A bin occupied on one side only must produce a finite term
-        (the add-one smoothing), and every term is non-negative by the
-        PSI identity sign((p-q)) == sign(ln(p/q))."""
+    def test_full_grid_and_one_sided_bins_stay_finite(self, spark):
+        """The output covers the FULL declared grid (empty bins carry
+        their smoothed term, zero when totals match), a bin occupied
+        on one side only produces a finite term, and every term is
+        non-negative by the PSI identity sign(p-q) == sign(ln(p/q))."""
         got = _report(spark, [0.5, 0.5, 0.5], [3.5, 3.5, 3.5])
-        assert set(got) == {0, 3}
+        assert set(got) == {0, 1, 2, 3}
         for n_a, n_b, term in got.values():
-            assert math.isfinite(term) and term > 0
+            assert math.isfinite(term) and term >= 0
+        assert got[0][2] > 0 and got[3][2] > 0
+        # both-empty bins with equal totals price identically -> 0
+        assert got[1][2] == 0.0 and got[2][2] == 0.0
 
     def test_null_nan_skipped_and_geometry_validated(self, spark):
         from ml_hadoop_experiment_spark.operators.drift import psi_report
@@ -57,7 +61,8 @@ class TestPsiReport:
         )
         b = spark.createDataFrame([(0.5,)], "v double")
         rows = psi_report(a, b, "v", 0.0, 4.0, 4).collect()
-        assert [(r["n_a"], r["n_b"]) for r in rows] == [(1, 1)]
+        got = {r["bin"]: (r["n_a"], r["n_b"]) for r in rows}
+        assert got == {0: (1, 1), 1: (0, 0), 2: (0, 0), 3: (0, 0)}
         with pytest.raises(ValueError, match="hi > lo"):
             psi_report(a, b, "v", 4.0, 4.0, 4)
 
