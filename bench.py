@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "psi_drift",
     "streaming_psi",
     "ks_drift",
+    "token_fertility",
 ]
 
 

@@ -4510,6 +4510,54 @@ def _sql_ks_drift() -> str:
 SQL_KS_DRIFT = _sql_ks_drift()
 
 
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretokenization audit (functions/pretoken): per doc
+    the whitespace-token count, the GPT-2-core regex pretoken count,
+    and their ratio (fertility — pretokens per word, the
+    budget-planning number a subword tokenizer costs). Pure map
+    expressions fused into the scan; the lookahead-free explicit-class
+    pattern is shared verbatim by both engines."""
+    from ml_hadoop_experiment_spark.functions.pretoken import (
+        pretoken_count,
+    )
+    from ml_hadoop_experiment_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n_ws = token_count(F.col("text"))
+    n_pre = pretoken_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_pre.alias("n_pretokens"),
+        F.when(
+            n_ws > 0,
+            F.round(n_pre.cast("double") / n_ws.cast("double"), 6),
+        ).alias("fertility"),
+    )
+
+
+def _sql_token_fertility() -> str:
+    from ml_hadoop_experiment_spark.functions.pretoken import (
+        pretoken_count_sql,
+    )
+    from ml_hadoop_experiment_spark.functions.text import token_count_sql
+
+    nw = token_count_sql("text")
+    np_ = pretoken_count_sql("text")
+    return f"""
+SELECT doc_id,
+       CAST({nw} AS BIGINT) AS n_ws_tokens,
+       {np_} AS n_pretokens,
+       CASE WHEN {nw} > 0
+            THEN round(CAST({np_} AS DOUBLE) / CAST({nw} AS DOUBLE), 6)
+       END AS fertility
+FROM documents
+"""
+
+
+SQL_TOKEN_FERTILITY = _sql_token_fertility()
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join, drained availableNow: purchases
     within 30 minutes after a click by the same user. Both sides are
@@ -5923,9 +5971,9 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # quantize importers + kmeans_clusters after the clustering.py
 # kmeans_ctes extraction) + 21 oldest-green unchanged backfill (the 18
 # r04 rows and 3 oldest r05 rows).
-# r10 window = 24 tier-0 (EIGHTEEN round-10 additions: language_id,
+# r10 window = 25 tier-0 (NINETEEN round-10 additions: language_id,
 # streaming_quantiles, hilbert_stats, mixture_plan, streaming_moments,
-# psi_drift, streaming_psi, ks_drift, pq_index_topk,
+# psi_drift, streaming_psi, ks_drift, token_fertility, pq_index_topk,
 # ivf_pq_topk, ivf_pq_residual,
 # pq_residual_index, bpe_merges, bpe_encode, streaming_heavy_hitters,
 # streaming_sample,
@@ -5933,16 +5981,17 @@ SQL_TOPK_SIMILAR_PAIRS = (
 # topk_similar_pairs, quality_rules, streaming_distinct — the
 # setsim/rules/streaming-sketches edits — pq_topk after the fused
 # pq_train trainer — and zorder_stats after the write_curve_clustered
-# extraction) + 26 of the 34-query round-5-green cohort (the
+# extraction) + 25 of the 34-query round-5-green cohort (the
 # stalest rows; window_topk, user_similarity, tfrecord_roundtrip,
 # streaming_sessionize, streaming_score, streaming_rollup,
-# streaming_interval_join, streaming_dedup displaced to 51+)
+# streaming_interval_join, streaming_dedup, sessionize displaced
+# to 51+)
 # — the displaced/leftover round-5/round-7 rows lead position 51+ and
 # are first in line for r11.
 # See PARITY.md "Correctness rotation".
 QUERIES = {
     # --- driver window (first 50) ---
-    # tier 0 (24): the EIGHTEEN round-10 additions (language_id: trained
+    # tier 0 (25): the NINETEEN round-10 additions (language_id: trained
     # trigram profiles; streaming_quantiles: fixed-width histogram
     # stream state finished by the batch estimator; hilbert_stats:
     # Hilbert-curve layout audit via literal lookup; mixture_plan:
@@ -5951,7 +6000,8 @@ QUERIES = {
     # psi_drift: per-bin population-stability drift on the shared
     # fixed-width grid; streaming_psi: the live-sketch-vs-static-
     # reference composition of the two; ks_drift: the grid-free exact
-    # KS member of the drift family;
+    # KS member of the drift family; token_fertility: BPE-style regex
+    # pretoken counts vs whitespace tokens;
     # pq_index_topk /
     # ivf_pq_topk / ivf_pq_residual / pq_residual_index: steady-state,
     # composed, residual-encoded, and steady-state-residual ANN;
@@ -5970,6 +6020,7 @@ QUERIES = {
     "psi_drift": q_psi_drift,
     "streaming_psi": q_streaming_psi,
     "ks_drift": q_ks_drift,
+    "token_fertility": q_token_fertility,
     # changed-since-green late in round 10: the write_curve_clustered
     # extraction in plans/layout.py re-fingerprints zorder_stats
     "zorder_stats": q_zorder_stats,
@@ -6019,14 +6070,14 @@ QUERIES = {
     "series_topk": q_series_topk,
     "session_paths": q_session_paths,
     "session_stats": q_session_stats,
-    "sessionize": q_sessionize,
-    # (no tier-3 filler: 24 tier-0 + 26 tier-2 fill the window; each
+    # (no tier-3 filler: 25 tier-0 + 25 tier-2 fill the window; each
     # late-round-10 tier-0 addition displaced one more unchanged-green
     # r5/r7 row below the boundary — all first in line for r11
     # alongside the five r7 leftovers)
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py; r5/r7 leftovers lead
+    "sessionize": q_sessionize,
     "streaming_dedup": q_streaming_dedup,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_rollup": q_streaming_rollup,
@@ -6160,6 +6211,7 @@ ORACLE_SQL = {
     # the pytest-pinned stream==batch histogram sketch)
     "streaming_psi": SQL_STREAMING_PSI,
     "ks_drift": SQL_KS_DRIFT,
+    "token_fertility": SQL_TOKEN_FERTILITY,
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     "ivf_pq_residual": SQL_IVF_PQ_RESIDUAL,
