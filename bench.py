@@ -532,8 +532,21 @@ def main() -> None:
             int(_re.search(r"_r(\d+)", p).group(1))
             for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
         ]
-        rnd = max(rounds, default=0) + 1
-        name = f"BENCH_LOCAL_r{rnd:02d}.json"
+        bench_rounds = [
+            int(_re.search(r"_r(\d+)", p).group(1))
+            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        ]
+        last = max(rounds, default=0)
+        # Round boundary: the driver records CORRECTNESS_r{N} BEFORE its
+        # closing bench sweep and BENCH_r{N} after it, so at that sweep
+        # CORRECTNESS_rN exists while BENCH_rN does not yet — name the
+        # record as round N's CLOSING sweep instead of colliding with
+        # the NEXT round's mid-round sweeps (the r10 verdict's naming
+        # skew: the round-10 closing record landed on the r11 name).
+        if last > max(bench_rounds, default=0):
+            name = f"BENCH_LOCAL_r{last:02d}_final.json"
+        else:
+            name = f"BENCH_LOCAL_r{last + 1:02d}.json"
         with open(os.path.join(here, name), "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
         local_record = name  # only advertise the record once it exists

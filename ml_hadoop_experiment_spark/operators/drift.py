@@ -59,8 +59,12 @@ def psi_from_counts(
     grid = spark.range(n_bins).select(
         F.col("id").cast("int").alias("bin")
     )
-    ca = counts_a.withColumnRenamed("cnt", "n_a")
-    cb = counts_b.withColumnRenamed("cnt", "n_b")
+    ca = _guard_bins(counts_a, n_bins, "counts_a").withColumnRenamed(
+        "cnt", "n_a"
+    )
+    cb = _guard_bins(counts_b, n_bins, "counts_b").withColumnRenamed(
+        "cnt", "n_b"
+    )
     # the counts sides are n_bins-bounded — broadcast them so the
     # grid spine never shuffles
     joined = (
@@ -93,6 +97,26 @@ def psi_from_counts(
     )
 
 
+def _guard_bins(counts: DataFrame, n_bins: int, side: str) -> DataFrame:
+    """Fail LOUDLY on a bin outside ``[0, n_bins)`` instead of letting
+    the grid left-join silently drop it (which would under-count the
+    totals and skew every smoothed fraction). A mismatched producer —
+    counts built on a different grid — is a caller bug that must
+    surface, not a row to discard. ``assert_true`` evaluates NULL when
+    the predicate holds, so the ``when(...isNull(), bin)`` wrapper
+    keeps the check inside the projected column (an unreferenced check
+    column would be pruned by the optimizer)."""
+    b = F.col("bin")
+    ok = b.isNotNull() & (b >= 0) & (b < n_bins)
+    msg = F.concat(
+        F.lit(f"psi_from_counts: {side} has bin outside [0, {n_bins}): "),
+        b.cast("string"),
+    )
+    return counts.select(
+        F.when(F.assert_true(ok, msg).isNull(), b).alias("bin"), "cnt"
+    )
+
+
 def psi_report(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -122,6 +146,7 @@ def ks_statistic(
     df_b: DataFrame,
     value_col: str,
     round_digits: int = 6,
+    max_distinct: int | None = None,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic: one row
     ``(n_a, n_b, ks)`` with ``ks = max over observed values of
@@ -136,8 +161,19 @@ def ks_statistic(
     raw rows. Exactness: cumulative counts are integers; each CDF is
     one integer-to-double division and the max runs over
     ``round``-stable doubles, so the DuckDB twin
-    (:func:`ks_statistic_sql`) matches bit-for-bit. NULL/NaN skipped
-    (the family rule)."""
+    (:func:`ks_statistic_sql`) matches bit-for-bit.
+
+    Cleaning: NULL/NaN AND +-Infinity are dropped — stricter than the
+    histogram family's NULL/NaN-only rule (where +-Inf clamps into the
+    edge bins), matching ``streaming/moments._clean`` instead: an
+    infinity is not an observable point on the real line, so letting
+    it carry CDF mass would make ``ks`` depend on sentinel values.
+
+    ``max_distinct`` (opt-in, one extra count job): the cumsum window
+    is single-partition over the DISTINCT-value frame, so a
+    high-cardinality double column collapses to one task holding every
+    distinct value. Set a ceiling to fail loudly with a pointer to
+    :func:`psi_report`'s bounded grid instead of OOMing an executor."""
     ca = (
         _clean_values(df_a, value_col)
         .groupBy("v")
@@ -153,6 +189,15 @@ def ks_statistic(
         F.coalesce("c_a", F.lit(0)).alias("c_a"),
         F.coalesce("c_b", F.lit(0)).alias("c_b"),
     )
+    if max_distinct is not None:
+        n_distinct = merged.count()
+        if n_distinct > max_distinct:
+            raise ValueError(
+                f"ks_statistic: {n_distinct} distinct values exceeds "
+                f"max_distinct={max_distinct}; the ordered cumsum would "
+                "collapse to one task holding them all — quantize the "
+                "column first, or use psi_report's bounded grid"
+            )
     from pyspark.sql import Window
 
     # single-partition ordered cumsum: correct because the frame is the
@@ -197,10 +242,13 @@ def ks_statistic(
 
 
 def _clean_values(df: DataFrame, value_col: str) -> DataFrame:
-    from .histogram import finite_filter
-
+    # strict finite (drops +-Inf too) — see ks_statistic's docstring;
+    # same rule as streaming/moments._clean
     v = F.col(value_col).cast("double")
-    return df.where(finite_filter(v)).select(v.alias("v"))
+    inf = F.lit(float("inf"))
+    return df.where(
+        v.isNotNull() & ~F.isnan(v) & (v != inf) & (v != -inf)
+    ).select(v.alias("v"))
 
 
 def ks_statistic_sql(
@@ -211,8 +259,9 @@ def ks_statistic_sql(
 ) -> str:
     """DuckDB twin of :func:`ks_statistic` (same merge, same cumsum
     order, same integer-to-double divisions, same rounding, same
-    zero-rows-on-empty-slice contract)."""
-    filt = finite_filter_sql(value_expr)
+    zero-rows-on-empty-slice contract, same strict-finite cleaning —
+    ``isfinite`` rejects NULL/NaN/+-Inf in one predicate)."""
+    filt = f"isfinite(CAST({value_expr} AS DOUBLE))"
     return f"""
 WITH ca AS (
   SELECT CAST({value_expr} AS DOUBLE) AS v, count(*) AS c_a

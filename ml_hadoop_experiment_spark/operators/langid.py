@@ -154,8 +154,8 @@ def _trigram_cte(relation: str, key_expr: str, text_expr: str) -> str:
 def language_id_sql(
     train_relation: str,
     score_relation: str,
-    id_expr: str,
-    lang_expr: str,
+    id_col: str,
+    lang_col: str,
     text_expr: str,
     profile_size: int = 200,
     unknown: str = "und",
@@ -164,11 +164,17 @@ def language_id_sql(
     """DuckDB twin of ``train_language_profiles`` + :func:`language_id`
     run resubstitution-style: train on ``train_relation``'s labels,
     score ``score_relation``, attach the true label. Same trigrams,
-    same rank tie-break, same integer weights, same argmax order."""
+    same rank tie-break, same integer weights, same argmax order.
+
+    ``id_col`` / ``lang_col`` must be BARE column names (they are
+    interpolated qualified as ``d.{id_col}`` in the final SELECT/JOIN,
+    where an arbitrary expression would generate invalid SQL — the
+    ``_col`` naming declares that contract); ``text_expr`` may be any
+    scalar expression (used only inside the trigram CTE's subquery)."""
     k = profile_size
     unknown = unknown.replace("'", "''")  # SQL string-literal escape
     return f"""
-WITH tri_train AS ({_trigram_cte(train_relation, lang_expr, text_expr)}
+WITH tri_train AS ({_trigram_cte(train_relation, lang_col, text_expr)}
 ),
 counts AS (
   SELECT key AS lang, tri, count(*) AS cnt FROM tri_train GROUP BY 1, 2
@@ -181,7 +187,7 @@ profile AS (
     FROM counts)
   WHERE rnk <= {k}
 ),
-tri_score AS ({_trigram_cte(score_relation, id_expr, text_expr)}
+tri_score AS ({_trigram_cte(score_relation, id_col, text_expr)}
 ),
 scores AS (
   SELECT t.key AS id, p.lang, sum(p.weight) AS score
@@ -196,10 +202,10 @@ best AS (
     FROM scores)
   WHERE rn = 1
 )
-SELECT d.{id_expr} AS {out_id},
-       d.{lang_expr} AS lang_true,
+SELECT d.{id_col} AS {out_id},
+       d.{lang_col} AS lang_true,
        coalesce(b.lang, '{unknown}') AS lang_pred,
        CAST(coalesce(b.score, 0) AS BIGINT) AS score
 FROM {score_relation} d
-LEFT JOIN best b ON b.id = d.{id_expr}
+LEFT JOIN best b ON b.id = d.{id_col}
 """

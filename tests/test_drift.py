@@ -211,3 +211,70 @@ class TestPsiReport:
             .reset_index(drop=True)
         )
         assert sp[sorted(sp.columns)].equals(du[sorted(du.columns)])
+
+
+class TestRound11AdviceFixes:
+    def test_out_of_grid_bin_fails_loudly(self, spark):
+        """A counts frame with a bin outside [0, n_bins) — a producer
+        built on a DIFFERENT grid — must raise at execution, not be
+        silently dropped by the grid join (which would under-count the
+        totals and skew every smoothed fraction)."""
+        from ml_hadoop_experiment_spark.operators.drift import (
+            psi_from_counts,
+        )
+
+        good = spark.createDataFrame([(0, 5), (1, 3)], "bin int, cnt long")
+        bad = spark.createDataFrame([(0, 4), (7, 2)], "bin int, cnt long")
+        # surfaces as SparkRuntimeException, re-wrapped by AQE stage
+        # materialization — match the message, not the wrapper type
+        with pytest.raises(Exception, match="outside"):
+            psi_from_counts(good, bad, n_bins=4).collect()
+        with pytest.raises(Exception, match="outside"):
+            psi_from_counts(bad, good, n_bins=4).collect()
+        # in-range frames still work
+        ok = psi_from_counts(good, good, n_bins=4).collect()
+        assert len(ok) == 4 and all(r["psi_term"] == 0.0 for r in ok)
+
+    def test_ks_drops_infinities_both_engines(self, spark):
+        """+-Inf must not carry CDF mass (the moments-family strict
+        rule, not the histogram clamp rule) — and the DuckDB twin's
+        isfinite filter must agree."""
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.drift import (
+            ks_statistic,
+            ks_statistic_sql,
+        )
+
+        a = spark.createDataFrame(
+            [(1.0,), (2.0,), (float("inf",),)], "v double"
+        )
+        b = spark.createDataFrame(
+            [(1.0,), (2.0,), (float("-inf"),)], "v double"
+        )
+        row = ks_statistic(a, b, "v").collect()[0]
+        # after dropping the infinities the slices are identical
+        assert (row["n_a"], row["n_b"], row["ks"]) == (2, 2, 0.0)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE ta AS SELECT * FROM (VALUES (1.0), (2.0),"
+            " ('inf'::DOUBLE)) v(v)"
+        )
+        con.execute(
+            "CREATE TABLE tb AS SELECT * FROM (VALUES (1.0), (2.0),"
+            " ('-inf'::DOUBLE)) v(v)"
+        )
+        du = con.execute(ks_statistic_sql("ta", "tb", "v")).fetchall()
+        assert du == [(2, 2, 0.0)]
+
+    def test_ks_max_distinct_guard(self, spark):
+        from ml_hadoop_experiment_spark.operators.drift import ks_statistic
+
+        a = spark.createDataFrame(
+            [(float(i),) for i in range(10)], "v double"
+        )
+        with pytest.raises(ValueError, match="max_distinct"):
+            ks_statistic(a, a, "v", max_distinct=5)
+        # at or under the ceiling: runs normally
+        row = ks_statistic(a, a, "v", max_distinct=10).collect()[0]
+        assert row["ks"] == 0.0
