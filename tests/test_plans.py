@@ -121,3 +121,50 @@ def test_inference_udf_is_arrow(spark):
     plan = executed_plan_str(df)
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+# every declared query whose executed plan contains a
+# BroadcastNestedLoopJoin (SCALE.md's adjudicated table; regenerate with
+# tools/plan_report.py if a new one appears)
+_BNLJ_QUERIES = [
+    "ann_topk_batch",
+    "bigram_xent",
+    "bm25_topk",
+    "chi_square",
+    "feature_hist",
+    "heavy_hitters",
+    "hll_audit",
+    "kmv_source_overlap",
+    "ks_drift",
+    "mixture_plan",
+    "mixture_sample",
+    "pmi_bigrams",
+    "psi_drift",
+    "quantized_topk",
+    "series_topk",
+    "skew_report",
+    "tfidf_topk",
+    "unigram_xent",
+    "user_similarity",
+]
+
+# a BNLJ's cost is streamed-side rows x build-side rows: fine for a
+# 1-row totals frame or a k-row sketch, quadratic blow-up for a
+# data-sized side. 4096 is far above every legitimate build side in
+# the engine (totals=1, sketches<=256, dims<=40) and far below any
+# data-sized frame even at sf0.001.
+_BNLJ_BOUND = 4096
+
+
+@pytest.mark.parametrize("name", _BNLJ_QUERIES)
+def test_bnlj_build_sides_are_bounded(spark, name):
+    """No BroadcastNestedLoopJoin in any declared query may have a
+    data-sized build side — measured from the BroadcastExchange's
+    numOutputRows metric, not inferred (the r10 verdict's ask)."""
+    from ml_hadoop_experiment_spark.plans.optimize import bnlj_build_bounds
+
+    df = QUERIES[name](spark, SF_DIR)
+    df.collect()
+    bounds = bnlj_build_bounds(df)
+    assert bounds, f"{name} no longer has a BNLJ — drop it from the list"
+    assert all(b <= _BNLJ_BOUND for b in bounds), (name, bounds)

@@ -10,10 +10,16 @@ import sys
 
 from ml_hadoop_experiment_spark.common import get_session
 from ml_hadoop_experiment_spark.plans.optimize import (
+    bnlj_build_bounds,
     executed_plan_str,
     wholestage_codegen_spans,
 )
 from ml_hadoop_experiment_spark.queries import QUERIES
+
+# A BroadcastNestedLoopJoin is fine when its build side is BOUNDED (a
+# 1-row totals frame, a k-row sketch/dim); above this many build rows
+# it is flagged as data-sized. Matches tests/test_plans.py's guard.
+BNLJ_BOUND = 4096
 
 SF_DIR = "/root/testdata/sf0.001"
 # streaming queries execute eagerly inside the callable; their batch plan
@@ -70,7 +76,22 @@ def main() -> None:
             f"{d['python']} Python crossing(s), {spans} codegen span(s)"
         )
         if d["bnlj"]:
-            cell += f", {d['bnlj']} BNLJ (!)"
+            # adjudicate in place: execute, read the ACTUAL broadcast-side
+            # row count off each join's BroadcastExchange metric (the r10
+            # verdict's ask — the bare `(!)` made every reader re-derive
+            # whether the build side is a 1-row totals frame or data-sized)
+            df.collect()
+            bounds = bnlj_build_bounds(df)
+            sides = ", ".join(str(b) for b in bounds)
+            if all(b <= BNLJ_BOUND for b in bounds):
+                cell += (
+                    f", {d['bnlj']} BNLJ (build side {sides} row(s) — bounded)"
+                )
+            else:
+                cell += (
+                    f", {d['bnlj']} BNLJ (build side {sides} row(s) — "
+                    "DATA-SIZED (!))"
+                )
         rows.append((name, cell))
     print("| query | plan shape (measured at sf0.001) |")
     print("|---|---|")
