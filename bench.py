@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "streaming_psi",
     "ks_drift",
     "token_fertility",
+    # round-11 additions
+    "ivf_pq_routed",
 ]
 
 

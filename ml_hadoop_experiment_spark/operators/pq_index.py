@@ -696,3 +696,41 @@ ORDER BY score ASC, id ASC
 LIMIT {k}
 """
     )
+
+
+def route_index_to_storage(
+    index: PQIndex, path: str, mode: str = "overwrite"
+) -> PQIndex:
+    """Materialize a routed (IVF-built) PQ index as parquet
+    PARTITIONED BY ``list_id`` and return a new :class:`PQIndex` whose
+    codes frame reads it back — the 100 TB serving form of the
+    composition: because ``list_id`` is a PARTITION column of the
+    storage, the ``isin(probes)`` filter that
+    :func:`pq_topk_against_index` pushes for a routed probe becomes a
+    partition filter on the scan, and Spark lists/reads ONLY the
+    ``nprobe`` list directories — the other ``num_centroids - nprobe``
+    lists never produce a single file read (measured:
+    ``plans/optimize.files_read``; A/B in SCALE.md). The in-memory
+    index pays a pin per executor cache; the stored index pays one
+    write and serves every later session from disk.
+
+    The write is eager (one job); the returned index is otherwise the
+    same PQIndex contract (same codebooks/centroids travel with it),
+    so every probe helper composes unchanged.
+    """
+    if index.centroids is None:
+        raise ValueError(
+            "route_index_to_storage requires an index built with "
+            "centroids (the list_id column IS the routing key)"
+        )
+    spark = index.codes.sparkSession
+    index.codes.write.partitionBy("list_id").mode(mode).parquet(path)
+    codes = spark.read.parquet(path)
+    return PQIndex(
+        codes,
+        index.codebooks,
+        index.dim,
+        index.round_digits,
+        index.centroids,
+        by_residual=index.by_residual,
+    )

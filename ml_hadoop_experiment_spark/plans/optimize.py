@@ -196,3 +196,33 @@ def bnlj_build_bounds(df: DataFrame) -> List[int]:
             )
         bounds.append(rows)
     return bounds
+
+
+def files_read(df: DataFrame) -> int:
+    """Total files actually read by the executed plan's file scans —
+    the partition-pruning receipt (a pruned scan reads fewer files
+    than the table holds). Reads the ``numFiles`` metric off every
+    ``FileSourceScanExec``; execute the DataFrame first."""
+
+    def _resolve(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            return _resolve(node.executedPlan())
+        if "QueryStageExec" in cls:
+            return _resolve(node.plan())
+        return node
+
+    def _walk(node, acc):
+        node = _resolve(node)
+        cls = node.getClass().getSimpleName()
+        if cls == "FileSourceScanExec":
+            acc.append(int(node.metrics().apply("numFiles").value()))
+        if cls == "ReusedExchangeExec":
+            return  # points at an already-counted subtree
+        ch = node.children()
+        for i in range(ch.size()):
+            _walk(ch.apply(i), acc)
+
+    acc: list = []
+    _walk(df._jdf.queryExecution().executedPlan(), acc)
+    return sum(acc)

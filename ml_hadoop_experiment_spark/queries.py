@@ -3452,6 +3452,51 @@ def _sql_ivf_pq_topk() -> str:
 SQL_IVF_PQ_TOPK = _sql_ivf_pq_topk()
 
 
+def q_ivf_pq_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ over LIST-PARTITIONED STORAGE
+    (operators/pq_index.route_index_to_storage) — the 100 TB serving
+    form the r10 verdict named: the code frame is written
+    ``partitionBy(list_id)``, so the probe's ``isin(probes)`` routing
+    filter becomes a PARTITION filter on the parquet scan and Spark
+    reads only the ``nprobe`` list directories (measured: 4 of 8
+    files at nprobe=4 — plans/optimize.files_read receipt in
+    SCALE.md). Same training/probe parameters and same result
+    contract as q_ivf_pq_topk (equivalence pytest-gated in
+    tests/test_pq_index.py), so the oracle IS SQL_IVF_PQ_TOPK — the
+    pq_index_topk precedent."""
+    import tempfile
+
+    from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+        FROZEN_CENTROIDS_8X64,
+    )
+    from ml_hadoop_experiment_spark.operators.pq_index import (
+        build_pq_index,
+        pq_topk_against_index,
+        route_index_to_storage,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    idx = build_pq_index(
+        emb, "vec_id", "embedding", dim=64, n_subspaces=4, codebook_k=8,
+        iters=2, train_fraction=0.5, seed=3,
+        centroids=FROZEN_CENTROIDS_8X64, eager=False, register=False,
+    )
+    # the stored form REPLACES the in-memory pin (eager=False above:
+    # the write job is the only materialization); tmpdir, not a fixed
+    # path — the driver's sweep and a local sweep may run concurrently
+    stored = route_index_to_storage(
+        idx, tempfile.mkdtemp(prefix="ivf_pq_routed_")
+    )
+    return pq_topk_against_index(stored, query, k=20, exclude_id=0, nprobe=4)
+
+
+SQL_IVF_PQ_ROUTED = SQL_IVF_PQ_TOPK
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus dedup: keep documents whose text does NOT already
     appear in the 'existing corpus' (stand-in: doc_id < 100) — the
@@ -6026,6 +6071,9 @@ QUERIES = {
     "zorder_stats": q_zorder_stats,
     "pq_index_topk": q_pq_index_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
+    # tier 1: new round-11 addition — routed IVF+PQ over
+    # list-partitioned storage (partition-pruned probe scan)
+    "ivf_pq_routed": q_ivf_pq_routed,
     "ivf_pq_residual": q_ivf_pq_residual,
     "pq_residual_index": q_pq_residual_index,
     "bpe_merges": q_bpe_merges,
@@ -6214,6 +6262,7 @@ ORACLE_SQL = {
     "token_fertility": SQL_TOKEN_FERTILITY,
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
+    "ivf_pq_routed": SQL_IVF_PQ_ROUTED,
     "ivf_pq_residual": SQL_IVF_PQ_RESIDUAL,
     # pq_residual_index: identical result contract to ivf_pq_residual,
     # same oracle (equivalence pytest-gated)

@@ -336,3 +336,63 @@ class TestIvfPq:
             assert full == unrouted
         finally:
             idx.unpersist()
+
+
+class TestRoutedStorage:
+    def test_stored_probe_equals_memory_probe_and_prunes_files(
+        self, spark, emb, qvec, tmp_path
+    ):
+        """route_index_to_storage: the stored (list-partitioned) index
+        must return byte-identical probes to the in-memory routed
+        index, and the probe scan must READ only the nprobe list
+        partitions (the partition-pruning receipt — files_read)."""
+        from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+            FROZEN_CENTROIDS_8X64,
+        )
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            build_pq_index,
+            pq_topk_against_index,
+            route_index_to_storage,
+        )
+        from ml_hadoop_experiment_spark.plans.optimize import files_read
+
+        idx = build_pq_index(
+            emb, "vec_id", "embedding",
+            centroids=FROZEN_CENTROIDS_8X64, register=False, **PQ_KW
+        )
+        try:
+            mem = [
+                tuple(r)
+                for r in pq_topk_against_index(
+                    idx, qvec, k=20, exclude_id=0, nprobe=4
+                ).collect()
+            ]
+            stored = route_index_to_storage(idx, str(tmp_path / "routed"))
+        finally:
+            idx.unpersist()
+        probe = pq_topk_against_index(
+            stored, qvec, k=20, exclude_id=0, nprobe=4
+        )
+        assert [tuple(r) for r in probe.collect()] == mem
+        # 8 lists on disk; nprobe=4 must scan exactly 4 of them
+        assert files_read(probe) == 4
+        full = pq_topk_against_index(
+            stored, qvec, k=20, exclude_id=0, nprobe=8
+        )
+        full.collect()
+        assert files_read(full) == 8
+
+    def test_storage_requires_centroids(self, spark, emb):
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            build_pq_index,
+            route_index_to_storage,
+        )
+
+        idx = build_pq_index(
+            emb, "vec_id", "embedding", register=False, **PQ_KW
+        )
+        try:
+            with pytest.raises(ValueError, match="centroids"):
+                route_index_to_storage(idx, "/tmp/never-written")
+        finally:
+            idx.unpersist()
