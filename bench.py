@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "token_fertility",
     # round-11 additions
     "ivf_pq_routed",
+    "unigram_learn",
+    "unigram_encode",
 ]
 
 

@@ -5698,6 +5698,76 @@ def _sql_bpe_merges() -> str:
 SQL_BPE_MERGES = _sql_bpe_merges()
 
 
+#: one parameter set for the unigram-LM tokenizer pair — the Spark
+#: queries and the DuckDB twins must train the identical model
+_UNIGRAM_KW = dict(
+    n_iters=2, seed_multi=200, vocab_size=150, max_piece_len=3
+)
+
+
+def q_unigram_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training
+    (operators/unigram.unigram_learn): substring-frequency seed, TWO
+    hard-EM (Viterbi) iterations over the pinned distinct-word frame,
+    frequency pruning to the final vocabulary — returning
+    (piece, piece_count), integer-exact by construction (the doubles
+    steering the Viterbi argmax never surface). The model travels as
+    a 1-row map frame end to end — no driver collect anywhere — and
+    the oracle replays the ENTIRE loop (seed, per-iteration map,
+    Viterbi fold, counts, smoothing) in one unrolled-CTE DuckDB
+    statement (the bpe_merges precedent)."""
+    from ml_hadoop_experiment_spark.operators.unigram import unigram_learn
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_learn(docs, "text", **_UNIGRAM_KW)
+
+
+def _sql_unigram_learn() -> str:
+    from ml_hadoop_experiment_spark.operators.unigram import (
+        unigram_learn_sql,
+    )
+
+    return unigram_learn_sql("documents", "text", **_UNIGRAM_KW)
+
+
+SQL_UNIGRAM_LEARN = _sql_unigram_learn()
+
+
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM learn-then-encode (operators/unigram.unigram_encode):
+    the q_unigram_learn model segments every document by Viterbi —
+    (doc_id, n_tokens, tokens), tokens in document order. Each
+    DISTINCT word segments once against the 1-row model map
+    (probabilities re-smoothed over the pruned vocabulary, OOV single
+    characters priced at the fixed OOV_P literal) and documents
+    reassemble by broadcast join — the bpe_encode shape with a
+    different trained segmenter."""
+    from ml_hadoop_experiment_spark.operators.unigram import (
+        unigram_encode,
+        unigram_learn,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = unigram_learn(docs, "text", **_UNIGRAM_KW)
+    return unigram_encode(
+        docs, "doc_id", "text", model,
+        max_piece_len=_UNIGRAM_KW["max_piece_len"],
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _sql_unigram_encode() -> str:
+    from ml_hadoop_experiment_spark.operators.unigram import (
+        unigram_encode_sql,
+    )
+
+    return unigram_encode_sql(
+        "documents", "doc_id", "text", out_id="doc_id", **_UNIGRAM_KW
+    )
+
+
+SQL_UNIGRAM_ENCODE = _sql_unigram_encode()
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage audit (operators/corpus.oov_rate): the OOV
     instance rate of a frozen top-10 vocabulary over the documents
@@ -6074,6 +6144,9 @@ QUERIES = {
     # tier 1: new round-11 addition — routed IVF+PQ over
     # list-partitioned storage (partition-pruned probe scan)
     "ivf_pq_routed": q_ivf_pq_routed,
+    # tier 1: new round-11 additions — unigram-LM tokenizer train/apply
+    "unigram_learn": q_unigram_learn,
+    "unigram_encode": q_unigram_encode,
     "ivf_pq_residual": q_ivf_pq_residual,
     "pq_residual_index": q_pq_residual_index,
     "bpe_merges": q_bpe_merges,
@@ -6263,6 +6336,8 @@ ORACLE_SQL = {
     "pq_index_topk": SQL_PQ_INDEX_TOPK,
     "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     "ivf_pq_routed": SQL_IVF_PQ_ROUTED,
+    "unigram_learn": SQL_UNIGRAM_LEARN,
+    "unigram_encode": SQL_UNIGRAM_ENCODE,
     "ivf_pq_residual": SQL_IVF_PQ_RESIDUAL,
     # pq_residual_index: identical result contract to ivf_pq_residual,
     # same oracle (equivalence pytest-gated)

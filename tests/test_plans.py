@@ -144,6 +144,7 @@ _BNLJ_QUERIES = [
     "series_topk",
     "skew_report",
     "tfidf_topk",
+    "unigram_encode",
     "unigram_xent",
     "user_similarity",
 ]
