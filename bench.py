@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "ivf_pq_routed",
     "unigram_learn",
     "unigram_encode",
+    "image_near_dup_mixed",
 ]
 
 

@@ -1,10 +1,12 @@
-"""Image perceptual-hash near-duplicates: dHash over decoded BMP pixels.
+"""Image perceptual-hash near-duplicates: dHash over decoded pixels.
 
 Completes the multimodal tier beyond metadata (``multimodal.py`` parses
-container headers) into CONTENT dedup: decode the one uncompressed
-container the engine already handles without codec dependencies
-(24-bit BITMAPINFOHEADER BMP — a real decoder, pure numpy over the
-payload bytes, not a stub), reduce each image to a difference hash
+container headers) into CONTENT dedup: decode the two containers the
+engine handles without codec dependencies (24-bit BITMAPINFOHEADER
+BMP — pure numpy over the payload bytes; non-interlaced 8-bit PNG —
+stdlib ``zlib`` inflate + the full None/Sub/Up/Average/Paeth scanline
+defilter set; both real decoders, not stubs, dispatched by magic
+bytes), reduce each image to a difference hash
 (dHash: bit = left pixel brighter than its right neighbor on a fixed
 8x8 grayscale grid; Krawetz's public algorithm), and find pairs within
 a Hamming radius with the SAME pigeonhole segment blocking the text
@@ -87,6 +89,157 @@ def bmp_gray_pixels(payload: bytes) -> Optional[np.ndarray]:
     return rows.astype(np.int64).sum(axis=2) // 3
 
 
+def png_gray_pixels(payload: bytes) -> Optional[np.ndarray]:
+    """Decode a non-interlaced 8-bit greyscale (color type 0) or
+    truecolor (type 2) PNG into a top-down ``(height, width)`` int
+    array of grays (``(r + g + b) // 3`` for truecolor) — stdlib only:
+    ``zlib`` inflates the IDAT stream, then the five scanline filters
+    (None/Sub/Up/Average/Paeth, the full PNG filter set) un-apply in
+    numpy/int arithmetic. Returns None for anything else (palette,
+    16-bit, alpha, interlaced — codec-integration territory), matching
+    :func:`bmp_gray_pixels`'s contract for its format."""
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(payload) < 8 + 25 or payload[:8] != sig:
+        return None
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        if len(data) < length:
+            return None
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color not in (0, 2) or comp or filt or interlace:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    bpp = 1 if color == 0 else 3
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
+        return None
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        ftype = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).astype(np.int64)
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        if ftype == 0:  # None
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential
+            row = out[y]
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                row[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+    if color == 0:
+        return out
+    return out.reshape(h, w, 3).sum(axis=2) // 3
+
+
+def decode_gray_pixels(payload: bytes) -> Optional[np.ndarray]:
+    """Container dispatch by magic bytes: BMP (``BM``) or PNG
+    (``\\x89PNG``) to their decoders; None otherwise. The one entry
+    point the hashing scan needs — adding a codec means adding a
+    branch here, nothing downstream changes."""
+    if payload[:2] == b"BM":
+        return bmp_gray_pixels(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_gray_pixels(payload)
+    return None
+
+
+def png_bytes(gray: np.ndarray, truecolor: bool = True) -> bytes:
+    """Encode a ``(h, w)`` int raster (values 0-255) as a minimal
+    non-interlaced 8-bit PNG — truecolor with r=g=b (exercising the
+    3-channel decode path) or greyscale. Filter type 0 on every
+    scanline; stdlib ``zlib`` for the IDAT stream. The encode half of
+    the roundtrip the mixed-container near-dup fixture gates on."""
+    import zlib
+
+    h, w = gray.shape
+    px = gray.astype(np.uint8)
+    if truecolor:
+        rows = np.repeat(px, 3, axis=1)
+        color, stride = 2, w * 3
+    else:
+        rows, color, stride = px, 0, w
+    raw = b"".join(
+        b"\x00" + rows[y].tobytes() for y in range(h)
+    )
+    assert len(raw) == h * (1 + stride)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def bmp_bytes(gray: np.ndarray) -> bytes:
+    """Encode a ``(h, w)`` int raster (values 0-255) as a 24-bit
+    bottom-up BITMAPINFOHEADER BMP with r=g=b — the encode half of the
+    BMP roundtrip (:func:`png_bytes` is the PNG half)."""
+    h, w = gray.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        row = bytearray()
+        for x in range(w):
+            row += bytes([int(gray[y, x]) & 0xFF]) * 3
+        row += b"\x00" * (stride - len(row))
+        body += row
+    size = 54 + len(body)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIIIII", 40, w, h, 1, 24, 0, len(body),
+                      0, 0, 0, 0)
+    )
+    return bytes(header) + bytes(body)
+
+
 def downscale_gray(gray: np.ndarray, grid: int = DHASH_GRID) -> np.ndarray:
     """Integer-floor area average onto a ``grid x grid`` raster: cell
     (i, j) spans rows [i*h//grid, (i+1)*h//grid) etc., value =
@@ -122,15 +275,16 @@ def dhash_bits(cell: np.ndarray) -> int:
     return fp
 
 
-def bmp_dhash_frame(
+def image_dhash_frame(
     df: DataFrame, id_col: str, payload_col: str
 ) -> DataFrame:
-    """``(id, fp)`` dHash fingerprints for a binary BMP payload column:
-    one Arrow-batched mapInPandas scan (decode + downscale + hash in
-    numpy per image, no per-pixel Python). Undecodable payloads are
-    dropped — near-dup pairing is defined over decodable images; count
-    the drop rate upstream with ``multimodal.extract_image_features``
-    if it matters."""
+    """``(id, fp)`` dHash fingerprints for a binary image payload
+    column (BMP or PNG, dispatched by magic bytes —
+    :func:`decode_gray_pixels`): one Arrow-batched mapInPandas scan
+    (decode + downscale + hash in numpy per image, no per-pixel
+    Python). Undecodable payloads are dropped — near-dup pairing is
+    defined over decodable images; count the drop rate upstream with
+    ``multimodal.extract_image_features`` if it matters."""
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -138,7 +292,7 @@ def bmp_dhash_frame(
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                gray = bmp_gray_pixels(bytes(payload))
+                gray = decode_gray_pixels(bytes(payload))
                 if gray is None:
                     continue
                 cell = downscale_gray(gray)
@@ -154,6 +308,10 @@ def bmp_dhash_frame(
     )
 
 
+#: pre-dispatch name, kept for callers written against the BMP-only tier
+bmp_dhash_frame = image_dhash_frame
+
+
 def image_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -161,13 +319,13 @@ def image_near_dup_pairs(
     max_hamming: int = 2,
 ) -> DataFrame:
     """Image near-duplicate pairs ``(id_a, id_b, hamming)`` — all pairs
-    of decodable BMP payloads whose dHash fingerprints differ in at
-    most ``max_hamming`` of the 56 bits, id_a < id_b. Blocking and
-    exact verification are ``dedup.simhash_pairs_from_fingerprints``
-    (pigeonhole segments over the fingerprint, segment-keyed equi-join,
-    ``bit_count(xor)`` verify — exact recall at the radius, never
-    all-pairs)."""
-    fp = bmp_dhash_frame(df, id_col, payload_col)
+    of decodable image payloads (BMP or PNG) whose dHash fingerprints
+    differ in at most ``max_hamming`` of the 56 bits, id_a < id_b.
+    Blocking and exact verification are
+    ``dedup.simhash_pairs_from_fingerprints`` (pigeonhole segments over
+    the fingerprint, segment-keyed equi-join, ``bit_count(xor)``
+    verify — exact recall at the radius, never all-pairs)."""
+    fp = image_dhash_frame(df, id_col, payload_col)
     return simhash_pairs_from_fingerprints(
         fp, bits=DHASH_BITS, max_hamming=max_hamming
     )

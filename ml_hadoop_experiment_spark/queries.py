@@ -2730,6 +2730,65 @@ FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 2
 SQL_IMAGE_NEAR_DUP = _sql_image_near_dup()
 
 
+def q_image_near_dup_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image content near-dup over a MIXED BMP + PNG corpus — the
+    round-11 extension of q_image_near_dup past the uncompressed
+    container: the same md5-derived per-group raster (one-pixel
+    perturbation within each 5-doc group), but even groups encode as
+    24-bit BMP and odd groups as truecolor PNG (zlib IDAT, so the
+    synthesis is one Arrow-batched mapInPandas — a deflate stream has
+    no codegen spelling). The OPERATOR dispatches by magic bytes and
+    decodes both (phash.decode_gray_pixels: numpy BMP; stdlib-zlib
+    inflate + full scanline defilter PNG). The oracle never sees
+    bytes — it replays the raster formula, hash, blocks, join, and
+    popcount in integer SQL (it is EXACTLY q_image_near_dup's oracle),
+    so the gate passes only if encode-decode is the identity for BOTH
+    containers."""
+    import hashlib
+
+    from ml_hadoop_experiment_spark.operators.phash import (
+        bmp_bytes,
+        image_near_dup_pairs,
+        png_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                grp, r = d // 5, d % 5
+                gray = np.empty((8, 8), dtype=np.int64)
+                for y in range(8):
+                    for x in range(8):
+                        hh = int(
+                            hashlib.md5(
+                                f"{grp}_{y * 8 + x}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                        if x == y and x > 0 and r == x:
+                            hh += 83 * x
+                        gray[y, x] = hh % 199 + 20
+                payloads.append(
+                    bmp_bytes(gray) if grp % 2 == 0 else png_bytes(gray)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    imgs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return image_near_dup_pairs(imgs, "doc_id", "payload", max_hamming=2)
+
+
+SQL_IMAGE_NEAR_DUP_MIXED = SQL_IMAGE_NEAR_DUP
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained character-trigram language ID (operators/langid):
     Cavnar-Trenkle profiles — top-200 trigrams per labeled language,
@@ -6147,6 +6206,8 @@ QUERIES = {
     # tier 1: new round-11 additions — unigram-LM tokenizer train/apply
     "unigram_learn": q_unigram_learn,
     "unigram_encode": q_unigram_encode,
+    # tier 1: new round-11 addition — mixed BMP+PNG content dedup
+    "image_near_dup_mixed": q_image_near_dup_mixed,
     "ivf_pq_residual": q_ivf_pq_residual,
     "pq_residual_index": q_pq_residual_index,
     "bpe_merges": q_bpe_merges,
@@ -6338,6 +6399,7 @@ ORACLE_SQL = {
     "ivf_pq_routed": SQL_IVF_PQ_ROUTED,
     "unigram_learn": SQL_UNIGRAM_LEARN,
     "unigram_encode": SQL_UNIGRAM_ENCODE,
+    "image_near_dup_mixed": SQL_IMAGE_NEAR_DUP_MIXED,
     "ivf_pq_residual": SQL_IVF_PQ_RESIDUAL,
     # pq_residual_index: identical result contract to ivf_pq_residual,
     # same oracle (equivalence pytest-gated)

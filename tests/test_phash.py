@@ -140,3 +140,115 @@ class TestNearDupPairs:
         got = bmp_dhash_frame(df, "doc_id", "payload").collect()
         assert [r["id"] for r in got] == [1]
         assert got[0]["fp"] == 0  # flat image: no comparison fires
+
+
+class TestPngDecoder:
+    def test_roundtrip_truecolor_and_greyscale(self):
+        import numpy as np
+
+        from ml_hadoop_experiment_spark.operators.phash import (
+            png_bytes,
+            png_gray_pixels,
+        )
+
+        rng = np.random.RandomState(7)
+        gray = rng.randint(0, 256, (8, 8)).astype(np.int64)
+        for tc in (True, False):
+            got = png_gray_pixels(png_bytes(gray, truecolor=tc))
+            assert got is not None and (got == gray).all()
+
+    def test_all_five_scanline_filters_defilter(self):
+        """A hand-built truecolor PNG using one of each filter type
+        (None/Sub/Up/Average/Paeth per row) must decode to the source
+        raster — the decoder's full filter set, not just the filter-0
+        path the engine's own encoder emits."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from ml_hadoop_experiment_spark.operators.phash import (
+            png_gray_pixels,
+        )
+
+        rng = np.random.RandomState(11)
+        h, w, bpp = 5, 4, 3
+        px = rng.randint(0, 256, (h, w * bpp)).astype(np.int64)
+
+        def paeth(a, b, c):
+            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        raw = b""
+        prev = np.zeros(w * bpp, dtype=np.int64)
+        for y in range(h):
+            f = [0, 1, 2, 3, 4][y]
+            line = bytearray()
+            for x in range(w * bpp):
+                a = px[y][x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = px[y - 1][x - bpp] if (x >= bpp and y > 0) else 0
+                pred = [0, a, b, (a + b) // 2, paeth(a, b, c)][f]
+                line.append((px[y][x] - pred) & 0xFF)
+            raw += bytes([f]) + bytes(line)
+            prev = px[y]
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        blob = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+        got = png_gray_pixels(blob)
+        want = px.reshape(h, w, 3).sum(axis=2) // 3
+        assert got is not None and (got == want).all()
+
+    def test_rejects_and_dispatch(self):
+        import numpy as np
+
+        from ml_hadoop_experiment_spark.operators.phash import (
+            bmp_bytes,
+            bmp_gray_pixels,
+            decode_gray_pixels,
+            png_bytes,
+            png_gray_pixels,
+        )
+
+        gray = np.arange(64).reshape(8, 8) % 200
+        png = png_bytes(gray)
+        bmp = bmp_bytes(gray)
+        # dispatch picks the right decoder by magic bytes
+        assert (decode_gray_pixels(png) == gray).all()
+        assert (decode_gray_pixels(bmp) == gray).all()
+        assert decode_gray_pixels(b"GIF89a----------") is None
+        # truncation / foreign containers reject cleanly
+        assert png_gray_pixels(png[:40]) is None
+        assert png_gray_pixels(bmp) is None
+        assert bmp_gray_pixels(png) is None
+
+    def test_bmp_png_same_raster_same_fingerprint(self, spark):
+        """The SAME raster encoded as BMP and as PNG must produce the
+        SAME dHash fingerprint through the dispatching scan — the
+        mixed-corpus query's foundation."""
+        import numpy as np
+
+        from ml_hadoop_experiment_spark.operators.phash import (
+            bmp_bytes,
+            image_dhash_frame,
+            png_bytes,
+        )
+
+        rng = np.random.RandomState(3)
+        gray = rng.randint(0, 256, (8, 8)).astype(np.int64)
+        df = spark.createDataFrame(
+            [(1, bytearray(bmp_bytes(gray))), (2, bytearray(png_bytes(gray)))],
+            "id long, payload binary",
+        )
+        rows = image_dhash_frame(df, "id", "payload").collect()
+        fps = {r["id"]: r["fp"] for r in rows}
+        assert len(fps) == 2 and fps[1] == fps[2]
