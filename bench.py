@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "unigram_learn",
     "unigram_encode",
     "image_near_dup_mixed",
+    "decontaminate_spans",
 ]
 
 

@@ -517,3 +517,261 @@ def source_overlap(
         .groupBy("group_a", "group_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_size: int = 8,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """MAXIMAL contaminated token spans per corpus document:
+    ``(id, span_start, span_end, span_tokens)`` (inclusive token
+    offsets) — every token range covered by at least one word
+    ``ngram_size``-gram shared with the benchmark, overlapping or
+    adjacent hits merged into their maximal extents (the
+    ``repeated_spans`` merge, against an EXTERNAL gram set instead of
+    the corpus's own repeats).
+
+    Plan: benchmark grams distinct + broadcast (``benchmark_ngrams`` —
+    eval sets are tiny by construction); corpus positional grams
+    generate map-side and inner-join the broadcast, so only HITS —
+    proportional to contamination, not corpus size — reach the per-doc
+    merge window (partitioned by document: task size bounded by doc
+    length). Documents shorter than ``ngram_size`` words follow the
+    family's short-doc rule (their whole normalized text is one gram,
+    span = the whole document).
+    """
+    gh = (
+        portable_token_hash_int(F.col("gram"))
+        if hash_grams
+        else F.col("gram")
+    )
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = corpus.select(F.col(id_col).alias("id"), tokens.alias("__t"))
+    long_hits = base.where(F.size("__t") >= ngram_size).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.arrays_zip(
+                    *[
+                        F.slice(F.col("__t"), i + 1,
+                                F.size("__t") - F.lit(ngram_size - 1))
+                        for i in range(ngram_size)
+                    ]
+                ),
+                lambda s: F.concat_ws(
+                    " ", *[s[str(i)] for i in range(ngram_size)]
+                ),
+            )
+        ).alias("pos", "gram"),
+    ).select(
+        "id", "pos", (F.col("pos") + F.lit(ngram_size - 1)).alias("end"),
+        F.col("gram"),
+    )
+    short_hits = base.where(
+        (F.size("__t") < ngram_size) & (F.size("__t") > 0)
+    ).select(
+        "id",
+        F.lit(0).alias("pos"),
+        (F.size("__t") - F.lit(1)).alias("end"),
+        F.concat_ws(" ", F.col("__t")).alias("gram"),
+    )
+    pos_grams = long_hits.unionByName(short_hits).select(
+        "id", "pos", "end", gh.alias("gram")
+    )
+    bg = benchmark_ngrams(
+        benchmark, text_col, ngram_size, hash_grams=hash_grams
+    )
+    hits = pos_grams.join(F.broadcast(bg), "gram").select(
+        "id", "pos", "end"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    grp = F.sum(
+        F.when(
+            F.lag("end").over(w).isNull()
+            | (F.col("pos") - F.lag("end").over(w) > 1),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    ).over(w)
+    return (
+        hits.withColumn("__g", grp)
+        .groupBy("id", "__g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_size: int = 8,
+    hash_grams: bool = True,
+    out_text_col: str = "clean_text",
+) -> DataFrame:
+    """The decontamination ACTION: the cleaned corpus itself —
+    ``(id_col, out_text_col, n_removed_tokens)`` with every
+    benchmark-shared maximal span CUT from the text (tokens outside
+    the contaminated ranges rejoined with single spaces), not just
+    reported. :func:`decontaminate` drops whole documents; this keeps
+    the document minus the leaked spans — the Lee et al. 2022 posture
+    that cutting the span preserves the surrounding (clean) training
+    signal.
+
+    Plan: :func:`contaminated_spans` (broadcast benchmark, hits-only
+    shuffle) aggregated to one bounded span array per CONTAMINATED doc
+    (contamination is rare, the frame is small), then one left
+    broadcast-join back to the corpus and a pure codegen index filter
+    over the token array — the corpus itself never shuffles. Clean
+    documents pass through with ``n_removed_tokens = 0``; a fully
+    contaminated document keeps an empty string. Integer/string output
+    only — exact cross-engine.
+    """
+    spans = (
+        contaminated_spans(
+            corpus, benchmark, id_col, text_col, ngram_size, hash_grams
+        )
+        .groupBy("id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("__spans")
+        )
+        .withColumnRenamed("id", "__sid")
+    )
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    joined = corpus.join(
+        F.broadcast(spans),
+        corpus[id_col] == F.col("__sid"),
+        "left",
+    )
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.expr("cast(array() as array<struct<s: int, e: int>>)"),
+    )
+    kept = F.filter(
+        tokens,
+        lambda t, i: ~F.exists(
+            sp, lambda r: (i >= r["s"]) & (i <= r["e"])
+        ),
+    )
+    clean = F.when(
+        F.col(text_col).isNotNull(), F.array_join(kept, " ")
+    )
+    removed = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(tokens) - F.size(kept)
+    )
+    return joined.select(
+        F.col(id_col),
+        clean.alias(out_text_col),
+        removed.cast("long").alias("n_removed_tokens"),
+    )
+
+
+def decontaminate_spans_sql(
+    corpus_relation: str,
+    benchmark_relation: str,
+    id_expr: str,
+    text_expr: str,
+    ngram_size: int = 8,
+    hash_grams: bool = True,
+    out_id: str = "id",
+    out_text_col: str = "clean_text",
+) -> str:
+    """DuckDB twin of :func:`decontaminate_spans` — same positional
+    grams (short-doc rule included), same benchmark gram set, same
+    merge window, same index filter (DuckDB list lambdas index
+    1-based; the span offsets are 0-based, hence ``i - 1``)."""
+    n = int(ngram_size)
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    pos_gh = (
+        portable_token_hash_int_sql(f"({gram})") if hash_grams
+        else f"({gram})"
+    )
+    whole_gh = (
+        portable_token_hash_int_sql("array_to_string(t, ' ')")
+        if hash_grams else "array_to_string(t, ' ')"
+    )
+    bench_gh = portable_token_hash_int_sql("gram") if hash_grams else "gram"
+    keep = (
+        "list_filter(c.t, (x, i) -> len(list_filter("
+        "coalesce(s.sp, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])), "
+        "r -> i - 1 >= struct_extract(r, 's')"
+        " AND i - 1 <= struct_extract(r, 'e'))) = 0)"
+    )
+    return f"""
+WITH corpus_base AS (
+  SELECT {id_expr} AS id, {text_expr} AS txt,
+         regexp_split_to_array(trim({text_expr}), '\\s+') AS t
+  FROM {corpus_relation}
+),
+bench_base AS (
+  SELECT regexp_split_to_array(trim({text_expr}), '\\s+') AS t
+  FROM {benchmark_relation} WHERE {text_expr} IS NOT NULL
+),
+bench_grams AS (
+  SELECT DISTINCT {bench_gh} AS gram FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1),
+                  i -> {gram})) AS gram
+    FROM bench_base WHERE len(t) >= {n}
+    UNION ALL
+    SELECT array_to_string(t, ' ') AS gram
+    FROM bench_base WHERE len(t) < {n}
+  )
+),
+pos_grams AS (
+  SELECT id, i - 1 AS pos, i - 1 + {n - 1} AS "end", {pos_gh} AS gram
+  FROM corpus_base, unnest(range(1, len(t) - {n - 1} + 1)) AS r(i)
+  WHERE len(t) >= {n}
+  UNION ALL
+  SELECT id, 0 AS pos, len(t) - 1 AS "end", {whole_gh} AS gram
+  FROM corpus_base WHERE len(t) < {n} AND len(t) > 0
+),
+hits AS (
+  SELECT p.id, p.pos, p."end" FROM pos_grams p
+  JOIN bench_grams USING (gram)
+),
+grp AS (
+  SELECT id, pos, "end",
+         sum(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+  FROM (SELECT id, pos, "end",
+               lag("end") OVER (PARTITION BY id ORDER BY pos) AS prev
+        FROM hits)
+),
+spans AS (
+  SELECT id, list({{'s': span_start, 'e': span_end}}) AS sp FROM (
+    SELECT id, min(pos) AS span_start, max("end") AS span_end
+    FROM grp GROUP BY id, g
+  ) GROUP BY id
+)
+SELECT c.id AS {out_id},
+       CASE WHEN c.txt IS NOT NULL
+            -- coalesce: DuckDB's array_to_string([]) is NULL where
+            -- Spark's array_join([]) is '' (the fully-cut document)
+            THEN coalesce(array_to_string({keep}, ' '), '')
+       END AS {out_text_col},
+       CAST(CASE WHEN c.txt IS NULL THEN 0
+                 ELSE len(c.t) - len({keep}) END AS BIGINT)
+         AS n_removed_tokens
+FROM corpus_base c LEFT JOIN spans s ON c.id = s.id
+"""

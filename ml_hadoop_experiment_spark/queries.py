@@ -4156,6 +4156,48 @@ SQL_ANN_TOPK_BATCH = SQL_ANN_TOPK_BATCH.format(
 )
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination ACTION (operators/curation.decontaminate_spans):
+    the CLEANED corpus itself — every maximal token span sharing a word
+    5-gram with the benchmark split (doc_id % 10 == 0, the
+    q_decontaminate stand-in) is CUT from the text, not just reported:
+    (doc_id, clean_text, n_removed_tokens). Span-cut beats doc-drop
+    (q_decontaminate's shape) because the surrounding clean text keeps
+    its training signal (Lee et al. 2022). Broadcast benchmark grams,
+    hits-only shuffle, per-DOC merge window, pure codegen index filter
+    over the token array — the corpus payload never shuffles; integer
+    and string output only, so the gate hash is exact."""
+    from ml_hadoop_experiment_spark.operators.curation import (
+        decontaminate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    return decontaminate_spans(
+        corpus, bench, "doc_id", "text", ngram_size=5, hash_grams=True
+    )
+
+
+def _sql_decontaminate_spans() -> str:
+    from ml_hadoop_experiment_spark.operators.curation import (
+        decontaminate_spans_sql,
+    )
+
+    return decontaminate_spans_sql(
+        "(SELECT * FROM documents WHERE doc_id % 10 <> 0)",
+        "(SELECT * FROM documents WHERE doc_id % 10 = 0)",
+        "doc_id",
+        "text",
+        ngram_size=5,
+        hash_grams=True,
+        out_id="doc_id",
+    )
+
+
+SQL_DECONTAMINATE_SPANS = _sql_decontaminate_spans()
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C recipe): flag corpus
     documents sharing any word 5-gram with the held-out benchmark split.
@@ -6208,6 +6250,8 @@ QUERIES = {
     "unigram_encode": q_unigram_encode,
     # tier 1: new round-11 addition — mixed BMP+PNG content dedup
     "image_near_dup_mixed": q_image_near_dup_mixed,
+    # tier 1: new round-11 addition — span-cut decontamination ACTION
+    "decontaminate_spans": q_decontaminate_spans,
     "ivf_pq_residual": q_ivf_pq_residual,
     "pq_residual_index": q_pq_residual_index,
     "bpe_merges": q_bpe_merges,
@@ -6400,6 +6444,7 @@ ORACLE_SQL = {
     "unigram_learn": SQL_UNIGRAM_LEARN,
     "unigram_encode": SQL_UNIGRAM_ENCODE,
     "image_near_dup_mixed": SQL_IMAGE_NEAR_DUP_MIXED,
+    "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
     "ivf_pq_residual": SQL_IVF_PQ_RESIDUAL,
     # pq_residual_index: identical result contract to ivf_pq_residual,
     # same oracle (equivalence pytest-gated)

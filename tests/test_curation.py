@@ -316,3 +316,119 @@ class TestSourceOverlap:
         )
         with _pytest.raises(ValueError, match="exactly one content column"):
             source_overlap(df, ["a", "b"], "src", fingerprint_tokens=4)
+
+
+class TestDecontaminateSpans:
+    CORPUS = [
+        (1, "a b c d e f"),
+        (2, "x y z a b c"),
+        (3, "q r"),
+        (4, None),
+        (5, "b c d e q r s t u v"),
+        (6, ""),
+    ]
+    BENCH = [(9, "b c d zz q r"), (10, "e q r")]
+
+    def _frames(self, spark):
+        return (
+            spark.createDataFrame(self.CORPUS, "doc_id int, text string"),
+            spark.createDataFrame(self.BENCH, "doc_id int, text string"),
+        )
+
+    def test_spans_merge_and_short_doc_rule(self, spark):
+        from ml_hadoop_experiment_spark.operators.curation import (
+            contaminated_spans,
+        )
+
+        cdf, bdf = self._frames(spark)
+        spans = {
+            (r["id"], r["span_start"], r["span_end"], r["span_tokens"])
+            for r in contaminated_spans(
+                cdf, bdf, "doc_id", "text", ngram_size=3
+            ).collect()
+        }
+        # doc 1: gram 'b c d' at pos 1 -> [1, 3]; doc 5: 'b c d'@0 and
+        # 'e q r'@3 overlap-adjacent -> merged [0, 5]
+        assert spans == {(1, 1, 3, 3), (5, 0, 5, 6)}
+
+    def test_cleaned_corpus_both_engines(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from ml_hadoop_experiment_spark.operators.curation import (
+            decontaminate_spans,
+            decontaminate_spans_sql,
+        )
+
+        cdf, bdf = self._frames(spark)
+        sp = (
+            decontaminate_spans(cdf, bdf, "doc_id", "text", ngram_size=3)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got = {
+            r.doc_id: (r.clean_text, r.n_removed_tokens)
+            for r in sp.itertuples()
+        }
+        assert got[1] == ("a e f", 3)
+        assert got[2] == ("x y z a b c", 0)
+        assert got[3] == ("q r", 0)
+        assert got[4][0] is None and got[4][1] == 0
+        assert got[5] == ("s t u v", 6)
+        assert got[6] == ("", 0)
+        con = duckdb.connect()
+        con.register(
+            "corpus", pd.DataFrame(self.CORPUS, columns=["doc_id", "text"])
+        )
+        con.register(
+            "bench", pd.DataFrame(self.BENCH, columns=["doc_id", "text"])
+        )
+        du = (
+            con.execute(
+                decontaminate_spans_sql(
+                    "corpus", "bench", "doc_id", "text",
+                    ngram_size=3, out_id="doc_id",
+                )
+            )
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for c in ["doc_id", "clean_text", "n_removed_tokens"]:
+            assert list(sp[c].astype(str)) == list(du[c].astype(str)), c
+
+    def test_fully_contaminated_doc_keeps_empty_string(self, spark):
+        from ml_hadoop_experiment_spark.operators.curation import (
+            decontaminate_spans,
+        )
+
+        cdf = spark.createDataFrame(
+            [(1, "p q r"), (2, "clean words only here")],
+            "doc_id int, text string",
+        )
+        bdf = spark.createDataFrame([(9, "p q r")], "doc_id int, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+            for r in decontaminate_spans(
+                cdf, bdf, "doc_id", "text", ngram_size=3
+            ).collect()
+        }
+        assert got[1] == ("", 3)
+        assert got[2] == ("clean words only here", 0)
+
+    def test_corpus_never_shuffles_payload(self, spark):
+        """The cleaned-corpus plan must broadcast the span frame, not
+        exchange the corpus: no hash exchange may carry the text
+        column."""
+        from ml_hadoop_experiment_spark.operators.curation import (
+            decontaminate_spans,
+        )
+        from ml_hadoop_experiment_spark.plans.optimize import (
+            executed_plan_str,
+        )
+
+        cdf, bdf = self._frames(spark)
+        out = decontaminate_spans(cdf, bdf, "doc_id", "text", ngram_size=3)
+        plan = executed_plan_str(out)
+        assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
