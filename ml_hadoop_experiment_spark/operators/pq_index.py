@@ -710,7 +710,7 @@ def route_index_to_storage(
     partition filter on the scan, and Spark lists/reads ONLY the
     ``nprobe`` list directories — the other ``num_centroids - nprobe``
     lists never produce a single file read (measured:
-    ``plans/optimize.files_read``; A/B in SCALE.md). The in-memory
+    ``plans/inspect.files_read``; A/B in SCALE.md). The in-memory
     index pays a pin per executor cache; the stored index pays one
     write and serves every later session from disk.
 

@@ -3518,7 +3518,7 @@ def q_ivf_pq_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``partitionBy(list_id)``, so the probe's ``isin(probes)`` routing
     filter becomes a PARTITION filter on the parquet scan and Spark
     reads only the ``nprobe`` list directories (measured: 4 of 8
-    files at nprobe=4 — plans/optimize.files_read receipt in
+    files at nprobe=4 — plans/inspect.files_read receipt in
     SCALE.md). Same training/probe parameters and same result
     contract as q_ivf_pq_topk (equivalence pytest-gated in
     tests/test_pq_index.py), so the oracle IS SQL_IVF_PQ_TOPK — the

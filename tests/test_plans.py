@@ -162,7 +162,7 @@ def test_bnlj_build_sides_are_bounded(spark, name):
     """No BroadcastNestedLoopJoin in any declared query may have a
     data-sized build side — measured from the BroadcastExchange's
     numOutputRows metric, not inferred (the r10 verdict's ask)."""
-    from ml_hadoop_experiment_spark.plans.optimize import bnlj_build_bounds
+    from ml_hadoop_experiment_spark.plans.inspect import bnlj_build_bounds
 
     df = QUERIES[name](spark, SF_DIR)
     df.collect()

@@ -354,7 +354,7 @@ class TestRoutedStorage:
             pq_topk_against_index,
             route_index_to_storage,
         )
-        from ml_hadoop_experiment_spark.plans.optimize import files_read
+        from ml_hadoop_experiment_spark.plans.inspect import files_read
 
         idx = build_pq_index(
             emb, "vec_id", "embedding",

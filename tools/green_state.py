@@ -119,7 +119,14 @@ def _referenced_engine_deps(fn):
         owner = getattr(obj, "__module__", None)
         if not owner or not owner.startswith(PKG):
             continue
-        if owner == f"{PKG}.queries":
+        if owner == f"{PKG}.queries" or owner.startswith(
+            f"{PKG}.queries."
+        ):
+            # helpers that live in the queries module/package contribute
+            # their own SOURCE, not their whole module — otherwise every
+            # query would couple to every other (and a pure
+            # file-reorganization of the queries package would
+            # re-fingerprint all of them)
             try:
                 helper_srcs.append(inspect.getsource(obj))
             except (TypeError, OSError):

@@ -9,8 +9,8 @@ import re
 import sys
 
 from ml_hadoop_experiment_spark.common import get_session
+from ml_hadoop_experiment_spark.plans.inspect import bnlj_build_bounds
 from ml_hadoop_experiment_spark.plans.optimize import (
-    bnlj_build_bounds,
     executed_plan_str,
     wholestage_codegen_spans,
 )
