@@ -78,7 +78,9 @@ def test_fan_out_scan_only_placement_contract():
             if "def " in pre.split("\n")[-1] or "import" in pre.split("\n")[-1]:
                 continue
             call_sites.append((py.relative_to(root).as_posix(), line))
-    assert call_sites == [("queries.py", _t_fan_out_line())], call_sites
+    assert call_sites == [
+        ("queries/_shared.py", _t_fan_out_line())
+    ], call_sites
     # and that one site sits in _t, directly after the parquet scan
     from ml_hadoop_experiment_spark import queries as q
     import inspect

@@ -258,7 +258,7 @@ def main() -> int:
             "STALE-GREEN VIOLATION: these queries changed since their last "
             f"driver-green row but are NOT in the next {WINDOW_SIZE}-entry "
             "driver window (reorder QUERIES in "
-            "ml_hadoop_experiment_spark/queries.py):"
+            "ml_hadoop_experiment_spark/queries/__init__.py):"
         )
         for name in bad:
             print(f"  - {name}")
