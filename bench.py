@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "unigram_encode",
     "image_near_dup_mixed",
     "decontaminate_spans",
+    "line_dedup",
 ]
 
 

@@ -1,0 +1,183 @@
+"""Line-level cross-document dedup — the CCNet/RefinedWeb boilerplate cut.
+
+Web-scale curation pipelines dedup at LINE granularity before (and
+besides) document granularity: navigation bars, cookie banners, and
+copyright footers repeat verbatim across millions of pages whose
+bodies differ, so doc-level MinHash never pairs them and span-level
+decontamination has no benchmark to match against. The published
+recipes (Wenzek et al. 2020, "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data"; Penedo et al. 2023, "The
+RefinedWeb Dataset for Falcon LLM" — public literature) drop every
+line whose normalized form appears in more than a handful of
+documents; this module is that operator as a cleaned-corpus producer.
+
+Semantics:
+
+- lines split on ``\\n``; the MATCH key is the trimmed (and by default
+  lower-cased) line, so indentation/case variants of the same
+  boilerplate dedup together while the ORIGINAL line text is what gets
+  kept or cut;
+- blank lines (empty after trim) never count and never drop — removal
+  decisions must hinge on content, and the all-docs-share-the-empty-
+  line degeneracy would otherwise strip every blank separator;
+- a line is dropped from ALL documents once its normalized form
+  appears in more than ``max_docs`` DISTINCT documents (the CCNet
+  posture: the boilerplate is noise everywhere, not original in one
+  place).
+
+Plan shape (the ``decontaminate_spans`` pattern): lines explode
+map-side; ONE aggregation keyed by the normalized line (bounded by the
+distinct-line vocabulary, partial-aggregated) finds the repeated set;
+positions of repeated lines join back line-keyed — an exchange
+proportional to BOILERPLATE VOLUME, not corpus size — collapse to one
+bounded drop-list per affected document, broadcast back, and a pure
+codegen index filter cuts the lines. The corpus payload never
+shuffles. For corpora where most lines repeat (un-deduped crawls) the
+drop-list frame grows toward corpus size — run doc-level dedup first,
+which is the published pipeline order anyway.
+
+Reference parity: criteo/ml-hadoop-experiment has no curation surface
+(SURVEY.md §2) — north-star extension for LLM data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(line: Column, normalize: bool) -> Column:
+    n = F.trim(line)
+    return F.lower(n) if normalize else n
+
+
+def repeated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_docs: int = 1,
+    normalize: bool = True,
+) -> DataFrame:
+    """``(line, n_docs)`` — every normalized non-blank line appearing
+    in more than ``max_docs`` distinct documents, with its document
+    frequency: the boilerplate census (what :func:`drop_repeated_lines`
+    cuts). One map-side explode + one partial-aggregated distinct-count
+    keyed by the normalized line."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__l"),
+    ).select("id", _norm(F.col("__l"), normalize).alias("line"))
+    return (
+        lines.where(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .where(F.col("n_docs") > max_docs)
+    )
+
+
+def drop_repeated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_docs: int = 1,
+    normalize: bool = True,
+    out_text_col: str = "clean_text",
+) -> DataFrame:
+    """The cleaned corpus: ``(id_col, out_text_col, n_removed_lines)``
+    with every cross-document repeated line cut and the survivors
+    rejoined with ``\\n`` in document order. Clean documents pass
+    through with ``n_removed_lines = 0``; NULL text stays NULL.
+
+    The drop decisions come back as one bounded position list per
+    AFFECTED document (broadcast), and the cut itself is a pure
+    codegen two-arg ``filter`` over the split array — the corpus
+    payload never shuffles.
+    """
+    rep = repeated_lines(df, id_col, text_col, max_docs, normalize)
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "__l"),
+    ).select("id", "pos", _norm(F.col("__l"), normalize).alias("line"))
+    drops = (
+        lines.where(F.col("line") != "")
+        .join(rep.select("line"), "line")
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("__drops"))
+        .withColumnRenamed("id", "__did")
+    )
+    joined = df.join(
+        F.broadcast(drops), df[id_col] == F.col("__did"), "left"
+    )
+    dp = F.coalesce(F.col("__drops"), F.expr("cast(array() as array<int>)"))
+    split = F.split(F.col(text_col), "\n")
+    kept = F.filter(split, lambda line, i: ~F.array_contains(dp, i))
+    clean = F.when(
+        F.col(text_col).isNotNull(), F.array_join(kept, "\n")
+    )
+    removed = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(split) - F.size(kept)
+    )
+    return joined.select(
+        F.col(id_col),
+        clean.alias(out_text_col),
+        removed.cast("long").alias("n_removed_lines"),
+    )
+
+
+def _norm_sql(expr: str, normalize: bool) -> str:
+    return f"lower(trim({expr}))" if normalize else f"trim({expr})"
+
+
+def drop_repeated_lines_sql(
+    relation: str,
+    id_expr: str,
+    text_expr: str,
+    max_docs: int = 1,
+    normalize: bool = True,
+    out_id: str = "id",
+    out_text_col: str = "clean_text",
+) -> str:
+    """DuckDB twin of :func:`drop_repeated_lines` — same split, same
+    normalization key, same blank-line exemption, same index filter
+    (DuckDB lambda indexes are 1-based; the drop positions are 0-based,
+    hence ``i - 1``; ``array_to_string([])`` is NULL in DuckDB where
+    Spark's ``array_join([])`` is ``''``, so the fully-cut document
+    coalesces to the empty string)."""
+    nl = "chr(10)"
+    key = _norm_sql("l", normalize)
+    keep = (
+        "list_filter(string_split(c.txt, " + nl + "), (x, i) -> "
+        "NOT list_contains(coalesce(d.drops, CAST([] AS BIGINT[])), "
+        "i - 1))"
+    )
+    return f"""
+WITH corpus_base AS (
+  SELECT {id_expr} AS id, {text_expr} AS txt FROM {relation}
+),
+lines AS (
+  SELECT id, i - 1 AS pos,
+         {_norm_sql(f"string_split(txt, {nl})[i]", normalize)} AS line
+  FROM corpus_base,
+       unnest(range(1, len(string_split(txt, {nl})) + 1)) AS r(i)
+),
+rep AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT id) AS n_docs
+    FROM lines WHERE line <> '' GROUP BY line
+  ) WHERE n_docs > {int(max_docs)}
+),
+drops AS (
+  SELECT id, list(pos) AS drops
+  FROM lines JOIN rep USING (line)
+  WHERE line <> ''
+  GROUP BY id
+)
+SELECT c.id AS {out_id},
+       CASE WHEN c.txt IS NOT NULL
+            THEN coalesce(array_to_string({keep}, {nl}), '')
+       END AS {out_text_col},
+       CAST(CASE WHEN c.txt IS NULL THEN 0
+                 ELSE len(string_split(c.txt, {nl})) - len({keep})
+            END AS BIGINT) AS n_removed_lines
+FROM corpus_base c LEFT JOIN drops d ON c.id = d.id
+"""

@@ -776,6 +776,57 @@ WHERE doc_id < 300
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level cross-document dedup (operators/lines.py — the
+    CCNet/RefinedWeb boilerplate cut): drop every line whose
+    normalized form appears in more than 3 distinct documents,
+    returning the cleaned corpus (doc_id, clean_text,
+    n_removed_lines). The fixture documents are single-line, so the
+    query synthesizes 3-line pages in pure codegen (replayed by the
+    oracle): a doc-unique body line, a global copyright footer (every
+    doc — always cut), and a promo line shared by the doc_id %% 7
+    bucket (~1/7 of docs — cut at max_docs=3). One distinct-line
+    aggregation + a boilerplate-proportional position join; the corpus
+    payload never shuffles (the decontaminate_spans pattern)."""
+    from ml_hadoop_experiment_spark.operators.lines import (
+        drop_repeated_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.col("text"), F.lit(" #"), F.col("doc_id")),
+        F.lit("(c) Example Corp - All Rights Reserved"),
+        F.concat(F.lit("promo code "), (F.col("doc_id") % 7)),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    return drop_repeated_lines(
+        pages, "doc_id", "text", max_docs=3
+    )
+
+
+def _sql_line_dedup() -> str:
+    from ml_hadoop_experiment_spark.operators.lines import (
+        drop_repeated_lines_sql,
+    )
+
+    page = (
+        "text || ' #' || CAST(doc_id AS VARCHAR) || chr(10) || "
+        "'(c) Example Corp - All Rights Reserved' || chr(10) || "
+        "'promo code ' || CAST(doc_id % 7 AS VARCHAR)"
+    )
+    return drop_repeated_lines_sql(
+        f"(SELECT doc_id, {page} AS text FROM documents)",
+        "doc_id",
+        "text",
+        max_docs=3,
+        out_id="doc_id",
+    )
+
+
+SQL_LINE_DEDUP = _sql_line_dedup()
+
+
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decontamination ACTION (operators/curation.decontaminate_spans):
     the CLEANED corpus itself — every maximal token span sharing a word
