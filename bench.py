@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "image_near_dup_mixed",
     "decontaminate_spans",
     "line_dedup",
+    "dsir_select",
 ]
 
 

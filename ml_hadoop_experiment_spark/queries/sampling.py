@@ -378,3 +378,56 @@ def _sql_neyman_sample() -> str:
 
 
 SQL_NEYMAN_SAMPLE = _sql_neyman_sample()
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py — Xie et al. 2023):
+    importance-weight every raw document by its unigram log-likelihood
+    ratio against a target corpus (stand-in: source = 'src1', the
+    domain we want more of; raw = every other source), then keep the
+    50 most target-like by the length-normalized ratio (ties to the
+    smaller doc_id — a total order). The resampled variant composes
+    `weighted_priority_sample` over exp(logratio) instead of the
+    deterministic cut; the deterministic form is the oracle-gated one.
+    Smoothing, rounding, and the decimal term sums follow the
+    unigram_xent precedent, so the doubles hash exactly."""
+    from ml_hadoop_experiment_spark.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.where(F.col("source") != "src1")
+    target = docs.where(F.col("source") == "src1")
+    w = dsir_weights(raw, target, "doc_id", "text")
+    score = F.round(
+        F.col("logratio") / F.col("n_tokens").cast("double"), 6
+    )
+    return (
+        w.select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            "logratio",
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+def _sql_dsir_select() -> str:
+    from ml_hadoop_experiment_spark.operators.dsir import dsir_weights_sql
+
+    inner = dsir_weights_sql(
+        "(SELECT * FROM documents WHERE source <> 'src1')",
+        "(SELECT * FROM documents WHERE source = 'src1')",
+        "doc_id",
+        "text",
+    )
+    return f"""
+SELECT id AS doc_id, n_tokens, logratio,
+       round(logratio / CAST(n_tokens AS DOUBLE), 6) AS score
+FROM ({inner})
+ORDER BY score DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+SQL_DSIR_SELECT = _sql_dsir_select()

@@ -131,6 +131,7 @@ _BNLJ_QUERIES = [
     "bigram_xent",
     "bm25_topk",
     "chi_square",
+    "dsir_select",
     "feature_hist",
     "heavy_hitters",
     "hll_audit",

@@ -396,3 +396,40 @@ class TestRoutedStorage:
                 route_index_to_storage(idx, "/tmp/never-written")
         finally:
             idx.unpersist()
+
+    def test_residual_stored_probe_equals_memory(self, spark, emb, qvec, tmp_path):
+        """route_index_to_storage must carry by_residual through: the
+        stored residual index's routed probes equal the in-memory
+        residual index's byte-for-byte, and the per-list ADC tables are
+        built from the stored codes' list_id partition column."""
+        from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+            FROZEN_CENTROIDS_8X64,
+        )
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            build_pq_index,
+            pq_topk_against_index,
+            route_index_to_storage,
+        )
+
+        idx = build_pq_index(
+            emb, "vec_id", "embedding",
+            centroids=FROZEN_CENTROIDS_8X64, by_residual=True,
+            register=False, **PQ_KW
+        )
+        try:
+            mem = [
+                tuple(r)
+                for r in pq_topk_against_index(
+                    idx, qvec, k=20, exclude_id=0, nprobe=4
+                ).collect()
+            ]
+            stored = route_index_to_storage(
+                idx, str(tmp_path / "routed_residual")
+            )
+        finally:
+            idx.unpersist()
+        assert stored.by_residual and stored.centroids is not None
+        probe = pq_topk_against_index(
+            stored, qvec, k=20, exclude_id=0, nprobe=4
+        )
+        assert [tuple(r) for r in probe.collect()] == mem
