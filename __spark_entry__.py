@@ -4,7 +4,7 @@
 lineitem — the reference's core operator) at sf0.001. ``queries()`` /
 ``oracle_sql()`` expose every implemented SURVEY.md §2 operator as
 (Spark callable, DuckDB oracle SQL) pairs; see
-ml_hadoop_experiment_spark/queries.py.
+ml_hadoop_experiment_spark/the queries/ package.
 """
 
 from __future__ import annotations

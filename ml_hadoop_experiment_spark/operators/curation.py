@@ -582,8 +582,16 @@ def contaminated_spans(
     pos_grams = long_hits.unionByName(short_hits).select(
         "id", "pos", "end", gh.alias("gram")
     )
+    # NULL-text benchmark rows are dropped BEFORE gram extraction:
+    # tokens_frame's short-doc path would otherwise emit the ''
+    # whole-text gram for them (concat_ws over a NULL token array),
+    # making a NULL benchmark row "contaminate" every blank corpus
+    # document — and the SQL twin (which filters NULL) would disagree
     bg = benchmark_ngrams(
-        benchmark, text_col, ngram_size, hash_grams=hash_grams
+        benchmark.where(F.col(text_col).isNotNull()),
+        text_col,
+        ngram_size,
+        hash_grams=hash_grams,
     )
     hits = pos_grams.join(F.broadcast(bg), "gram").select(
         "id", "pos", "end"

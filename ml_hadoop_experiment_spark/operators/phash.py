@@ -25,7 +25,8 @@ hashes the generating formula directly — they agree only if
 encode∘decode is the identity).
 
 Scale shape: decode+hash is one mapInPandas scan (Arrow-batched, numpy
-per image, no per-pixel Python); everything after is the audited
+per image; the one per-byte Python path is PNG Average/Paeth
+scanlines — see ``png_gray_pixels``); everything after is the audited
 SimHash join machinery on a 1-row-per-image fingerprint frame.
 
 Reference parity: criteo/ml-hadoop-experiment has no multimodal
@@ -94,8 +95,11 @@ def png_gray_pixels(payload: bytes) -> Optional[np.ndarray]:
     truecolor (type 2) PNG into a top-down ``(height, width)`` int
     array of grays (``(r + g + b) // 3`` for truecolor) — stdlib only:
     ``zlib`` inflates the IDAT stream, then the five scanline filters
-    (None/Sub/Up/Average/Paeth, the full PNG filter set) un-apply in
-    numpy/int arithmetic. Returns None for anything else (palette,
+    (None/Sub/Up/Average/Paeth, the full PNG filter set) un-apply —
+    None/Up fully vectorized, Sub as a per-channel cumsum, and only
+    Average/Paeth rows fall back to a per-byte loop (their predictor
+    reads the just-decoded left byte: inherently sequential in x).
+    Returns None for anything else (palette,
     16-bit, alpha, interlaced — codec-integration territory), matching
     :func:`bmp_gray_pixels`'s contract for its format."""
     import zlib
@@ -145,14 +149,18 @@ def png_gray_pixels(payload: bytes) -> Optional[np.ndarray]:
             out[y] = line
         elif ftype == 2:  # Up
             out[y] = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential
+        elif ftype == 1:  # Sub: per-channel prefix sum mod 256
+            row = out[y]
+            for c0 in range(bpp):
+                row[c0::bpp] = np.cumsum(line[c0::bpp]) & 0xFF
+        elif ftype in (3, 4):  # Average / Paeth: inherently sequential
+            # (each byte's predictor reads the just-decoded left byte),
+            # so this is the one per-byte Python loop in the decoder
             row = out[y]
             for x in range(stride):
                 a = row[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (a + b) // 2
                 else:
                     c = prev[x - bpp] if x >= bpp else 0
@@ -280,9 +288,10 @@ def image_dhash_frame(
 ) -> DataFrame:
     """``(id, fp)`` dHash fingerprints for a binary image payload
     column (BMP or PNG, dispatched by magic bytes —
-    :func:`decode_gray_pixels`): one Arrow-batched mapInPandas scan
-    (decode + downscale + hash in numpy per image, no per-pixel
-    Python). Undecodable payloads are dropped — near-dup pairing is
+    :func:`decode_gray_pixels`): one Arrow-batched mapInPandas scan,
+    decode + downscale + hash in numpy per image (the one per-byte
+    Python path is PNG Average/Paeth scanlines — see
+    :func:`png_gray_pixels`). Undecodable payloads are dropped — near-dup pairing is
     defined over decodable images; count the drop rate upstream with
     ``multimodal.extract_image_features`` if it matters."""
 

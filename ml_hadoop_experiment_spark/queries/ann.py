@@ -483,6 +483,21 @@ def _sql_ivf_pq_topk() -> str:
 SQL_IVF_PQ_TOPK = _sql_ivf_pq_topk()
 
 
+_ROUTED_DIR: list = []
+
+
+def _routed_index_dir() -> str:
+    if not _ROUTED_DIR:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ivf_pq_routed_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _ROUTED_DIR.append(d)
+    return _ROUTED_DIR[0]
+
+
 def q_ivf_pq_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ over LIST-PARTITIONED STORAGE
     (operators/pq_index.route_index_to_storage) — the 100 TB serving
@@ -495,8 +510,6 @@ def q_ivf_pq_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as q_ivf_pq_topk (equivalence pytest-gated in
     tests/test_pq_index.py), so the oracle IS SQL_IVF_PQ_TOPK — the
     pq_index_topk precedent."""
-    import tempfile
-
     from ml_hadoop_experiment_spark.operators.ivf_fixture import (
         FROZEN_CENTROIDS_8X64,
     )
@@ -517,11 +530,12 @@ def q_ivf_pq_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=FROZEN_CENTROIDS_8X64, eager=False, register=False,
     )
     # the stored form REPLACES the in-memory pin (eager=False above:
-    # the write job is the only materialization); tmpdir, not a fixed
-    # path — the driver's sweep and a local sweep may run concurrently
-    stored = route_index_to_storage(
-        idx, tempfile.mkdtemp(prefix="ivf_pq_routed_")
-    )
+    # the write job is the only materialization). ONE tmpdir per
+    # PROCESS, overwritten per invocation and removed at exit: a fresh
+    # mkdtemp per call leaked a full parquet index copy every sweep
+    # entry / parity run; per-process (not a fixed path) because the
+    # driver's sweep and a local sweep may run concurrently
+    stored = route_index_to_storage(idx, _routed_index_dir())
     return pq_topk_against_index(stored, query, k=20, exclude_id=0, nprobe=4)
 
 

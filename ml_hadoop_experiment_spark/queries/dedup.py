@@ -810,10 +810,13 @@ def _sql_line_dedup() -> str:
         drop_repeated_lines_sql,
     )
 
+    # concat_ws (NOT ||-chains): both engines SKIP a NULL component,
+    # so a NULL-text row builds the same 2-line page on both sides
+    # instead of Spark emitting a page while the oracle nullifies it
     page = (
-        "text || ' #' || CAST(doc_id AS VARCHAR) || chr(10) || "
-        "'(c) Example Corp - All Rights Reserved' || chr(10) || "
-        "'promo code ' || CAST(doc_id % 7 AS VARCHAR)"
+        "concat_ws(chr(10), text || ' #' || CAST(doc_id AS VARCHAR), "
+        "'(c) Example Corp - All Rights Reserved', "
+        "'promo code ' || CAST(doc_id % 7 AS VARCHAR))"
     )
     return drop_repeated_lines_sql(
         f"(SELECT doc_id, {page} AS text FROM documents)",

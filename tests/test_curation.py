@@ -327,7 +327,10 @@ class TestDecontaminateSpans:
         (5, "b c d e q r s t u v"),
         (6, ""),
     ]
-    BENCH = [(9, "b c d zz q r"), (10, "e q r")]
+    # the NULL-text benchmark row must be inert on BOTH engines
+    # (Spark would otherwise emit the empty whole-text gram for it
+    # and "contaminate" blank corpus docs; the twin filters NULL)
+    BENCH = [(9, "b c d zz q r"), (10, "e q r"), (11, None)]
 
     def _frames(self, spark):
         return (

@@ -32,7 +32,7 @@ TABLES = (
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_all_tables_present(sf_dir):
     missing = [t for t in TABLES if not os.path.exists(f"{sf_dir}/{t}.parquet")]
-    assert not missing, f"{sf_dir} missing tables {missing}: update queries.py _t users"
+    assert not missing, f"{sf_dir} missing tables {missing}: update queries/_shared.py _t users"
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
@@ -82,7 +82,7 @@ def test_embedding_dim_is_64(sf_dir):
     ).fetchall()
     assert n == [(64,)], (
         f"embedding width changed ({n}): regenerate operators/ivf_fixture.py "
-        "centroids and update dim=64 call sites in queries.py"
+        "centroids and update dim=64 call sites in queries/_shared.py"
     )
 
 

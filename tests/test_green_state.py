@@ -47,7 +47,7 @@ def test_changed_queries_are_scheduled_in_next_window():
     assert not bad, (
         f"STALE-GREEN: {bad} changed since their last driver-green row "
         f"but sit outside the first {WINDOW_SIZE} entries of QUERIES — "
-        "reorder ml_hadoop_experiment_spark/queries.py"
+        "reorder ml_hadoop_experiment_spark/queries/__init__.py"
     )
 
 

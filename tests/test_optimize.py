@@ -56,7 +56,7 @@ def test_fan_out_scan_only_placement_contract():
     fan_out is called ONLY immediately after a parquet scan (before any
     shuffle), where the probe reads leaf-scan partitioning and triggers
     nothing. The in-code fix would re-fingerprint every declared query
-    (queries.py::_t imports fan_out, so plans/optimize.py is in all 140
+    (queries/_shared.py::_t imports fan_out, so plans/optimize.py is in all 140
     import closures — a 50-slot window cannot re-verify 140 queries),
     so the contract is pinned HERE, mechanically: every call site of
     fan_out inside the engine package must be _t's scan-adjacent one.

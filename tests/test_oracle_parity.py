@@ -75,7 +75,7 @@ def _assert_frames_match(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFr
                 assert a == b, f"{name}.{col}[{i}]: {a!r} != {b!r}"
 
 
-# staged queries (window at capacity — see PENDING_QUERIES in queries.py)
+# staged queries (window at capacity — see PENDING_QUERIES in queries/__init__.py)
 # are gated here exactly like declared ones
 _ALL_QUERIES = {**QUERIES, **PENDING_QUERIES}
 _ALL_ORACLES = {**ORACLE_SQL, **PENDING_ORACLE_SQL}

@@ -101,8 +101,9 @@ def _referenced_engine_deps(fn):
     """(extra_module_names, helper_sources) for globals the query
     function references that were imported at MODULE level — a
     function-body-import scan alone misses ``simhash(...)`` when the
-    name came from queries.py's top-level imports. Objects defined in
-    queries.py itself (helpers like ``_t``) contribute their own source
+    name came from the queries package's top-level imports. Objects
+    defined in the queries package itself (helpers like ``_t``)
+    contribute their own source
     rather than the whole module (which would couple every query to
     every other)."""
     import types
@@ -138,7 +139,7 @@ def _referenced_engine_deps(fn):
 
 def fingerprints() -> dict:
     """{query_name: sha256 hex} over (fn source, oracle SQL, referenced
-    queries.py helper sources, transitive engine-module sources —
+    queries-package helper sources, transitive engine-module sources —
     seeded from both function-body imports and module-level imports the
     function actually references)."""
     from ml_hadoop_experiment_spark.queries import ORACLE_SQL, QUERIES
