@@ -3,8 +3,8 @@
 ``entry(spark)`` runs the flagship query (vectorized inference column over
 lineitem — the reference's core operator) at sf0.001. ``queries()`` /
 ``oracle_sql()`` expose every implemented SURVEY.md §2 operator as
-(Spark callable, DuckDB oracle SQL) pairs; see
-ml_hadoop_experiment_spark/the queries/ package.
+(Spark callable, DuckDB oracle SQL) pairs; see the
+ml_hadoop_experiment_spark/queries/ package.
 """
 
 from __future__ import annotations

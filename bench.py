@@ -450,17 +450,71 @@ EXTRA_BENCHES = {
 }
 
 
+def _run_canary(spark) -> list[float]:
+    """Quiet-host gate (r11 verdict task #2): a fixed trivial query —
+    lineitem groupBy(l_returnflag).count() — timed 3x after 2 warmups.
+    Its max/min ratio measures ambient host load on a plan too small to
+    have its own variance; a ratio > CANARY_MAX_RATIO means the sweep
+    ran under CPU steal and the durable record is demoted to *_noisy
+    (never an anchor — BASELINE.md "Durable bench records")."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    times: list[float] = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n")
+        ).write.format("noop").mode("overwrite").save()
+        if i >= 2:  # first 2 are warmup (scan cache + codegen)
+            times.append(time.perf_counter() - t0)
+    return times
+
+
+CANARY_MAX_RATIO = 1.35
+
+# Isolated steady probes for the similarity family (r11 verdict task #2):
+# each declared query re-run 1 warm + 3 timed back-to-back AFTER the sweep,
+# recording the min as "{name}_steady". This is the number a production
+# pipeline sees (one query run repeatedly, generated classes hot), free of
+# the sweep's residual cross-query interference; the r11 "regression" on
+# simhash_incr/overlap_pairs was exactly this gap (codegen cache thrash at
+# the default 100-entry cap — see BASELINE.md "Round-12 re-adjudication").
+STEADY_PROBES = [
+    "simhash_incr",
+    "overlap_pairs",
+    "jaccard_join",
+    "topk_similar_pairs",
+]
+
+
 def main() -> None:
     spark = get_session(
         app_name="mlhe-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+            # The sweep holds ~165 distinct plans x ~3 codegen units each;
+            # the default 100-entry generated-class cache evicts EVERY
+            # plan between passes, so each timed pass re-pays Janino
+            # compile + C2 JIT (~5 s on the big simhash/jaccard
+            # expression trees) and the warmup passes warm nothing.
+            # Measured (round 12): simhash_incr 7.8 s after a cache
+            # flush at the default vs 2.9 s at 8192 — identical code.
+            # Production tuning, not a bench trick: any query-diverse
+            # deployment wants the cache sized to its plan population.
+            "spark.sql.codegen.cache.maxEntries": "8192",
+        },
     )
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
+
+    canary_times = _run_canary(spark)
+    canary_ratio = max(canary_times) / max(min(canary_times), 1e-9)
 
     # Warmup passes: JIT/codegen compilation (C2 needs repeat executions),
     # parquet footer caching, Python worker spawn — one-time costs that are
@@ -510,16 +564,40 @@ def main() -> None:
             release_pinned()
         totals.append(total)
 
+    # Isolated steady probes (untimed toward "value": they re-run declared
+    # queries already counted in the sweep): 1 warm + 3 timed back-to-back,
+    # min of 3 — the hot-path serving number for the similarity family.
+    steady: dict[str, float] = {}
+    for name in STEADY_PROBES:
+        if name not in QUERIES:
+            continue
+        best = float("inf")
+        for i in range(4):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            if i >= 1:
+                best = min(best, dt)
+            release_prefix_caches()
+            release_pinned()
+        steady[f"{name}_steady"] = round(best, 3)
+
     # Sum of per-query minimums: robust to host-level CPU-steal spikes that
     # hit one query in one pass (observed 5-10x outliers on shared
     # infrastructure); equals the single pass total when RUNS=1.
     value = sum(per_query.values()) if RUNS > 1 else statistics.median(totals)
+    per_query.update(steady)
     out = {
         "metric": "bench_total_wall_clock",
         "value": round(value, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in per_query.items()},
         "sf": sf,
+        "canary_sec": [round(t, 3) for t in canary_times],
+        "canary_ratio": round(canary_ratio, 3),
+        "canary_quiet": canary_ratio <= CANARY_MAX_RATIO,
     }
     if cc_rounds:
         # convergence rounds of the connected-components pipelines: a CC
@@ -555,6 +633,11 @@ def main() -> None:
             name = f"BENCH_LOCAL_r{last:02d}_final.json"
         else:
             name = f"BENCH_LOCAL_r{last + 1:02d}.json"
+        # Quiet-host gate: a sweep whose canary ratio exceeds the gate ran
+        # under ambient CPU steal — record it (for forensics) but DEMOTE
+        # the filename so it can never be mistaken for an anchor record.
+        if canary_ratio > CANARY_MAX_RATIO:
+            name = name.replace(".json", "_noisy.json")
         with open(os.path.join(here, name), "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
         local_record = name  # only advertise the record once it exists
@@ -580,6 +663,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(per_query),
         "full_record": local_record,
+        "canary_ratio": round(canary_ratio, 3),
+        "canary_quiet": canary_ratio <= CANARY_MAX_RATIO,
+        "steady": steady,
         # type-consistent with the full line (name -> seconds), small
         # enough to parse: the 10 most expensive entries only
         "queries": {k: round(v, 3) for k, v in top10.items()},

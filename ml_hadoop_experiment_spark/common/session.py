@@ -37,6 +37,14 @@ def session_defaults() -> dict[str, str]:
         # than being rejected (temporal operators accept both; the current
         # fixtures are timestamp[us] and unaffected by this conf)
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # generated-class cache sized for a query-DIVERSE workload: the
+        # default 100 entries evicts compiled plans as soon as a session
+        # runs more than ~30 distinct queries, re-paying Janino compile +
+        # C2 JIT (measured 5 s on a 32-bit simhash expression tree —
+        # BASELINE.md "Round-12 re-adjudication"). 8192 Janino classes are
+        # a few hundred MB of driver metaspace at worst; a long-lived
+        # production driver serving many pipelines wants them resident.
+        "spark.sql.codegen.cache.maxEntries": "8192",
     }
 
 

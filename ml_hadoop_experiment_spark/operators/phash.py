@@ -52,6 +52,12 @@ DHASH_GRID = 8
 #: nonnegative (simhash_blocks_sql's div/mod blocking requires it)
 DHASH_BITS = DHASH_GRID * (DHASH_GRID - 1)
 
+#: untrusted-PNG allocation cap: a crafted IHDR can claim any geometry,
+#: and the decoder allocates h x stride int64 before reading a pixel —
+#: 64 MP (~1.5 GiB of int64 grays) bounds a single executor-side decode
+#: while admitting any real dHash input (the hash downsamples to 8x8)
+_MAX_PNG_PIXELS = 64 * 1024 * 1024
+
 
 def bmp_gray_pixels(payload: bytes) -> Optional[np.ndarray]:
     """Decode an uncompressed 24-bit BITMAPINFOHEADER BMP into a
@@ -130,13 +136,24 @@ def png_gray_pixels(payload: bytes) -> Optional[np.ndarray]:
         return None
     if w <= 0 or h <= 0:
         return None
+    # Untrusted-byte guards (curation pipelines decode web-crawled
+    # payloads): a crafted IHDR must not drive the allocation or the
+    # inflate size — cap pixel count BEFORE allocating, and inflate with
+    # an explicit output bound so a zlib bomb cannot expand past the
+    # declared geometry regardless of what the header claims.
     bpp = 1 if color == 0 else 3
+    stride = w * bpp
+    if w * h > _MAX_PNG_PIXELS:
+        return None
+    expected = h * (1 + stride)
     try:
-        raw = zlib.decompress(idat)
+        decomp = zlib.decompressobj()
+        raw = decomp.decompress(idat, expected)
+        if decomp.unconsumed_tail or decomp.decompress(b"", 1):
+            return None  # stream holds more than the geometry allows
     except zlib.error:
         return None
-    stride = w * bpp
-    if len(raw) != h * (1 + stride):
+    if len(raw) != expected:
         return None
     out = np.zeros((h, stride), dtype=np.int64)
     for y in range(h):

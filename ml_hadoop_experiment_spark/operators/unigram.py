@@ -100,6 +100,22 @@ def viterbi_seg_expr(
         "array(struct(cast(-1.0 as double) as np, 0 as n, '' as seg))"
     )
 
+    # Infeasible positions are encoded IN-BAND as a sentinel struct with
+    # np = +1.0 (every feasible np is a negated probability product, i.e.
+    # strictly negative, so the sentinel sorts LAST under array_min and can
+    # never beat a legal segmentation — the round-12 ADVICE defect was the
+    # previous encoding, where an unreachable prefix left NULL np fields
+    # that sorted FIRST). In-band rather than a NULL element because a
+    # wholesale-NULL struct inside this nested higher-order fold NPEs in
+    # Spark 4.1 whole-stage codegen (GetStructField/UnsafeProjection skip
+    # the null check; interpreted mode handles it fine). Mirrors the guard
+    # in _viterbi_fold_sql.
+    sentinel = F.struct(
+        F.lit(1.0).alias("np"),
+        F.lit(0).alias("n"),
+        F.lit(None).cast("string").alias("seg"),
+    )
+
     def step(acc: Column, i: Column) -> Column:
         cands = []
         for j in range(1, max_piece_len + 1):
@@ -110,7 +126,9 @@ def viterbi_seg_expr(
                 pp = F.coalesce(pp, F.lit(OOV_P))
             cands.append(
                 F.when(
-                    (F.lit(j) <= i) & pp.isNotNull(),
+                    # prev["np"] < 0 gates infeasible prefixes (the
+                    # sentinel and everything built on it is positive)
+                    (F.lit(j) <= i) & pp.isNotNull() & (prev["np"] < 0),
                     F.struct(
                         (prev["np"] * pp).alias("np"),
                         (prev["n"] + 1).alias("n"),
@@ -122,12 +140,15 @@ def viterbi_seg_expr(
                     ),
                 )
             )
-        best = F.array_min(
-            F.filter(F.array(*cands), lambda c: c.isNotNull())
+        best = F.coalesce(
+            F.array_min(F.filter(F.array(*cands), lambda c: c.isNotNull())),
+            sentinel,
         )
         return F.concat(acc, F.array(best))
 
     dp = F.aggregate(F.sequence(F.lit(1), F.length(word)), init, step)
+    # unsegmentable word -> final element is the sentinel -> seg is NULL,
+    # exactly the "no legal segmentation" contract
     return F.element_at(dp, -1)["seg"]
 
 

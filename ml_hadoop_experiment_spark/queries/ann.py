@@ -483,19 +483,35 @@ def _sql_ivf_pq_topk() -> str:
 SQL_IVF_PQ_TOPK = _sql_ivf_pq_topk()
 
 
-_ROUTED_DIR: list = []
+_ROUTED_DIRS: dict = {}
+_ROUTED_DIRS_LOCK = None  # created lazily to keep import light
 
 
 def _routed_index_dir() -> str:
-    if not _ROUTED_DIR:
-        import atexit
-        import shutil
-        import tempfile
+    """One reusable routed-index directory PER THREAD (keyed by thread
+    id, creation guarded by a lock): per-process-singleton was racy if
+    two invocations ever shared a process concurrently (parallel test
+    workers / a threaded sweep) — invocation A's ``mode='overwrite'``
+    could destroy the files under invocation B's lazy read-back.
+    Per-thread keeps the no-leak property (bounded by thread count,
+    each dir overwritten in place per call, all removed at exit) while
+    making concurrent callers disjoint."""
+    global _ROUTED_DIRS_LOCK
+    import atexit
+    import shutil
+    import tempfile
+    import threading
 
-        d = tempfile.mkdtemp(prefix="ivf_pq_routed_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _ROUTED_DIR.append(d)
-    return _ROUTED_DIR[0]
+    if _ROUTED_DIRS_LOCK is None:
+        _ROUTED_DIRS_LOCK = threading.Lock()
+    tid = threading.get_ident()
+    with _ROUTED_DIRS_LOCK:
+        d = _ROUTED_DIRS.get(tid)
+        if d is None:
+            d = tempfile.mkdtemp(prefix="ivf_pq_routed_")
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+            _ROUTED_DIRS[tid] = d
+    return d
 
 
 def q_ivf_pq_routed(spark: SparkSession, sf_dir: str) -> DataFrame:

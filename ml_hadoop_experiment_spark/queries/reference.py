@@ -91,6 +91,79 @@ FROM lineitem
 
 
 # --------------------------------------------------------------------------
+# U5 oracle gate: the sklearn adapter (with_sklearn_inference_column —
+# predict_proba contract, whole-row pandas DataFrame input, broadcast
+# artifact) driven end-to-end by a FIXED-coefficient logistic model whose
+# sigmoid replays exactly in DuckDB — the reference's own deterministic-
+# model test trick (tests/sklearn/test_sklearn_spark_inference.py:21-56
+# trains on a fixed 4-row dataset for the same reason: the model must be a
+# pure function of nothing). Coefficients are dyadic rationals and the
+# features are integers, so z = b0 + b1*x1 + b2*x2 is EXACT in doubles on
+# both engines; the only libm crossing is exp(-z), absorbed by round(...,6).
+# --------------------------------------------------------------------------
+
+
+class _FixedLogitModel:
+    """predict_proba-shaped stand-in for a trained LogisticRegression:
+    p = sigmoid(-2 + n_chars * 2^-10 + is_en * 2^-1). Named-column access
+    (a real sklearn model is positional over the fit-time column order;
+    the adapter hands the whole row as a DataFrame with original names —
+    reference sklearn/spark_inference.py:10-55 — so names ARE the
+    contract here)."""
+
+    B0, B1, B2 = -2.0, 0.0009765625, 0.5  # -2, 2**-10, 2**-1
+
+    def predict_proba(self, pdf: pd.DataFrame):
+        import numpy as np
+
+        z = self.B0 + pdf["n_chars"].to_numpy(dtype="float64") * self.B1 \
+            + pdf["is_en"].to_numpy(dtype="float64") * self.B2
+        p1 = 1.0 / (1.0 + np.exp(-z))
+        return np.column_stack([1.0 - p1, p1])
+
+
+def q_sklearn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 end-to-end: documents features -> broadcast SerializableObj
+    artifact -> with_sklearn_inference_column (predict_proba, class-1
+    postprocessing) -> rounded probability. Exercises the full reference
+    adapter stack (artifact broadcast + whole-row DataFrame input +
+    postprocessing_fn), not a plain pandas_udf."""
+    from ml_hadoop_experiment_spark.common.artifacts import SerializableObj
+    from ml_hadoop_experiment_spark.operators.inference import (
+        with_sklearn_inference_column,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    model = SerializableObj(spark, _FixedLogitModel)
+    scored = with_sklearn_inference_column(
+        feats,
+        model,
+        output_col="p_keep",
+        output_type="double",
+        postprocessing_fn=lambda probs: pd.Series(probs[:, 1]),
+        batch_size=4096,
+    )
+    return scored.select(
+        "doc_id", F.round(F.col("p_keep"), 6).alias("p_keep")
+    )
+
+
+SQL_SKLEARN_SCORE = """
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(-2.0
+                                + CAST(n_chars AS DOUBLE) * 0.0009765625
+                                + CAST(lang = 'en' AS INT) * 0.5))), 6)
+         AS p_keep
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # R2/R3 + P3/P4/P5: stratified sampling with portable deterministic hash.
 # --------------------------------------------------------------------------
 

@@ -241,3 +241,83 @@ def _sql_unigram_encode() -> str:
 
 
 SQL_UNIGRAM_ENCODE = _sql_unigram_encode()
+
+
+# --------------------------------------------------------------------------
+# WordPiece (round 12): the third production tokenizer family — likelihood-
+# gain merge training + greedy longest-match-first encoding (operators/
+# wordpiece.py; Schuster & Nakajima 2012 / BERT's tokenizer).
+# --------------------------------------------------------------------------
+
+_WORDPIECE_MERGES = 4
+_WORDPIECE_MAX_PIECE = 8
+
+
+def q_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge training (operators/wordpiece.wordpiece_learn):
+    FOUR driver-gated merges picked by LIKELIHOOD GAIN — score(a, b) =
+    count(ab) / (count(a) * count(b)), ONE IEEE double division of
+    exact integer counts so both engines order candidates identically —
+    over ##-marked continuation symbols; returns the WHOLE segmented
+    vocabulary (word, segmentation, word_count) so the gate hash checks
+    every merge decision on every word. Oracle replays the full loop as
+    unrolled CTEs (the bpe_merges precedent). One corpus-sized shuffle
+    (the pinned distinct-word collapse); per merge two vocab-sized
+    aggregations + a 1-row collect."""
+    from ml_hadoop_experiment_spark.operators.wordpiece import (
+        wordpiece_learn,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out, _merges = wordpiece_learn(docs, "text", n_merges=_WORDPIECE_MERGES)
+    return out
+
+
+def _sql_wordpiece_learn() -> str:
+    from ml_hadoop_experiment_spark.operators.wordpiece import (
+        wordpiece_learn_sql,
+    )
+
+    return wordpiece_learn_sql("documents", "text", _WORDPIECE_MERGES)
+
+
+SQL_WORDPIECE_LEARN = _sql_wordpiece_learn()
+
+
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece learn-then-encode end-to-end
+    (operators/wordpiece.wordpiece_encode): the trained piece
+    vocabulary encodes EVERY document by greedy longest-match-first
+    (NOT the merge history — WordPiece's published encode differs from
+    BPE's apply), ## continuation markers intact, unmatchable words as
+    [UNK] — (doc_id, n_tokens, tokens) with the stream hash-checked
+    whole. Each DISTINCT word segments once against the 1-row broadcast
+    piece map; documents reassemble by broadcast join +
+    order-preserving regroup (the bpe_encode shape)."""
+    from ml_hadoop_experiment_spark.operators.wordpiece import (
+        wordpiece_encode,
+        wordpiece_learn,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab_seg, _merges = wordpiece_learn(
+        docs, "text", n_merges=_WORDPIECE_MERGES
+    )
+    return wordpiece_encode(
+        docs, "doc_id", "text", vocab_seg,
+        max_piece_len=_WORDPIECE_MAX_PIECE,
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _sql_wordpiece_encode() -> str:
+    from ml_hadoop_experiment_spark.operators.wordpiece import (
+        wordpiece_encode_sql,
+    )
+
+    return wordpiece_encode_sql(
+        "documents", "doc_id", "text", _WORDPIECE_MERGES,
+        max_piece_len=_WORDPIECE_MAX_PIECE, out_id="doc_id",
+    )
+
+
+SQL_WORDPIECE_ENCODE = _sql_wordpiece_encode()

@@ -231,6 +231,55 @@ class TestPngDecoder:
         assert png_gray_pixels(bmp) is None
         assert bmp_gray_pixels(png) is None
 
+    def test_adversarial_geometry_and_zlib_bomb_reject(self):
+        """Untrusted-byte guards (round-12 ADVICE): a crafted IHDR must
+        not drive allocation (pixel-count cap fires BEFORE np.zeros) and
+        the inflate is bounded by the declared geometry (a zlib bomb
+        whose stream exceeds h*(1+stride) rejects without expanding)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from ml_hadoop_experiment_spark.operators.phash import (
+            png_bytes,
+            png_gray_pixels,
+        )
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        # 1) absurd claimed geometry (2^31-ish pixels), tiny IDAT: must
+        # return None without attempting the h x stride allocation
+        ihdr = struct.pack(">IIBBBBB", 1 << 16, 1 << 15, 8, 0, 0, 0, 0)
+        bomb_geom = (
+            sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+        )
+        assert png_gray_pixels(bomb_geom) is None
+        # 2) sane geometry, but the compressed stream inflates far past
+        # h*(1+stride): bounded decompressobj stops at the cap + rejects
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+        bomb_stream = (
+            sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (10 * 1024 * 1024)))
+            + chunk(b"IEND", b"")
+        )
+        assert png_gray_pixels(bomb_stream) is None
+        # 3) stream SHORTER than geometry also rejects
+        short = (
+            sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 7)) + chunk(b"IEND", b"")
+        )
+        assert png_gray_pixels(short) is None
+        # 4) a legitimate image still decodes after the guards
+        gray = np.arange(16).reshape(4, 4) % 200
+        assert (png_gray_pixels(png_bytes(gray)) == gray).all()
+
     def test_bmp_png_same_raster_same_fingerprint(self, spark):
         """The SAME raster encoded as BMP and as PNG must produce the
         SAME dHash fingerprint through the dispatching scan — the

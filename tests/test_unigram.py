@@ -88,6 +88,27 @@ class TestViterbi:
         ).collect()
         assert with_fb[0]["seg"] == "a x b"
 
+    def test_infeasible_prefix_cannot_beat_valid_segmentation(self, spark):
+        """Round-12 ADVICE regression: model has 'ab' and 'b' but NOT
+        'a', oov_fallback=False. Position 1 is unreachable (NULL DP
+        state); at position 2 the j=1 candidate ('b' after the
+        infeasible prefix) carries NULL np fields — structs sort
+        nulls-FIRST under array_min, so without the prev-state guard it
+        beat the legal ['ab'] and returned a NULL seg for a word that
+        has a valid segmentation."""
+        from ml_hadoop_experiment_spark.operators.unigram import (
+            viterbi_seg_expr,
+        )
+
+        df = spark.createDataFrame([("ab",), ("abb",)], "w string")
+        m = F.create_map(
+            F.lit("ab"), F.lit(0.5), F.lit("b"), F.lit(0.4)
+        )
+        out = df.select(
+            viterbi_seg_expr(F.col("w"), m, 2).alias("seg")
+        ).collect()
+        assert [r["seg"] for r in out] == ["ab", "ab b"]
+
 
 class TestLearn:
     def test_learn_matches_duckdb_twin(self, spark, docs, con):
