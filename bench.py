@@ -193,6 +193,16 @@ BENCH_QUERIES = [
     "decontaminate_spans",
     "line_dedup",
     "dsir_select",
+    # round-12 additions: the tokenizer triad's third family, the sklearn
+    # adapter's oracle gate, audio content dedup, any-length exact-substring
+    # decontamination, and the routed-index serving probe (build amortized
+    # across the sweep by the declared query's per-process cache)
+    "wordpiece_learn",
+    "wordpiece_encode",
+    "sklearn_score",
+    "audio_near_dup",
+    "decontaminate_exact",
+    "ivf_pq_routed_steady",
 ]
 
 

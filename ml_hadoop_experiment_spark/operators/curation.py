@@ -783,3 +783,316 @@ SELECT c.id AS {out_id},
          AS n_removed_tokens
 FROM corpus_base c LEFT JOIN spans s ON c.id = s.id
 """
+
+
+# --------------------------------------------------------------------------
+# Exact-substring decontamination at arbitrary length (round 12): the Lee
+# et al. 2022 ("Deduplicating Training Data Makes Language Models Better")
+# any-length->=-threshold contract. Their suffix-array construction is a
+# single-machine algorithm; the distributed re-expression is gram-anchored
+# seeding + bidirectional extension, which preserves the contract exactly:
+# any shared substring of length >= min_len contains a seed_gram-gram
+# (seed_gram <= min_len), every anchor extends to the MAXIMAL shared extent
+# against its own benchmark alignment (token-exact comparison — a hashed
+# seed collision self-destructs because extension re-verifies from the
+# anchor outward), and extents shorter than min_len are discarded.
+# --------------------------------------------------------------------------
+
+
+def exact_substring_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+    seed_gram: int = 4,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Maximal EXACT-SUBSTRING contaminated spans per corpus document:
+    ``(id, span_start, span_end)`` (inclusive 0-based token offsets) —
+    every maximal token range that appears CONTIGUOUSLY in one
+    benchmark document with length >= ``min_len``, any length (the Lee
+    et al. 2022 contract; :func:`contaminated_spans` by contrast marks
+    fixed n-gram coverage, which can patchwork grams from different
+    benchmark places).
+
+    Plan: benchmark positional grams (tiny by construction) broadcast;
+    corpus positional ``seed_gram``-grams inner-join them map-side, so
+    only ANCHORS — proportional to contamination — survive. Each
+    anchor's (corpus doc, benchmark doc, offset) alignment extends
+    bidirectionally with a first-mismatch scan as a pure codegen
+    array-fold (no UDF): ``fwd = first j where corpus[pos+j] !=
+    bench[bpos+j]``, same backward; the extension re-verifies the
+    anchor tokens themselves, so hashed seed collisions fall out.
+    Extents below ``min_len`` drop; per-doc overlapping/adjacent
+    extents merge to maximal spans (the family's merge window,
+    partitioned by document). The corpus token arrays travel ONLY for
+    anchored documents (broadcast anchor-id semi-join shape), the
+    benchmark is broadcast — corpus payload never shuffles.
+
+    Documents shorter than ``min_len`` tokens cannot contain a
+    qualifying substring and are never marked (this intentionally
+    diverges from the fixed-gram family's whole-doc short rule: the
+    published contract is length-based).
+    """
+    if seed_gram < 1 or min_len < seed_gram:
+        raise ValueError(
+            f"need 1 <= seed_gram <= min_len, got {seed_gram}/{min_len}"
+        )
+    k = int(seed_gram)
+    gh = (
+        portable_token_hash_int(F.col("gram"))
+        if hash_grams
+        else F.col("gram")
+    )
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def positional_grams(df: DataFrame, idc: str) -> DataFrame:
+        base = df.where(F.col(text_col).isNotNull()).select(
+            F.col(idc).alias("id"), tokens.alias("__t")
+        )
+        return base.where(F.size("__t") >= k).select(
+            "id",
+            "__t",
+            F.posexplode(
+                F.transform(
+                    F.arrays_zip(
+                        *[
+                            F.slice(F.col("__t"), i + 1,
+                                    F.size("__t") - F.lit(k - 1))
+                            for i in range(k)
+                        ]
+                    ),
+                    lambda s: F.concat_ws(
+                        " ", *[s[str(i)] for i in range(k)]
+                    ),
+                )
+            ).alias("pos", "gram"),
+        ).select("id", "__t", "pos", gh.alias("gram"))
+
+    bench_pg = positional_grams(benchmark, id_col).select(
+        F.col("id").alias("__bid"),
+        F.col("__t").alias("__bt"),
+        F.col("pos").alias("__bpos"),
+        "gram",
+    )
+    corpus_pg = positional_grams(corpus, id_col)
+    anchors = corpus_pg.join(F.broadcast(bench_pg), "gram").select(
+        "id", "__t", "pos", "__bt", "__bpos"
+    )
+
+    ct, bt = F.col("__t"), F.col("__bt")
+    pos, bpos = F.col("pos"), F.col("__bpos")
+    # forward: largest f with corpus[pos+j] == bench[bpos+j] for j < f
+    # (j = 0 re-checks the anchor's own first token — hash-collision
+    # safety); first-mismatch via array_min over the mismatching j set
+    fwd_limit = F.least(F.size(ct) - pos, F.size(bt) - bpos)
+    mism_f = F.array_min(
+        F.filter(
+            F.sequence(F.lit(0), fwd_limit - 1),
+            lambda j: F.element_at(ct, pos + j + 1)
+            != F.element_at(bt, bpos + j + 1),
+        )
+    )
+    fwd = F.coalesce(mism_f, fwd_limit)
+    # backward: largest b with corpus[pos-j] == bench[bpos-j] for j <= b
+    bwd_limit = F.least(pos, bpos)
+    mism_b = F.array_min(
+        F.filter(
+            F.sequence(F.lit(1), bwd_limit),
+            lambda j: F.element_at(ct, pos - j + 1)
+            != F.element_at(bt, bpos - j + 1),
+        )
+    )
+    bwd = F.coalesce(mism_b - 1, bwd_limit)
+    # sequence(1, 0) is DESCENDING in Spark (bwd_limit = 0 would scan
+    # [1, 0] instead of nothing) — guard the degenerate limit
+    bwd = F.when(bwd_limit < 1, F.lit(0)).otherwise(bwd)
+
+    extents = (
+        anchors.select(
+            "id",
+            (pos - bwd).alias("span_start"),
+            (pos + fwd - 1).alias("span_end"),
+        )
+        .where(F.col("span_end") - F.col("span_start") + 1 >= min_len)
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("span_start", "span_end")
+    grp = F.sum(
+        F.when(
+            F.lag("span_end").over(w).isNull()
+            | (F.col("span_start") > F.lag("span_end").over(w) + 1),
+            1,
+        ).otherwise(0)
+    ).over(w)
+    return (
+        extents.withColumn("__g", grp)
+        .groupBy("id", "__g")
+        .agg(
+            F.min("span_start").alias("span_start"),
+            F.max("span_end").alias("span_end"),
+        )
+        .drop("__g")
+    )
+
+
+def decontaminate_exact(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+    seed_gram: int = 4,
+    hash_grams: bool = True,
+    out_text_col: str = "clean_text",
+) -> DataFrame:
+    """Exact-substring decontamination ACTION: the cleaned corpus —
+    ``(id_col, out_text_col, n_removed_tokens)`` with every maximal
+    benchmark-shared EXACT substring of length >= ``min_len`` tokens
+    cut (:func:`exact_substring_spans`), the :func:`decontaminate_spans`
+    output contract with the Lee et al. 2022 matching semantics."""
+    spans = (
+        exact_substring_spans(
+            corpus, benchmark, id_col, text_col,
+            min_len=min_len, seed_gram=seed_gram, hash_grams=hash_grams,
+        )
+        .groupBy("id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("__spans")
+        )
+        .withColumnRenamed("id", "__sid")
+    )
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    joined = corpus.join(
+        F.broadcast(spans), corpus[id_col] == F.col("__sid"), "left"
+    )
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.expr("cast(array() as array<struct<s: int, e: int>>)"),
+    )
+    kept = F.filter(
+        tokens,
+        lambda t, i: ~F.exists(
+            sp, lambda r: (i >= r["s"]) & (i <= r["e"])
+        ),
+    )
+    clean = F.when(
+        F.col(text_col).isNotNull(), F.array_join(kept, " ")
+    )
+    removed = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(tokens) - F.size(kept)
+    )
+    return joined.select(
+        F.col(id_col),
+        clean.alias(out_text_col),
+        removed.cast("long").alias("n_removed_tokens"),
+    )
+
+
+def decontaminate_exact_sql(
+    corpus_relation: str,
+    benchmark_relation: str,
+    id_expr: str,
+    text_expr: str,
+    min_len: int = 8,
+    seed_gram: int = 4,
+    hash_grams: bool = True,
+    out_id: str = "id",
+    out_text_col: str = "clean_text",
+) -> str:
+    """DuckDB twin of :func:`decontaminate_exact` — same seed grams,
+    same bidirectional first-mismatch extension (``list_min`` over the
+    mismatching offsets; DuckDB lists index 1-based, the span offsets
+    stay 0-based), same >= ``min_len`` filter, merge window, and index
+    cut."""
+    if seed_gram < 1 or min_len < seed_gram:
+        raise ValueError(
+            f"need 1 <= seed_gram <= min_len, got {seed_gram}/{min_len}"
+        )
+    k = int(seed_gram)
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    gh = (
+        portable_token_hash_int_sql(f"({gram})") if hash_grams
+        else f"({gram})"
+    )
+    keep = (
+        "list_filter(c.t, (x, i) -> len(list_filter("
+        "coalesce(s.sp, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])), "
+        "r -> i - 1 >= struct_extract(r, 's')"
+        " AND i - 1 <= struct_extract(r, 'e'))) = 0)"
+    )
+    return f"""
+WITH corpus_base AS (
+  SELECT {id_expr} AS id, {text_expr} AS txt,
+         regexp_split_to_array(trim({text_expr}), '\\s+') AS t
+  FROM {corpus_relation}
+),
+bench_base AS (
+  SELECT regexp_split_to_array(trim({text_expr}), '\\s+') AS t
+  FROM {benchmark_relation} WHERE {text_expr} IS NOT NULL
+),
+corpus_pg AS (
+  SELECT id, t, i - 1 AS pos, {gh} AS gram
+  FROM corpus_base, unnest(range(1, len(t) - {k - 1} + 1)) AS r(i)
+  WHERE txt IS NOT NULL AND len(t) >= {k}
+),
+bench_pg AS (
+  SELECT t AS bt, i - 1 AS bpos, {gh} AS gram
+  FROM bench_base, unnest(range(1, len(t) - {k - 1} + 1)) AS r(i)
+  WHERE len(t) >= {k}
+),
+anchors AS (
+  SELECT c.id, c.t, c.pos, b.bt, b.bpos
+  FROM corpus_pg c JOIN bench_pg b USING (gram)
+),
+extents AS (
+  SELECT DISTINCT id, pos - bwd AS span_start, pos + fwd - 1 AS span_end
+  FROM (
+    SELECT id, pos,
+      coalesce(list_min(list_filter(range(0, least(len(t) - pos,
+                                                   len(bt) - bpos)),
+        j -> t[pos + j + 1] != bt[bpos + j + 1])),
+        least(len(t) - pos, len(bt) - bpos)) AS fwd,
+      CASE WHEN least(pos, bpos) < 1 THEN 0
+           ELSE coalesce(list_min(list_filter(range(1, least(pos, bpos)
+                                                       + 1),
+             j -> t[pos - j + 1] != bt[bpos - j + 1])) - 1,
+             least(pos, bpos)) END AS bwd
+    FROM anchors
+  )
+  WHERE span_end - span_start + 1 >= {min_len}
+),
+grp AS (
+  SELECT id, span_start, span_end,
+         sum(CASE WHEN prev IS NULL OR span_start > prev + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY span_start, span_end
+                 ROWS UNBOUNDED PRECEDING) AS g
+  FROM (SELECT id, span_start, span_end,
+               lag(span_end) OVER (PARTITION BY id
+                                   ORDER BY span_start, span_end) AS prev
+        FROM extents)
+),
+spans AS (
+  SELECT id, list({{'s': s, 'e': e}}) AS sp FROM (
+    SELECT id, min(span_start) AS s, max(span_end) AS e
+    FROM grp GROUP BY id, g
+  ) GROUP BY id
+)
+SELECT c.id AS {out_id},
+       CASE WHEN c.txt IS NOT NULL
+            THEN coalesce(array_to_string({keep}, ' '), '')
+       END AS {out_text_col},
+       CAST(CASE WHEN c.txt IS NULL THEN 0
+                 ELSE len(c.t) - len({keep}) END AS BIGINT)
+         AS n_removed_tokens
+FROM corpus_base c LEFT JOIN spans s ON c.id = s.id
+"""

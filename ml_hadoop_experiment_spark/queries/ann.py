@@ -653,3 +653,57 @@ def _sql_jl_project() -> str:
 
 
 SQL_JL_PROJECT = _sql_jl_project()
+
+
+_ROUTED_STEADY: dict = {}
+
+
+def q_ivf_pq_routed_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state routed IVF+PQ probe (round 12 — the pq_index_steady
+    convention PROMOTED to a declared query, so the driver bench sees
+    the serving number): the routed list-partitioned index is built and
+    written ONCE per process per sf_dir (its OWN directory — disjoint
+    from q_ivf_pq_routed's per-invocation overwrite dir, so a sweep
+    running both never races a lazy read-back against an overwrite) and
+    every subsequent call pays ONLY the partition-pruned probe: the
+    isin(probes) routing filter prunes at the parquet scan, nprobe=4 of
+    8 list directories read (plans/inspect.files_read receipt in
+    SCALE.md), 0.16-0.17 s vs the 6.4 s one-shot build+write+probe.
+    Result contract identical to q_ivf_pq_routed / q_ivf_pq_topk (same
+    frozen centroids, same training parameters), so the oracle IS
+    SQL_IVF_PQ_TOPK."""
+    from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+        FROZEN_CENTROIDS_8X64,
+    )
+    from ml_hadoop_experiment_spark.operators.pq_index import (
+        build_pq_index,
+        pq_topk_against_index,
+        route_index_to_storage,
+    )
+
+    entry = _ROUTED_STEADY.get(sf_dir)
+    if entry is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        emb = _t(spark, sf_dir, "embeddings")
+        query = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        idx = build_pq_index(
+            emb, "vec_id", "embedding", dim=64, n_subspaces=4,
+            codebook_k=8, iters=2, train_fraction=0.5, seed=3,
+            centroids=FROZEN_CENTROIDS_8X64, eager=False, register=False,
+        )
+        d = tempfile.mkdtemp(prefix="ivf_pq_routed_steady_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        stored = route_index_to_storage(idx, d)
+        entry = (stored, query)
+        _ROUTED_STEADY[sf_dir] = entry
+    stored, query = entry
+    return pq_topk_against_index(stored, query, k=20, exclude_id=0, nprobe=4)
+
+
+SQL_IVF_PQ_ROUTED_STEADY = SQL_IVF_PQ_TOPK

@@ -1235,3 +1235,50 @@ def q_topk_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOPK_SIMILAR_PAIRS = (
     _sql_jaccard_pairs(0.3) + "ORDER BY jaccard DESC, id_a, id_b LIMIT 50"
 )
+
+
+def q_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination at ARBITRARY length (round 12 —
+    operators/curation.decontaminate_exact, the Lee et al. 2022
+    any-length->=-threshold contract): every maximal corpus substring
+    appearing CONTIGUOUSLY in one benchmark document (doc_id % 10 == 0
+    split) with length >= 8 tokens is cut — unlike q_decontaminate_spans'
+    fixed 5-gram coverage, a patchwork of seed grams from different
+    benchmark places is NOT cut, and the cut always extends to the full
+    shared extent. Gram-anchored seeding (4-gram hash join against the
+    broadcast benchmark) keeps the shuffle hits-proportional; the
+    bidirectional first-mismatch extension is a pure codegen array fold
+    that re-verifies tokens exactly (hashed-seed collisions
+    self-destruct). Same output contract as decontaminate_spans:
+    (doc_id, clean_text, n_removed_tokens)."""
+    from ml_hadoop_experiment_spark.operators.curation import (
+        decontaminate_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    return decontaminate_exact(
+        corpus, bench, "doc_id", "text",
+        min_len=8, seed_gram=4, hash_grams=True,
+    )
+
+
+def _sql_decontaminate_exact() -> str:
+    from ml_hadoop_experiment_spark.operators.curation import (
+        decontaminate_exact_sql,
+    )
+
+    return decontaminate_exact_sql(
+        "(SELECT * FROM documents WHERE doc_id % 10 <> 0)",
+        "(SELECT * FROM documents WHERE doc_id % 10 = 0)",
+        "doc_id",
+        "text",
+        min_len=8,
+        seed_gram=4,
+        hash_grams=True,
+        out_id="doc_id",
+    )
+
+
+SQL_DECONTAMINATE_EXACT = _sql_decontaminate_exact()

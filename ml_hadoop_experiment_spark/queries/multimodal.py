@@ -489,3 +489,109 @@ def q_image_near_dup_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_IMAGE_NEAR_DUP_MIXED = SQL_IMAGE_NEAR_DUP
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio content near-dup (round 12 — operators/audiofp.py): the
+    image_near_dup recipe on the audio modality. Per document a
+    256-sample 16-bit PCM WAV is synthesized (md5-derived signed
+    samples per 5-doc group, one +500 sample bump at band r for
+    within-group near-dups; every 11th document carries a non-WAV
+    payload to pin the undecodable-tier drop), the OPERATOR decodes the
+    actual RIFF bytes (chunk walk + np.frombuffer int16), computes the
+    31-bit band-energy-delta fingerprint (Haitsma-Kalker-style sign of
+    adjacent band energy differences, exact int64 sums of squares) and
+    runs the shared SimHash pigeonhole join at hamming <= 2. The oracle
+    never sees bytes — it replays samples -> band energies -> delta
+    bits -> blocks -> join -> popcount relationally (range() unnest +
+    grouped integer sums, no per-sample expression trees), so the gate
+    passes only if WAV encode-decode is the identity."""
+    import hashlib
+
+    from ml_hadoop_experiment_spark.operators.audiofp import (
+        audio_near_dup_pairs,
+        wav_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 11 == 0:
+                    payloads.append(b"OggS not a wav payload")
+                    continue
+                grp, r = d // 5, d % 5
+                samples = np.empty(256, dtype=np.int64)
+                for i in range(256):
+                    h = int(
+                        hashlib.md5(f"{grp}_{i}".encode()).hexdigest()[:4],
+                        16,
+                    )
+                    samples[i] = h % 1999 - 999
+                if r > 0:
+                    samples[r * 8] += 500
+                payloads.append(
+                    wav_bytes(samples, rate=16000 + (d % 5) * 1000)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    wavs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return audio_near_dup_pairs(
+        wavs, "doc_id", "payload", n_bands=32, max_hamming=2
+    )
+
+
+def _sql_audio_near_dup() -> str:
+    from ml_hadoop_experiment_spark.operators.dedup import simhash_blocks_sql
+
+    from ml_hadoop_experiment_spark.operators.hll import _nibble_val_sql
+
+    d = "md5(CAST(doc_id // 5 AS VARCHAR) || '_' || CAST(i AS VARCHAR))"
+    hex4 = " + ".join(
+        f"{_nibble_val_sql(f'substring({d}, {k + 1}, 1)')} * {16 ** (3 - k)}"
+        for k in range(4)
+    )
+    blocks = simhash_blocks_sql(31, 2)
+    return f"""
+WITH samples AS (
+  SELECT doc_id AS id, i,
+         CAST(({hex4}) % 1999 - 999
+              + CASE WHEN doc_id % 5 > 0 AND i = (doc_id % 5) * 8
+                     THEN 500 ELSE 0 END AS BIGINT) AS s
+  FROM documents, range(0, 256) t(i)
+  WHERE doc_id % 11 != 0
+),
+bands AS (
+  SELECT id, i // 8 AS band, sum(s * s) AS e
+  FROM samples GROUP BY id, i // 8
+),
+fps AS (
+  SELECT a.id,
+         CAST(coalesce(sum(CASE WHEN b.e > a.e
+                           THEN (CAST(1 AS BIGINT) << a.band)
+                           ELSE 0 END), 0) AS BIGINT) AS fp
+  FROM bands a JOIN bands b ON b.id = a.id AND b.band = a.band + 1
+  GROUP BY a.id
+),
+blocks AS (
+  {blocks}
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+  FROM blocks a JOIN blocks b
+    ON a.part = b.part AND a.block = b.block AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
+FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 2
+"""
+
+
+SQL_AUDIO_NEAR_DUP = _sql_audio_near_dup()

@@ -435,3 +435,131 @@ class TestDecontaminateSpans:
         out = decontaminate_spans(cdf, bdf, "doc_id", "text", ngram_size=3)
         plan = executed_plan_str(out)
         assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+
+
+class TestDecontaminateExact:
+    """Round-12: any-length exact-substring decontamination (Lee et al.
+    2022 contract) — the behavioral differences vs the fixed-gram
+    family, cross-engine span-extension agreement, and the broadcast
+    plan shape."""
+
+    BENCH = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def _frames(self, spark):
+        corpus = _docs(spark, [
+            (1, "xx yy " + self.BENCH + " zz ww"),      # full 10-token run
+            (2, "alpha beta gamma delta XX XX eta theta iota kappa"),
+            (3, "pre alpha beta gamma delta epsilon zeta eta theta post"),
+            (4, "totally unrelated text with many words here indeed"),
+            (5, "alpha beta"),                            # too short
+            (6, None),
+            (7, self.BENCH),                              # fully cut
+        ])
+        bench = _docs(spark, [(100, self.BENCH), (101, None)])
+        return corpus, bench
+
+    def test_patchwork_is_not_cut_but_contiguous_runs_are(self, spark):
+        """Doc 2 holds two disjoint 4-gram matches (each extends to only
+        4 tokens < min_len 8): the fixed-gram form would cut both; the
+        exact form must keep the document intact. Docs 1/3/7 hold true
+        contiguous runs >= 8 and are cut to their FULL extents."""
+        from ml_hadoop_experiment_spark.operators.curation import (
+            decontaminate_exact,
+        )
+
+        corpus, bench = self._frames(spark)
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+            for r in decontaminate_exact(
+                corpus, bench, "doc_id", "text", min_len=8, seed_gram=4
+            ).collect()
+        }
+        assert got[1] == ("xx yy zz ww", 10)
+        assert got[2] == (
+            "alpha beta gamma delta XX XX eta theta iota kappa", 0
+        )
+        assert got[3] == ("pre post", 8)
+        assert got[4][1] == 0
+        assert got[5] == ("alpha beta", 0)
+        assert got[6] == (None, 0)
+        assert got[7] == ("", 10)
+
+    def test_extension_crosses_seed_boundaries_exactly(self, spark):
+        """A 9-token shared run seeded by 4-grams must cut exactly 9
+        tokens — the bidirectional extension reaches the full extent,
+        not a whole-gram multiple."""
+        from ml_hadoop_experiment_spark.operators.curation import (
+            decontaminate_exact,
+        )
+
+        nine = " ".join(self.BENCH.split()[:9])
+        corpus = _docs(spark, [(1, "a b " + nine + " c")])
+        bench = _docs(spark, [(100, self.BENCH)])
+        got = decontaminate_exact(
+            corpus, bench, "doc_id", "text", min_len=8, seed_gram=4
+        ).collect()[0]
+        assert got["clean_text"] == "a b c"
+        assert got["n_removed_tokens"] == 9
+
+    def test_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.curation import (
+            decontaminate_exact,
+            decontaminate_exact_sql,
+        )
+
+        corpus, bench = self._frames(spark)
+        sp = sorted(
+            tuple(r)
+            for r in decontaminate_exact(
+                corpus, bench, "doc_id", "text", min_len=8, seed_gram=4
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register("corpus_v", corpus.toPandas())
+        con.register("bench_v", bench.toPandas())
+        dk = sorted(
+            tuple(r)
+            for r in con.execute(
+                decontaminate_exact_sql(
+                    "corpus_v", "bench_v", "doc_id", "text",
+                    min_len=8, seed_gram=4, out_id="doc_id",
+                )
+            ).fetchall()
+        )
+        con.close()
+        assert sp == dk
+
+    def test_rejects_bad_parameters(self, spark):
+        from ml_hadoop_experiment_spark.operators.curation import (
+            decontaminate_exact,
+            decontaminate_exact_sql,
+        )
+
+        corpus, bench = self._frames(spark)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            decontaminate_exact(
+                corpus, bench, "doc_id", "text", min_len=3, seed_gram=4
+            )
+        with _pytest.raises(ValueError):
+            decontaminate_exact_sql(
+                "c", "b", "doc_id", "text", min_len=3, seed_gram=4
+            )
+
+    def test_corpus_never_shuffles_payload(self, spark):
+        from ml_hadoop_experiment_spark.operators.curation import (
+            decontaminate_exact,
+        )
+        from ml_hadoop_experiment_spark.plans.optimize import (
+            executed_plan_str,
+        )
+
+        corpus, bench = self._frames(spark)
+        out = decontaminate_exact(
+            corpus, bench, "doc_id", "text", min_len=8, seed_gram=4
+        )
+        plan = executed_plan_str(out)
+        assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan

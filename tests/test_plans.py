@@ -148,6 +148,7 @@ _BNLJ_QUERIES = [
     "unigram_encode",
     "unigram_xent",
     "user_similarity",
+    "wordpiece_encode",
 ]
 
 # a BNLJ's cost is streamed-side rows x build-side rows: fine for a
