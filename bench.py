@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "sklearn_score",
     "audio_near_dup",
     "decontaminate_exact",
+    "dedup_substrings",
     "ivf_pq_routed_steady",
 ]
 

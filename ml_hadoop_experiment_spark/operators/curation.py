@@ -881,9 +881,20 @@ def exact_substring_spans(
         "id", "__t", "pos", "__bt", "__bpos"
     )
 
-    ct, bt = F.col("__t"), F.col("__bt")
-    pos, bpos = F.col("pos"), F.col("__bpos")
-    # forward: largest f with corpus[pos+j] == bench[bpos+j] for j < f
+    extents = _extended_extents(
+        anchors, F.col("__t"), F.col("__bt"), F.col("pos"),
+        F.col("__bpos"), min_len,
+    )
+    return _merge_extents(extents)
+
+
+def _extended_extents(anchors, ct, bt, pos, bpos, min_len: int):
+    """Bidirectional first-mismatch extension of every anchor row into
+    its maximal shared extent ``(id, span_start, span_end)``, extents
+    below ``min_len`` dropped, duplicates collapsed — the shared core of
+    the exact-substring family (benchmark decontamination and corpus
+    self-dedup)."""
+    # forward: largest f with corpus[pos+j] == other[bpos+j] for j < f
     # (j = 0 re-checks the anchor's own first token — hash-collision
     # safety); first-mismatch via array_min over the mismatching j set
     fwd_limit = F.least(F.size(ct) - pos, F.size(bt) - bpos)
@@ -895,7 +906,7 @@ def exact_substring_spans(
         )
     )
     fwd = F.coalesce(mism_f, fwd_limit)
-    # backward: largest b with corpus[pos-j] == bench[bpos-j] for j <= b
+    # backward: largest b with corpus[pos-j] == other[bpos-j] for j <= b
     bwd_limit = F.least(pos, bpos)
     mism_b = F.array_min(
         F.filter(
@@ -908,8 +919,7 @@ def exact_substring_spans(
     # sequence(1, 0) is DESCENDING in Spark (bwd_limit = 0 would scan
     # [1, 0] instead of nothing) — guard the degenerate limit
     bwd = F.when(bwd_limit < 1, F.lit(0)).otherwise(bwd)
-
-    extents = (
+    return (
         anchors.select(
             "id",
             (pos - bwd).alias("span_start"),
@@ -918,6 +928,11 @@ def exact_substring_spans(
         .where(F.col("span_end") - F.col("span_start") + 1 >= min_len)
         .distinct()
     )
+
+
+def _merge_extents(extents):
+    """Overlapping/adjacent extents merged to maximal per-doc spans —
+    the family's merge window, partitioned by document."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy("span_start", "span_end")
@@ -939,27 +954,20 @@ def exact_substring_spans(
     )
 
 
-def decontaminate_exact(
+def _cut_spans(
     corpus: DataFrame,
-    benchmark: DataFrame,
+    spans: DataFrame,
     id_col: str,
     text_col: str,
-    min_len: int = 8,
-    seed_gram: int = 4,
-    hash_grams: bool = True,
-    out_text_col: str = "clean_text",
+    out_text_col: str,
 ) -> DataFrame:
-    """Exact-substring decontamination ACTION: the cleaned corpus —
-    ``(id_col, out_text_col, n_removed_tokens)`` with every maximal
-    benchmark-shared EXACT substring of length >= ``min_len`` tokens
-    cut (:func:`exact_substring_spans`), the :func:`decontaminate_spans`
-    output contract with the Lee et al. 2022 matching semantics."""
-    spans = (
-        exact_substring_spans(
-            corpus, benchmark, id_col, text_col,
-            min_len=min_len, seed_gram=seed_gram, hash_grams=hash_grams,
-        )
-        .groupBy("id")
+    """Cut ``(id, span_start, span_end)`` token spans out of the corpus
+    text: the :func:`decontaminate_spans` broadcast-back + pure codegen
+    index filter, shared by the exact-substring family. The corpus
+    payload never shuffles; clean documents pass through with
+    ``n_removed_tokens = 0``."""
+    agg = (
+        spans.groupBy("id")
         .agg(
             F.collect_list(
                 F.struct(
@@ -972,7 +980,7 @@ def decontaminate_exact(
     )
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     joined = corpus.join(
-        F.broadcast(spans), corpus[id_col] == F.col("__sid"), "left"
+        F.broadcast(agg), corpus[id_col] == F.col("__sid"), "left"
     )
     sp = F.coalesce(
         F.col("__spans"),
@@ -995,6 +1003,28 @@ def decontaminate_exact(
         clean.alias(out_text_col),
         removed.cast("long").alias("n_removed_tokens"),
     )
+
+
+def decontaminate_exact(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+    seed_gram: int = 4,
+    hash_grams: bool = True,
+    out_text_col: str = "clean_text",
+) -> DataFrame:
+    """Exact-substring decontamination ACTION: the cleaned corpus —
+    ``(id_col, out_text_col, n_removed_tokens)`` with every maximal
+    benchmark-shared EXACT substring of length >= ``min_len`` tokens
+    cut (:func:`exact_substring_spans`), the :func:`decontaminate_spans`
+    output contract with the Lee et al. 2022 matching semantics."""
+    spans = exact_substring_spans(
+        corpus, benchmark, id_col, text_col,
+        min_len=min_len, seed_gram=seed_gram, hash_grams=hash_grams,
+    )
+    return _cut_spans(corpus, spans, id_col, text_col, out_text_col)
 
 
 def decontaminate_exact_sql(
@@ -1052,6 +1082,208 @@ bench_pg AS (
 anchors AS (
   SELECT c.id, c.t, c.pos, b.bt, b.bpos
   FROM corpus_pg c JOIN bench_pg b USING (gram)
+),
+extents AS (
+  SELECT DISTINCT id, pos - bwd AS span_start, pos + fwd - 1 AS span_end
+  FROM (
+    SELECT id, pos,
+      coalesce(list_min(list_filter(range(0, least(len(t) - pos,
+                                                   len(bt) - bpos)),
+        j -> t[pos + j + 1] != bt[bpos + j + 1])),
+        least(len(t) - pos, len(bt) - bpos)) AS fwd,
+      CASE WHEN least(pos, bpos) < 1 THEN 0
+           ELSE coalesce(list_min(list_filter(range(1, least(pos, bpos)
+                                                       + 1),
+             j -> t[pos - j + 1] != bt[bpos - j + 1])) - 1,
+             least(pos, bpos)) END AS bwd
+    FROM anchors
+  )
+  WHERE span_end - span_start + 1 >= {min_len}
+),
+grp AS (
+  SELECT id, span_start, span_end,
+         sum(CASE WHEN prev IS NULL OR span_start > prev + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY span_start, span_end
+                 ROWS UNBOUNDED PRECEDING) AS g
+  FROM (SELECT id, span_start, span_end,
+               lag(span_end) OVER (PARTITION BY id
+                                   ORDER BY span_start, span_end) AS prev
+        FROM extents)
+),
+spans AS (
+  SELECT id, list({{'s': s, 'e': e}}) AS sp FROM (
+    SELECT id, min(span_start) AS s, max(span_end) AS e
+    FROM grp GROUP BY id, g
+  ) GROUP BY id
+)
+SELECT c.id AS {out_id},
+       CASE WHEN c.txt IS NOT NULL
+            THEN coalesce(array_to_string({keep}, ' '), '')
+       END AS {out_text_col},
+       CAST(CASE WHEN c.txt IS NULL THEN 0
+                 ELSE len(c.t) - len({keep}) END AS BIGINT)
+         AS n_removed_tokens
+FROM corpus_base c LEFT JOIN spans s ON c.id = s.id
+"""
+
+
+def dedup_exact_substrings(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+    seed_gram: int = 4,
+    hash_grams: bool = True,
+    max_posting_width: int = 64,
+    out_text_col: str = "clean_text",
+) -> DataFrame:
+    """Cross-document exact-substring SELF-dedup — the primary use case
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): every maximal substring of length >= ``min_len``
+    tokens that also appears in an EARLIER document (smaller
+    ``id_col`` — the deterministic keep-first rule) is cut from the
+    later one. Returns ``(id_col, out_text_col, n_removed_tokens)``,
+    the :func:`decontaminate_exact` output contract with the corpus as
+    its own benchmark.
+
+    Plan: corpus positional ``seed_gram``-grams SELF-join on the gram
+    key — unlike the decontamination form there is no tiny broadcast
+    side, so this is the one corpus-sized shuffle join in the family,
+    keyed by gram (the distributed re-expression of the paper's suffix
+    array: matching positions land in the same reducer). Skew guard:
+    grams occurring at more than ``max_posting_width`` positions
+    corpus-wide are excluded from SEEDING by a deterministic windowed
+    count (the ``max_bucket_ids`` discipline — replayed identically by
+    the oracle, so the cap is part of the contract, not a sampling
+    choice). Recall caveat, documented honestly: a shared substring
+    ALL of whose seed grams are hot is not anchored and survives; any
+    substring containing at least one sub-cap gram is found and
+    extended to its full extent (extension is token-exact and may
+    cross hot regions). Each surviving anchor pair extends
+    bidirectionally (:func:`_extended_extents` — per-anchor bounded
+    codegen fold, hash collisions self-destruct), extents merge per
+    doc, and the cut never shuffles the corpus payload.
+
+    At 100 TB: posting lists are gram-keyed and width-capped, anchor
+    volume is proportional to TRUE duplication (the quantity being
+    removed — the same economics as the MinHash bucket join), and the
+    extension joins carry token arrays only for anchored documents.
+    """
+    if seed_gram < 1 or min_len < seed_gram:
+        raise ValueError(
+            f"need 1 <= seed_gram <= min_len, got {seed_gram}/{min_len}"
+        )
+    if max_posting_width < 2:
+        raise ValueError(
+            f"max_posting_width must be >= 2, got {max_posting_width}"
+        )
+    k = int(seed_gram)
+    gh = (
+        portable_token_hash_int(F.col("gram"))
+        if hash_grams
+        else F.col("gram")
+    )
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = corpus.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), tokens.alias("__t")
+    )
+    pg = base.where(F.size("__t") >= k).select(
+        "id",
+        "__t",
+        F.posexplode(
+            F.transform(
+                F.arrays_zip(
+                    *[
+                        F.slice(F.col("__t"), i + 1,
+                                F.size("__t") - F.lit(k - 1))
+                        for i in range(k)
+                    ]
+                ),
+                lambda s: F.concat_ws(
+                    " ", *[s[str(i)] for i in range(k)]
+                ),
+            )
+        ).alias("pos", "gram"),
+    ).select("id", "__t", "pos", gh.alias("gram"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("gram")
+    pg = pg.withColumn("__width", F.count(F.lit(1)).over(w)).where(
+        F.col("__width") <= max_posting_width
+    ).drop("__width")
+    later = pg.select(
+        F.col("id"), F.col("__t"), F.col("pos"), F.col("gram")
+    )
+    earlier = pg.select(
+        F.col("id").alias("__bid"),
+        F.col("__t").alias("__bt"),
+        F.col("pos").alias("__bpos"),
+        F.col("gram").alias("__bgram"),
+    )
+    anchors = later.join(
+        earlier,
+        (F.col("gram") == F.col("__bgram"))
+        & (F.col("id") > F.col("__bid")),
+    ).select("id", "__t", "pos", "__bt", "__bpos")
+    extents = _extended_extents(
+        anchors, F.col("__t"), F.col("__bt"), F.col("pos"),
+        F.col("__bpos"), min_len,
+    )
+    spans = _merge_extents(extents)
+    return _cut_spans(corpus, spans, id_col, text_col, out_text_col)
+
+
+def dedup_exact_substrings_sql(
+    relation: str,
+    id_expr: str,
+    text_expr: str,
+    min_len: int = 8,
+    seed_gram: int = 4,
+    hash_grams: bool = True,
+    max_posting_width: int = 64,
+    out_id: str = "id",
+    out_text_col: str = "clean_text",
+) -> str:
+    """DuckDB twin of :func:`dedup_exact_substrings` — same seed grams,
+    same deterministic posting-width cap (``QUALIFY count(*) OVER
+    (PARTITION BY gram)``), same keep-first pairing, extension, merge,
+    and cut."""
+    if seed_gram < 1 or min_len < seed_gram:
+        raise ValueError(
+            f"need 1 <= seed_gram <= min_len, got {seed_gram}/{min_len}"
+        )
+    if max_posting_width < 2:
+        raise ValueError(
+            f"max_posting_width must be >= 2, got {max_posting_width}"
+        )
+    k = int(seed_gram)
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    gh = (
+        portable_token_hash_int_sql(f"({gram})") if hash_grams
+        else f"({gram})"
+    )
+    keep = (
+        "list_filter(c.t, (x, i) -> len(list_filter("
+        "coalesce(s.sp, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])), "
+        "r -> i - 1 >= struct_extract(r, 's')"
+        " AND i - 1 <= struct_extract(r, 'e'))) = 0)"
+    )
+    return f"""
+WITH corpus_base AS (
+  SELECT {id_expr} AS id, {text_expr} AS txt,
+         regexp_split_to_array(trim({text_expr}), '\\s+') AS t
+  FROM {relation}
+),
+pg AS (
+  SELECT id, t, i - 1 AS pos, {gh} AS gram
+  FROM corpus_base, unnest(range(1, len(t) - {k - 1} + 1)) AS r(i)
+  WHERE txt IS NOT NULL AND len(t) >= {k}
+  QUALIFY count(*) OVER (PARTITION BY {gh}) <= {max_posting_width}
+),
+anchors AS (
+  SELECT c.id, c.t, c.pos, b.t AS bt, b.pos AS bpos
+  FROM pg c JOIN pg b ON c.gram = b.gram AND c.id > b.id
 ),
 extents AS (
   SELECT DISTINCT id, pos - bwd AS span_start, pos + fwd - 1 AS span_end

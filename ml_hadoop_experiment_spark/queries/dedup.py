@@ -1282,3 +1282,42 @@ def _sql_decontaminate_exact() -> str:
 
 
 SQL_DECONTAMINATE_EXACT = _sql_decontaminate_exact()
+
+
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring SELF-dedup (round 12 —
+    operators/curation.dedup_exact_substrings, the Lee et al. 2022
+    paper's primary form): every maximal substring of >= 8 tokens that
+    also appears in an EARLIER document is cut from the later one
+    (deterministic keep-first), returning the cleaned corpus
+    (doc_id, clean_text, n_removed_tokens). The gram-keyed self-join is
+    the one corpus-sized shuffle (the distributed stand-in for the
+    paper's suffix array); hot grams are excluded from seeding by the
+    deterministic max_posting_width=64 windowed cap (the max_bucket_ids
+    discipline, replayed by the oracle — recall caveat documented on
+    the operator); extension, merge, and cut are the
+    decontaminate_exact machinery."""
+    from ml_hadoop_experiment_spark.operators.curation import (
+        dedup_exact_substrings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact_substrings(
+        docs, "doc_id", "text",
+        min_len=8, seed_gram=4, hash_grams=True, max_posting_width=64,
+    )
+
+
+def _sql_dedup_substrings() -> str:
+    from ml_hadoop_experiment_spark.operators.curation import (
+        dedup_exact_substrings_sql,
+    )
+
+    return dedup_exact_substrings_sql(
+        "documents", "doc_id", "text",
+        min_len=8, seed_gram=4, hash_grams=True, max_posting_width=64,
+        out_id="doc_id",
+    )
+
+
+SQL_DEDUP_SUBSTRINGS = _sql_dedup_substrings()

@@ -563,3 +563,119 @@ class TestDecontaminateExact:
         )
         plan = executed_plan_str(out)
         assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+
+
+class TestDedupExactSubstrings:
+    """Round-12: cross-document exact-substring SELF-dedup (keep-first)."""
+
+    RUN = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def _corpus(self, spark):
+        return _docs(spark, [
+            (1, "xx " + self.RUN + " yy"),
+            (2, "pre " + self.RUN + " post"),
+            (3, "a b " + " ".join(self.RUN.split()[:9]) + " c"),
+            (4, "clean totally different words here and more of them"),
+            (5, None),
+            (6, self.RUN),
+        ])
+
+    def test_keep_first_cuts_later_copies_only(self, spark):
+        from ml_hadoop_experiment_spark.operators.curation import (
+            dedup_exact_substrings,
+        )
+
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+            for r in dedup_exact_substrings(
+                self._corpus(spark), "doc_id", "text",
+                min_len=8, seed_gram=4,
+            ).collect()
+        }
+        assert got[1][1] == 0  # earliest owner untouched
+        assert got[2] == ("pre post", 10)
+        assert got[3] == ("a b c", 9)
+        assert got[4][1] == 0
+        assert got[5] == (None, 0)
+        assert got[6] == ("", 10)
+
+    def test_posting_cap_is_deterministic_and_replayed(self, spark):
+        """With max_posting_width=2 the shared run's grams (3 postings
+        each across docs 1/2/6) are ALL excluded from seeding, so
+        nothing anchors — both engines must agree on the capped
+        result, not just the uncapped one."""
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.curation import (
+            dedup_exact_substrings,
+            dedup_exact_substrings_sql,
+        )
+
+        corpus = self._corpus(spark)
+        out = dedup_exact_substrings(
+            corpus, "doc_id", "text",
+            min_len=8, seed_gram=4, max_posting_width=2,
+        )
+        sp = sorted(tuple(r) for r in out.collect())
+        assert all(r[2] == 0 for r in sp)  # every seed gram is hot
+        con = duckdb.connect()
+        con.register("corpus_v", corpus.toPandas())
+        dk = sorted(
+            tuple(r)
+            for r in con.execute(
+                dedup_exact_substrings_sql(
+                    "corpus_v", "doc_id", "text",
+                    min_len=8, seed_gram=4, max_posting_width=2,
+                    out_id="doc_id",
+                )
+            ).fetchall()
+        )
+        con.close()
+        assert sp == dk
+
+    def test_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.curation import (
+            dedup_exact_substrings,
+            dedup_exact_substrings_sql,
+        )
+
+        corpus = self._corpus(spark)
+        sp = sorted(
+            tuple(r)
+            for r in dedup_exact_substrings(
+                corpus, "doc_id", "text", min_len=8, seed_gram=4
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register("corpus_v", corpus.toPandas())
+        dk = sorted(
+            tuple(r)
+            for r in con.execute(
+                dedup_exact_substrings_sql(
+                    "corpus_v", "doc_id", "text",
+                    min_len=8, seed_gram=4, out_id="doc_id",
+                )
+            ).fetchall()
+        )
+        con.close()
+        assert sp == dk
+
+    def test_rejects_bad_parameters(self, spark):
+        import pytest as _pytest
+
+        from ml_hadoop_experiment_spark.operators.curation import (
+            dedup_exact_substrings,
+            dedup_exact_substrings_sql,
+        )
+
+        with _pytest.raises(ValueError):
+            dedup_exact_substrings(
+                self._corpus(spark), "doc_id", "text",
+                min_len=8, seed_gram=4, max_posting_width=1,
+            )
+        with _pytest.raises(ValueError):
+            dedup_exact_substrings_sql(
+                "c", "doc_id", "text", min_len=2, seed_gram=4
+            )
