@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "audio_near_dup",
     "decontaminate_exact",
     "dedup_substrings",
+    "pq_rerank",
     "ivf_pq_routed_steady",
 ]
 

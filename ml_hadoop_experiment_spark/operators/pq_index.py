@@ -734,3 +734,66 @@ def route_index_to_storage(
         index.centroids,
         by_residual=index.by_residual,
     )
+
+
+def ivf_pq_rerank_topk(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 50,
+    nprobe: int = 2,
+    n_subspaces: int = 4,
+    codebook_k: int = 16,
+    iters: int = 2,
+    train_fraction: float = 1.0,
+    seed: int = 0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """PQ shortlist → EXACT re-rank: the production two-stage serving
+    pattern (FAISS's refine stage / IVFPQR, Jégou et al. 2011 §V —
+    public literature): :func:`ivf_pq_topk` produces a ``shortlist``-
+    sized candidate set by quantized asymmetric distance, then the
+    ORIGINAL vectors of only those candidates are fetched and scored
+    by exact cosine, returning the top ``k`` re-ranked —
+    ``(id, score)``, exact cosine descending, ties to the smaller id.
+    Recovers near-exact recall at PQ cost: the full-precision scan
+    touches ``shortlist`` rows instead of the corpus.
+
+    Plan shape: the shortlist is a ``shortlist``-row frame — it
+    BROADCASTS, and the original-vector fetch is a map-side semi-join
+    of the corpus against it (no shuffle of the embedding payload);
+    the exact cosine is the :func:`~.similarity.cosine_topk` codegen
+    fold over ``shortlist`` rows only. At 100 TB the re-rank cost is
+    fixed by ``shortlist``, not the corpus.
+    """
+    from ..functions.vectors import cosine_similarity_expr
+
+    if not 1 <= k <= shortlist:
+        raise ValueError(f"need 1 <= k <= shortlist, got {k}/{shortlist}")
+    cand = ivf_pq_topk(
+        df, centroids, id_col, vec_col, dim, query_id,
+        k=shortlist, nprobe=nprobe, n_subspaces=n_subspaces,
+        codebook_k=codebook_k, iters=iters,
+        train_fraction=train_fraction, seed=seed,
+        round_digits=round_digits,
+    ).select(F.col("id").alias("__cand"))
+    query_vec = [
+        float(x)
+        for x in df.where(F.col(id_col) == query_id).head()[vec_col]
+    ]
+    q = F.array(*[F.lit(v) for v in query_vec])
+    fetched = df.join(
+        F.broadcast(cand), df[id_col] == F.col("__cand")
+    )
+    score = F.round(
+        cosine_similarity_expr(F.col(vec_col), q), round_digits
+    )
+    return (
+        fetched.select(F.col(id_col).alias("id"), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )

@@ -707,3 +707,58 @@ def q_ivf_pq_routed_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_IVF_PQ_ROUTED_STEADY = SQL_IVF_PQ_TOPK
+
+
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving: IVF+PQ shortlist → EXACT cosine re-rank
+    (round 12 — operators/pq_index.ivf_pq_rerank_topk, the FAISS
+    refine stage): the quantized composition produces a 100-candidate
+    shortlist (same frozen centroids / codebook parameters as
+    q_ivf_pq_topk), the ORIGINAL vectors of only those candidates are
+    fetched by a broadcast semi-join (the embedding payload never
+    shuffles), and exact cosine re-ranks to the final top-20 — the
+    near-exact-recall-at-PQ-cost pattern every production deployment
+    runs. The oracle nests the full ivf_pq_topk replay as the
+    shortlist CTE and re-scores with the SQL_ANN_TOPK cosine folds."""
+    from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+        FROZEN_CENTROIDS_8X64,
+    )
+    from ml_hadoop_experiment_spark.operators.pq_index import (
+        ivf_pq_rerank_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_rerank_topk(
+        emb, FROZEN_CENTROIDS_8X64, "vec_id", "embedding", dim=64,
+        query_id=0, k=20, shortlist=100, nprobe=4, n_subspaces=4,
+        codebook_k=8, iters=2, train_fraction=0.5, seed=3,
+    ).withColumnRenamed("id", "vec_id")
+
+
+def _sql_pq_rerank() -> str:
+    from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+        FROZEN_CENTROIDS_8X64,
+    )
+    from ml_hadoop_experiment_spark.operators.pq_index import (
+        ivf_pq_topk_sql,
+    )
+
+    shortlist_stmt = ivf_pq_topk_sql(
+        "embeddings", "vec_id", "embedding", FROZEN_CENTROIDS_8X64,
+        dim=64, query_id=0, k=100, nprobe=4, n_subspaces=4,
+        codebook_k=8, iters=2, train_fraction=0.5, seed=3,
+    )
+    return f"""
+WITH shortlist AS (
+{shortlist_stmt}
+)
+SELECT e.vec_id, round({_DOT_Q} / ({_NORM_E} * {_NORM_Q}), 6) AS score
+FROM embeddings e
+JOIN shortlist s ON e.vec_id = s.id,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 20
+"""
+
+
+SQL_PQ_RERANK = _sql_pq_rerank()

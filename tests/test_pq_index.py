@@ -433,3 +433,96 @@ class TestRoutedStorage:
             stored, qvec, k=20, exclude_id=0, nprobe=4
         )
         assert [tuple(r) for r in probe.collect()] == mem
+
+
+class TestRerank:
+    """Round-12: PQ shortlist -> exact re-rank (the FAISS refine stage)."""
+
+    def test_rerank_scores_are_exact_cosine_of_shortlist(self, spark, emb, qvec):
+        """Every re-ranked row's score must equal the EXACT cosine of
+        that vector vs the query (not the quantized ADC score), and the
+        result must be the top-k of the shortlist under exact cosine."""
+        from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+            FROZEN_CENTROIDS_8X64,
+        )
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            ivf_pq_rerank_topk,
+            ivf_pq_topk,
+        )
+        from ml_hadoop_experiment_spark.operators.similarity import (
+            cosine_topk,
+        )
+
+        got = [
+            tuple(r)
+            for r in ivf_pq_rerank_topk(
+                emb, FROZEN_CENTROIDS_8X64, "vec_id", "embedding",
+                query_id=0, k=10, shortlist=50, nprobe=4, **PQ_KW
+            ).collect()
+        ]
+        assert len(got) == 10
+        short_ids = {
+            r["id"]
+            for r in ivf_pq_topk(
+                emb, FROZEN_CENTROIDS_8X64, "vec_id", "embedding",
+                query_id=0, k=50, nprobe=4, **PQ_KW
+            ).collect()
+        }
+        exact = {
+            r["id"]: r["score"]
+            for r in cosine_topk(
+                emb.where(F.col("vec_id").isin(list(short_ids))),
+                qvec, id_col="vec_id", vec_col="embedding", k=50,
+            ).collect()
+        }
+        want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert got == [(i, s) for i, s in want]
+
+    def test_full_shortlist_recovers_exact_ann(self, spark, emb, qvec):
+        """shortlist >= probed-lists size -> the re-rank equals exact
+        cosine top-k restricted to the probed lists (recall ceiling of
+        the two-stage pattern)."""
+        from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+            FROZEN_CENTROIDS_8X64,
+        )
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            ivf_pq_rerank_topk,
+        )
+        from ml_hadoop_experiment_spark.operators.similarity import (
+            ivf_topk_fixed,
+        )
+
+        n = emb.count()
+        got = [
+            tuple(r)
+            for r in ivf_pq_rerank_topk(
+                emb, FROZEN_CENTROIDS_8X64, "vec_id", "embedding",
+                query_id=0, k=10, shortlist=int(n), nprobe=4, **PQ_KW
+            ).collect()
+        ]
+        want = [
+            (r["id"], r["score"])
+            for r in ivf_topk_fixed(
+                # the shortlist contract excludes the query row itself
+                emb.where(F.col("vec_id") != 0),
+                FROZEN_CENTROIDS_8X64, qvec, k=10, nprobe=4,
+                id_col="vec_id", vec_col="embedding",
+            ).collect()
+        ]
+        assert got == want
+
+    def test_rejects_k_above_shortlist(self, spark, emb):
+        import pytest as _pytest
+
+        from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+            FROZEN_CENTROIDS_8X64,
+        )
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            ivf_pq_rerank_topk,
+        )
+
+        with _pytest.raises(ValueError):
+            ivf_pq_rerank_topk(
+                emb, FROZEN_CENTROIDS_8X64, "vec_id", "embedding",
+                query_id=0, k=30, shortlist=20, **PQ_KW
+            )
