@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "decontaminate_exact",
     "dedup_substrings",
     "pq_rerank",
+    "streaming_simhash",
     "ivf_pq_routed_steady",
 ]
 

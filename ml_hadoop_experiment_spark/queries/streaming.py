@@ -53,6 +53,7 @@ from ml_hadoop_experiment_spark.operators.similarity import (
 from ml_hadoop_experiment_spark.queries._shared import _drained_state_partitions, _ensure_confs, _normalize_event_time, _t  # noqa: E501
 from ml_hadoop_experiment_spark.queries.reference import SQL_UDF_LINEAR_SCORE, _LinearScorer  # noqa: E501
 from ml_hadoop_experiment_spark.queries.stats import SQL_PSI_DRIFT  # noqa: E501
+from ml_hadoop_experiment_spark.queries.dedup import SQL_SIMHASH_INCR  # noqa: E501
 
 
 
@@ -760,3 +761,56 @@ FROM events c JOIN events p
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
+
+
+def q_streaming_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming content near-dup (round 12 —
+    streaming/content.stream_simhash_against_index): the crawl-batch
+    steady state as an actual stream — new documents (doc_id % 10 == 0)
+    arrive as micro-batches, are SimHash-fingerprinted in-flight (pure
+    codegen expression on the streaming frame), and stream-static join
+    the PINNED corpus index (build_simhash_index over the other 90%,
+    bits=32, hamming <= 3 — exactly q_simhash_index's corpus side);
+    stateful dropDuplicates emits each candidate pair once across all
+    batches; drained availableNow. Recall is EXACT at the radius
+    (pigeonhole is per-pair, batching-independent), so the drained
+    result equals the batch operator's and the oracle IS
+    SQL_SIMHASH_INCR — a real streaming content-dedup pipeline,
+    hash-gated."""
+    import uuid
+
+    from ml_hadoop_experiment_spark.operators.simhash_index import (
+        build_simhash_index,
+    )
+    from ml_hadoop_experiment_spark.streaming.content import (
+        stream_simhash_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    index = build_simhash_index(
+        corpus, "doc_id", "text", bits=32, max_hamming=3
+    )
+    wire_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(wire_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    out = stream_simhash_against_index(stream, index, "doc_id", "text")
+    sink = f"streaming_simhash_{uuid.uuid4().hex}"
+    with _drained_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(sink)
+
+
+SQL_STREAMING_SIMHASH = SQL_SIMHASH_INCR

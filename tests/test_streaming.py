@@ -249,3 +249,61 @@ class TestStreamStaticEnrich:
             stream_static_enrich(batch, batch, "key")
         with pytest.raises(ValueError, match="static side"):
             stream_static_enrich(stream, stream, "key")
+
+
+class TestStreamingSimhash:
+    """Round-12: streaming content near-dup against a pinned corpus
+    index (streaming/content.stream_simhash_against_index)."""
+
+    def test_drained_stream_equals_batch_operator(self, spark, tmp_path):
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from ml_hadoop_experiment_spark.operators.simhash_index import (
+            build_simhash_index,
+            simhash_against_index,
+        )
+        from ml_hadoop_experiment_spark.streaming.content import (
+            stream_simhash_against_index,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        corpus = docs.where(F.col("doc_id") % 10 != 0)
+        new = docs.where(F.col("doc_id") % 10 == 0)
+        index = build_simhash_index(
+            corpus, "doc_id", "text", bits=32, max_hamming=3
+        )
+        want = sorted(
+            (r["id_new"], r["id_corpus"], r["hamming"])
+            for r in simhash_against_index(
+                new, index, "doc_id", "text"
+            ).collect()
+        )
+        # stream the SAME new batch from a multi-file source so the
+        # drain spans several micro-batches
+        src = str(tmp_path / "stream_src")
+        new.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stream_simhash_against_index(stream, index, "doc_id", "text")
+        sink = f"t_stream_simhash_{uuid.uuid4().hex}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = sorted(
+            (r["id_new"], r["id_corpus"], r["hamming"])
+            for r in spark.table(sink).collect()
+        )
+        assert got == want and len(got) > 0
+        index.unpersist()
