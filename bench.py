@@ -601,6 +601,11 @@ def main() -> None:
     # hit one query in one pass (observed 5-10x outliers on shared
     # infrastructure); equals the single pass total when RUNS=1.
     value = sum(per_query.values()) if RUNS > 1 else statistics.median(totals)
+    # summary fields come from the DECLARED sweep only: the steady
+    # probes are re-runs (untimed toward value) and must not inflate
+    # n_queries or displace real queries from the top-10 list
+    n_declared = len(per_query)
+    top10 = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:10])
     per_query.update(steady)
     out = {
         "metric": "bench_total_wall_clock",
@@ -666,15 +671,12 @@ def main() -> None:
     # (BENCH_r01-r09 all recorded parsed:null off the full line; the
     # complete per-query dict lives in the BENCH_LOCAL record above
     # and on the full line for humans reading the raw log)
-    top10 = dict(
-        sorted(per_query.items(), key=lambda kv: -kv[1])[:10]
-    )
     summary = {
         "metric": "bench_total_wall_clock",
         "value": out["value"],
         "unit": "sec",
         "sf": sf,
-        "n_queries": len(per_query),
+        "n_queries": n_declared,
         "full_record": local_record,
         "canary_ratio": round(canary_ratio, 3),
         "canary_quiet": canary_ratio <= CANARY_MAX_RATIO,

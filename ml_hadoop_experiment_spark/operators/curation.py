@@ -932,14 +932,23 @@ def _extended_extents(anchors, ct, bt, pos, bpos, min_len: int):
 
 def _merge_extents(extents):
     """Overlapping/adjacent extents merged to maximal per-doc spans —
-    the family's merge window, partitioned by document."""
+    the family's merge window, partitioned by document. A new group
+    starts when span_start exceeds the RUNNING MAX of all previous
+    span_ends + 1 (not lag(span_end): extents here are VARIABLE length,
+    so a short extent nested inside a longer one can leave lag() behind
+    the true frontier and split one maximal span into overlapping
+    pieces — e.g. (0,20), (2,10), (12,30) must merge to (0,30); the
+    fixed-gram family's lag() is safe only because equal-length
+    intervals sorted by start have monotone ends)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy("span_start", "span_end")
+    prev_max = F.max("span_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
     grp = F.sum(
         F.when(
-            F.lag("span_end").over(w).isNull()
-            | (F.col("span_start") > F.lag("span_end").over(w) + 1),
+            prev_max.isNull() | (F.col("span_start") > prev_max + 1),
             1,
         ).otherwise(0)
     ).over(w)
@@ -1101,14 +1110,19 @@ extents AS (
   WHERE span_end - span_start + 1 >= {min_len}
 ),
 grp AS (
+  -- running max of prior span_ends, not lag: variable-length extents
+  -- (a short extent nested in a longer one) would otherwise split one
+  -- maximal span into overlapping pieces
   SELECT id, span_start, span_end,
          sum(CASE WHEN prev IS NULL OR span_start > prev + 1
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY id ORDER BY span_start, span_end
                  ROWS UNBOUNDED PRECEDING) AS g
   FROM (SELECT id, span_start, span_end,
-               lag(span_end) OVER (PARTITION BY id
-                                   ORDER BY span_start, span_end) AS prev
+               max(span_end) OVER (PARTITION BY id
+                                   ORDER BY span_start, span_end
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev
         FROM extents)
 ),
 spans AS (
@@ -1188,9 +1202,13 @@ def dedup_exact_substrings(
     base = corpus.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), tokens.alias("__t")
     )
+    # SLIM positional grams — (id, pos, gram) only. The cap window and
+    # the self-join must never carry the token arrays: a gram row per
+    # token each dragging the whole document would make the exchange
+    # quadratic in document length; arrays re-attach AFTER anchoring,
+    # one copy per (anchored doc, join side).
     pg = base.where(F.size("__t") >= k).select(
         "id",
-        "__t",
         F.posexplode(
             F.transform(
                 F.arrays_zip(
@@ -1205,27 +1223,35 @@ def dedup_exact_substrings(
                 ),
             )
         ).alias("pos", "gram"),
-    ).select("id", "__t", "pos", gh.alias("gram"))
+    ).select("id", "pos", gh.alias("gram"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("gram")
     pg = pg.withColumn("__width", F.count(F.lit(1)).over(w)).where(
         F.col("__width") <= max_posting_width
     ).drop("__width")
-    later = pg.select(
-        F.col("id"), F.col("__t"), F.col("pos"), F.col("gram")
-    )
     earlier = pg.select(
         F.col("id").alias("__bid"),
-        F.col("__t").alias("__bt"),
         F.col("pos").alias("__bpos"),
         F.col("gram").alias("__bgram"),
     )
-    anchors = later.join(
+    slim = pg.join(
         earlier,
         (F.col("gram") == F.col("__bgram"))
         & (F.col("id") > F.col("__bid")),
-    ).select("id", "__t", "pos", "__bt", "__bpos")
+    ).select("id", "pos", "__bid", "__bpos")
+    # re-attach token arrays by doc id — linear exchange (each array
+    # travels once per join side, not once per gram row)
+    anchors = (
+        slim.join(base, "id")
+        .join(
+            base.select(
+                F.col("id").alias("__bid"), F.col("__t").alias("__bt")
+            ),
+            "__bid",
+        )
+        .select("id", "__t", "pos", "__bt", "__bpos")
+    )
     extents = _extended_extents(
         anchors, F.col("__t"), F.col("__bt"), F.col("pos"),
         F.col("__bpos"), min_len,
@@ -1303,14 +1329,19 @@ extents AS (
   WHERE span_end - span_start + 1 >= {min_len}
 ),
 grp AS (
+  -- running max of prior span_ends, not lag: variable-length extents
+  -- (a short extent nested in a longer one) would otherwise split one
+  -- maximal span into overlapping pieces
   SELECT id, span_start, span_end,
          sum(CASE WHEN prev IS NULL OR span_start > prev + 1
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY id ORDER BY span_start, span_end
                  ROWS UNBOUNDED PRECEDING) AS g
   FROM (SELECT id, span_start, span_end,
-               lag(span_end) OVER (PARTITION BY id
-                                   ORDER BY span_start, span_end) AS prev
+               max(span_end) OVER (PARTITION BY id
+                                   ORDER BY span_start, span_end
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev
         FROM extents)
 ),
 spans AS (

@@ -300,6 +300,7 @@ def ivf_pq_topk(
     train_fraction: float = 1.0,
     seed: int = 0,
     round_digits: int = 6,
+    query_vec: Optional[Sequence[float]] = None,
 ) -> DataFrame:
     """One-shot IVF+PQ: frozen-centroid routing x PQ ADC scoring —
     ``(id, score)`` for the ``k`` nearest candidates inside the
@@ -321,14 +322,21 @@ def ivf_pq_topk(
         df, id_col, vec_col, dim, n_subspaces, codebook_k, iters,
         train_fraction, seed, round_digits,
     )
-    qrow = (
-        df.where(F.col(id_col) == query_id).select(F.col(vec_col)).collect()
-    )
-    if len(qrow) != 1:
-        raise ValueError(
-            f"query_id {query_id}: expected 1 row, got {len(qrow)}"
+    if query_vec is not None:
+        # caller already holds the query row (the rerank composition
+        # fetches it once for its exact stage) — skip the driver scan
+        query = [float(x) for x in query_vec]
+    else:
+        qrow = (
+            df.where(F.col(id_col) == query_id)
+            .select(F.col(vec_col))
+            .collect()
         )
-    query = [float(x) for x in qrow[0][0]]
+        if len(qrow) != 1:
+            raise ValueError(
+                f"query_id {query_id}: expected 1 row, got {len(qrow)}"
+            )
+        query = [float(x) for x in qrow[0][0]]
     if len(query) != dim:
         raise ValueError(f"query vector has {len(query)} dims, expected {dim}")
     probes = ivf_probes_fixed(centroids, query, nprobe)
@@ -401,6 +409,7 @@ def ivf_pq_residual_topk(
     train_fraction: float = 1.0,
     seed: int = 0,
     round_digits: int = 6,
+    query_vec: Optional[Sequence[float]] = None,
 ) -> DataFrame:
     """IVF+PQ with RESIDUAL encoding — the actual FAISS default
     (``by_residual=True``): vectors are quantized as offsets from
@@ -438,14 +447,21 @@ def ivf_pq_residual_topk(
         resid, "id", "res", dim, n_subspaces, codebook_k, iters,
         train_fraction, seed, round_digits,
     )
-    qrow = (
-        df.where(F.col(id_col) == query_id).select(F.col(vec_col)).collect()
-    )
-    if len(qrow) != 1:
-        raise ValueError(
-            f"query_id {query_id}: expected 1 row, got {len(qrow)}"
+    if query_vec is not None:
+        # caller already holds the query row (the rerank composition
+        # fetches it once for its exact stage) — skip the driver scan
+        query = [float(x) for x in query_vec]
+    else:
+        qrow = (
+            df.where(F.col(id_col) == query_id)
+            .select(F.col(vec_col))
+            .collect()
         )
-    query = [float(x) for x in qrow[0][0]]
+        if len(qrow) != 1:
+            raise ValueError(
+                f"query_id {query_id}: expected 1 row, got {len(qrow)}"
+            )
+        query = [float(x) for x in qrow[0][0]]
     if len(query) != dim:
         raise ValueError(f"query vector has {len(query)} dims, expected {dim}")
     probes = ivf_probes_fixed(centroids, query, nprobe)
@@ -774,17 +790,18 @@ def ivf_pq_rerank_topk(
 
     if not 1 <= k <= shortlist:
         raise ValueError(f"need 1 <= k <= shortlist, got {k}/{shortlist}")
+    # ONE driver-side fetch of the query row, shared by both stages
+    query_vec = [
+        float(x)
+        for x in df.where(F.col(id_col) == query_id).head()[vec_col]
+    ]
     cand = ivf_pq_topk(
         df, centroids, id_col, vec_col, dim, query_id,
         k=shortlist, nprobe=nprobe, n_subspaces=n_subspaces,
         codebook_k=codebook_k, iters=iters,
         train_fraction=train_fraction, seed=seed,
-        round_digits=round_digits,
+        round_digits=round_digits, query_vec=query_vec,
     ).select(F.col("id").alias("__cand"))
-    query_vec = [
-        float(x)
-        for x in df.where(F.col(id_col) == query_id).head()[vec_col]
-    ]
     q = F.array(*[F.lit(v) for v in query_vec])
     fetched = df.join(
         F.broadcast(cand), df[id_col] == F.col("__cand")

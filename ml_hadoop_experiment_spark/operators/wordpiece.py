@@ -172,9 +172,19 @@ def wordpiece_learn(
                 .select(
                     "pair",
                     "pair_count",
+                    # cast EACH count to double BEFORE multiplying: a
+                    # long*long product overflows (throws under ANSI)
+                    # at web-corpus symbol counts, while the double
+                    # product is exact below 2^53 and ordered
+                    # identically by DuckDB (which would widen to
+                    # HUGEINT) — the cross-engine guard the module
+                    # docstring promises
                     (
                         F.col("pair_count").cast("double")
-                        / (F.col("__cl") * F.col("__cr")).cast("double")
+                        / (
+                            F.col("__cl").cast("double")
+                            * F.col("__cr").cast("double")
+                        )
                     ).alias("score"),
                 )
             )
@@ -388,8 +398,8 @@ def _learn_ctes(relation: str, text_expr: str, n_merges: int):
             f"JOIN sc{i} a ON a.sym = split_part(pair, '{PAIR_SEP}', 1) "
             f"JOIN sc{i} b ON b.sym = split_part(pair, '{PAIR_SEP}', 2) "
             "ORDER BY CAST(pair_count AS DOUBLE) / "
-            "CAST(a.sym_count * b.sym_count AS DOUBLE) DESC, pair ASC "
-            "LIMIT 1)"
+            "(CAST(a.sym_count AS DOUBLE) * CAST(b.sym_count AS DOUBLE)) "
+            "DESC, pair ASC LIMIT 1)"
         )
         fold = _wp_merge_fold_sql("v.s", "b.l", "b.r")
         ctes.append(

@@ -681,7 +681,12 @@ def q_ivf_pq_routed_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
         route_index_to_storage,
     )
 
-    entry = _ROUTED_STEADY.get(sf_dir)
+    # key by (application id, sf_dir): a cached PQIndex's DataFrames are
+    # bound to the SparkSession alive at build time — a process that
+    # stops that session and starts another (sequential harness
+    # sessions, a REPL) must rebuild, not probe through a dead handle
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    entry = _ROUTED_STEADY.get(cache_key)
     if entry is None:
         import atexit
         import shutil
@@ -701,7 +706,7 @@ def q_ivf_pq_routed_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         stored = route_index_to_storage(idx, d)
         entry = (stored, query)
-        _ROUTED_STEADY[sf_dir] = entry
+        _ROUTED_STEADY[cache_key] = entry
     stored, query = entry
     return pq_topk_against_index(stored, query, k=20, exclude_id=0, nprobe=4)
 

@@ -148,8 +148,13 @@ def q_sklearn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         postprocessing_fn=lambda probs: pd.Series(probs[:, 1]),
         batch_size=4096,
     )
+    # NULL inputs must yield NULL (the oracle's CAST(NULL) propagation),
+    # not the NaN numpy produces for a masked float — latent until a
+    # fixture regeneration introduces NULL lang/n_chars
+    valid = F.col("n_chars").isNotNull() & F.col("is_en").isNotNull()
     return scored.select(
-        "doc_id", F.round(F.col("p_keep"), 6).alias("p_keep")
+        "doc_id",
+        F.when(valid, F.round(F.col("p_keep"), 6)).alias("p_keep"),
     )
 
 

@@ -679,3 +679,57 @@ class TestDedupExactSubstrings:
             dedup_exact_substrings_sql(
                 "c", "doc_id", "text", min_len=2, seed_gram=4
             )
+
+
+class TestMergeExtentsRunningMax:
+    """Round-12 review regression: a short extent NESTED inside a longer
+    one must not split the maximal span (lag(span_end) saw the nested
+    extent's early end and restarted the group; running max does not)."""
+
+    def test_nested_extent_does_not_split_span(self, spark):
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.curation import (
+            decontaminate_exact,
+            decontaminate_exact_sql,
+        )
+
+        # benchmark doc A holds tokens 0..30 of the corpus doc; bench
+        # doc B holds only tokens 2..10 (nested shorter extent); bench
+        # doc C holds tokens 12..30. Anchors produce extents (0,30),
+        # (2,10), (12,30) — one maximal span (0,30), cut whole.
+        words = [f"w{i}" for i in range(40)]
+        corpus = _docs(spark, [(1, " ".join(words))])
+        bench = _docs(spark, [
+            (100, " ".join(words[0:31])),
+            (101, " ".join(words[2:11])),
+            (102, " ".join(words[12:31])),
+        ])
+        out = decontaminate_exact(
+            corpus, bench, "doc_id", "text", min_len=8, seed_gram=4
+        ).collect()[0]
+        assert out["n_removed_tokens"] == 31
+        assert out["clean_text"] == " ".join(words[31:])
+        # span frame itself: exactly ONE maximal span, no overlaps
+        from ml_hadoop_experiment_spark.operators.curation import (
+            exact_substring_spans,
+        )
+
+        spans = exact_substring_spans(
+            corpus, bench, "doc_id", "text", min_len=8, seed_gram=4
+        ).collect()
+        assert [(r["span_start"], r["span_end"]) for r in spans] == [(0, 30)]
+        # SQL twin agrees
+        con = duckdb.connect()
+        con.register("c_v", corpus.toPandas())
+        con.register("b_v", bench.toPandas())
+        dk = con.execute(
+            decontaminate_exact_sql(
+                "c_v", "b_v", "doc_id", "text",
+                min_len=8, seed_gram=4, out_id="doc_id",
+            )
+        ).fetchall()
+        con.close()
+        assert [tuple(r) for r in dk] == [
+            (1, " ".join(words[31:]), 31)
+        ]
