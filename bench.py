@@ -527,7 +527,6 @@ def main() -> None:
         sf = -1.0
 
     canary_times = _run_canary(spark)
-    canary_ratio = max(canary_times) / max(min(canary_times), 1e-9)
 
     # Warmup passes: JIT/codegen compilation (C2 needs repeat executions),
     # parquet footer caching, Python worker spawn — one-time costs that are
@@ -577,6 +576,22 @@ def main() -> None:
             release_pinned()
         totals.append(total)
 
+    # Closing canary: the opening canary only samples the host BEFORE the
+    # sweep — a CPU-steal window opening mid-sweep (observed: a quiet-open
+    # sweep carrying one 7x salted_join outlier) is invisible to it. The
+    # quiet gate is the WORST PER-LEG ratio (each leg's 3 timed samples
+    # are self-consistent); the legs are NOT pooled, because the closing
+    # leg runs on a fully C2-warmed JVM and is systematically ~3-6x
+    # faster than the opening leg on an idle host (measured 0.10 s vs
+    # 0.27-0.6 s) — a cross-leg ratio measures JIT warmth, not load. The
+    # cross-leg span is still recorded (canary_span) for forensics.
+    canary_end = _run_canary(spark)
+    ratio_open = max(canary_times) / max(min(canary_times), 1e-9)
+    ratio_close = max(canary_end) / max(min(canary_end), 1e-9)
+    canary_ratio = max(ratio_open, ratio_close)
+    pooled = canary_times + canary_end
+    canary_span = max(pooled) / max(min(pooled), 1e-9)
+
     # Isolated steady probes (untimed toward "value": they re-run declared
     # queries already counted in the sweep): 1 warm + 3 timed back-to-back,
     # min of 3 — the hot-path serving number for the similarity family.
@@ -614,6 +629,8 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in per_query.items()},
         "sf": sf,
         "canary_sec": [round(t, 3) for t in canary_times],
+        "canary_end_sec": [round(t, 3) for t in canary_end],
+        "canary_span": round(canary_span, 3),
         "canary_ratio": round(canary_ratio, 3),
         "canary_quiet": canary_ratio <= CANARY_MAX_RATIO,
     }
