@@ -44,6 +44,10 @@ def session_defaults() -> dict[str, str]:
         # BASELINE.md "Round-12 re-adjudication"). 8192 Janino classes are
         # a few hundred MB of driver metaspace at worst; a long-lived
         # production driver serving many pipelines wants them resident.
+        # STATIC conf: only takes effect for the FIRST SparkSession in
+        # the JVM — getOrCreate against an already-running session
+        # silently ignores it. get_session verifies the live value after
+        # getOrCreate and warns when the 100-entry default survived.
         "spark.sql.codegen.cache.maxEntries": "8192",
     }
 
@@ -68,4 +72,28 @@ def get_session(
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # spark.sql.codegen.cache.maxEntries is a StaticSQLConf: the builder
+    # value binds only when THIS call created the first session in the
+    # JVM. If we attached to a pre-existing session that still runs the
+    # 100-entry default, say so — query-diverse sweeps will thrash the
+    # codegen cache (BASELINE.md "Round-12 re-adjudication").
+    want = session_defaults().get("spark.sql.codegen.cache.maxEntries")
+    if want is not None:
+        try:
+            live = spark.conf.get("spark.sql.codegen.cache.maxEntries")
+        except Exception:
+            live = None
+        if live is not None and live != want:
+            import warnings
+
+            warnings.warn(
+                "spark.sql.codegen.cache.maxEntries is "
+                f"{live} (wanted {want}): static conf ignored by "
+                "getOrCreate on a pre-existing session; query-diverse "
+                "workloads will re-pay codegen compiles on cache "
+                "eviction",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    return spark

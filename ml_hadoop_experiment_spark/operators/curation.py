@@ -826,9 +826,15 @@ def exact_substring_spans(
     anchor tokens themselves, so hashed seed collisions fall out.
     Extents below ``min_len`` drop; per-doc overlapping/adjacent
     extents merge to maximal spans (the family's merge window,
-    partitioned by document). The corpus token arrays travel ONLY for
-    anchored documents (broadcast anchor-id semi-join shape), the
-    benchmark is broadcast — corpus payload never shuffles.
+    partitioned by document). Gram rows are SLIM on both sides —
+    ``(id, pos, gram)`` only, the :func:`dedup_exact_substrings`
+    discipline: a gram row per token each dragging the whole document
+    array would make the exchange quadratic in document length. Token
+    arrays re-attach AFTER anchoring by document id (corpus side: one
+    id-keyed join carrying arrays only for anchored documents; bench
+    side: a broadcast of the tiny benchmark base), so the corpus
+    payload never shuffles and the broadcast stays linear in benchmark
+    size.
 
     Documents shorter than ``min_len`` tokens cannot contain a
     qualifying substring and are never marked (this intentionally
@@ -847,13 +853,17 @@ def exact_substring_spans(
     )
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
 
-    def positional_grams(df: DataFrame, idc: str) -> DataFrame:
-        base = df.where(F.col(text_col).isNotNull()).select(
-            F.col(idc).alias("id"), tokens.alias("__t")
+    def doc_base(df: DataFrame, idc: str) -> DataFrame:
+        return (
+            df.where(F.col(text_col).isNotNull())
+            .select(F.col(idc).alias("id"), tokens.alias("__t"))
+            .where(F.size("__t") >= k)
         )
-        return base.where(F.size("__t") >= k).select(
+
+    def positional_grams(base: DataFrame) -> DataFrame:
+        # SLIM — (id, pos, gram) only; arrays re-attach after anchoring
+        return base.select(
             "id",
-            "__t",
             F.posexplode(
                 F.transform(
                     F.arrays_zip(
@@ -868,17 +878,26 @@ def exact_substring_spans(
                     ),
                 )
             ).alias("pos", "gram"),
-        ).select("id", "__t", "pos", gh.alias("gram"))
+        ).select("id", "pos", gh.alias("gram"))
 
-    bench_pg = positional_grams(benchmark, id_col).select(
-        F.col("id").alias("__bid"),
-        F.col("__t").alias("__bt"),
-        F.col("pos").alias("__bpos"),
-        "gram",
+    bench_base = doc_base(benchmark, id_col).select(
+        F.col("id").alias("__bid"), F.col("__t").alias("__bt")
     )
-    corpus_pg = positional_grams(corpus, id_col)
-    anchors = corpus_pg.join(F.broadcast(bench_pg), "gram").select(
-        "id", "__t", "pos", "__bt", "__bpos"
+    bench_pg = positional_grams(
+        bench_base.select(
+            F.col("__bid").alias("id"), F.col("__bt").alias("__t")
+        )
+    ).select(
+        F.col("id").alias("__bid"), F.col("pos").alias("__bpos"), "gram"
+    )
+    corpus_base = doc_base(corpus, id_col)
+    slim = positional_grams(corpus_base).join(
+        F.broadcast(bench_pg), "gram"
+    ).select("id", "pos", "__bid", "__bpos")
+    anchors = (
+        slim.join(corpus_base, "id")
+        .join(F.broadcast(bench_base), "__bid")
+        .select("id", "__t", "pos", "__bt", "__bpos")
     )
 
     extents = _extended_extents(

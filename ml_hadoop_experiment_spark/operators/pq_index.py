@@ -791,10 +791,16 @@ def ivf_pq_rerank_topk(
     if not 1 <= k <= shortlist:
         raise ValueError(f"need 1 <= k <= shortlist, got {k}/{shortlist}")
     # ONE driver-side fetch of the query row, shared by both stages
-    query_vec = [
-        float(x)
-        for x in df.where(F.col(id_col) == query_id).head()[vec_col]
-    ]
+    qrow = (
+        df.where(F.col(id_col) == query_id)
+        .select(F.col(vec_col))
+        .collect()
+    )
+    if len(qrow) != 1:
+        raise ValueError(
+            f"query_id {query_id}: expected 1 row, got {len(qrow)}"
+        )
+    query_vec = [float(x) for x in qrow[0][0]]
     cand = ivf_pq_topk(
         df, centroids, id_col, vec_col, dim, query_id,
         k=shortlist, nprobe=nprobe, n_subspaces=n_subspaces,

@@ -526,3 +526,19 @@ class TestRerank:
                 emb, FROZEN_CENTROIDS_8X64, "vec_id", "embedding",
                 query_id=0, k=30, shortlist=20, **PQ_KW
             )
+
+    def test_rerank_rejects_missing_query_id(self, spark, emb):
+        import pytest as _pytest
+
+        from ml_hadoop_experiment_spark.operators.ivf_fixture import (
+            FROZEN_CENTROIDS_8X64,
+        )
+        from ml_hadoop_experiment_spark.operators.pq_index import (
+            ivf_pq_rerank_topk,
+        )
+
+        with _pytest.raises(ValueError, match="expected 1 row, got 0"):
+            ivf_pq_rerank_topk(
+                emb, FROZEN_CENTROIDS_8X64, "vec_id", "embedding",
+                query_id=10**9, k=5, shortlist=20, **PQ_KW
+            )
