@@ -76,6 +76,100 @@ SELECT l_orderkey, l_linenumber FROM (
 """
 
 
+def _url_fixture(d):
+    """Synthetic crawl-URL column (pure codegen, replayed verbatim by
+    the oracle — construction is shared by design, the two
+    CANONICALIZERS are not): groups of 3 docs share one canonical URL
+    behind different cosmetic junk. Variant 0 differs only in host
+    case; variant 1 piles on uppercase scheme, ``www.``, the default
+    port, a trailing slash, an utm param, shuffled param order, and a
+    fragment; variant 2 injects a per-doc gclid click id. Every 17th
+    doc is a non-URL line instead (the passthrough tier)."""
+    g = (d / 3).cast("long")
+    gs = g.cast("string")
+    hs = (g % 5).cast("string")
+    v0 = F.concat(
+        F.lit("http://Example"), hs, F.lit(".COM/item/"), gs,
+        F.lit("?a=1&b=2"),
+    )
+    v1 = F.concat(
+        F.lit("HTTP://WWW.example"), hs, F.lit(".com:80/item/"), gs,
+        F.lit("/?b=2&utm_source=feed&a=1#frag"),
+    )
+    v2 = F.concat(
+        F.lit("http://example"), hs, F.lit(".com/item/"), gs,
+        F.lit("?gclid=g"), d.cast("string"), F.lit("&a=1&b=2"),
+    )
+    return (
+        F.when(d % 17 == 5, F.concat(F.lit("doc "), d.cast("string"),
+                                     F.lit(" has no scheme")))
+        .when(d % 3 == 0, v0)
+        .when(d % 3 == 1, v1)
+        .otherwise(v2)
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (operators/dedup.dedup_by_url) — the crawl
+    pipeline's standard first pass: canonicalize the synthesized crawl
+    URLs (functions/url.canonicalize_url: case, www., default port,
+    fragment, tracking params, param order, trailing slash) and keep
+    the lowest doc_id per canonical URL via the dedup_exact digest
+    window. The oracle rebuilds the SAME fixture URLs and replays the
+    frozen canonicalization spec in DuckDB string/list functions — the
+    gate passes only if the two independent canonicalizers agree
+    bit-for-bit on every URL."""
+    from ml_hadoop_experiment_spark.operators.dedup import dedup_by_url
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url_fixture(F.col("doc_id")).alias("url")
+    )
+    return dedup_by_url(docs, "doc_id", "url").select(
+        "doc_id", "canonical_url"
+    )
+
+
+def _sql_url_dedup() -> str:
+    from ml_hadoop_experiment_spark.functions.url import (
+        canonicalize_url_sql,
+    )
+
+    fixture = """
+CASE WHEN doc_id % 17 = 5
+     THEN 'doc ' || CAST(doc_id AS VARCHAR) || ' has no scheme'
+     WHEN doc_id % 3 = 0
+     THEN 'http://Example' || CAST((doc_id // 3) % 5 AS VARCHAR)
+          || '.COM/item/' || CAST(doc_id // 3 AS VARCHAR) || '?a=1&b=2'
+     WHEN doc_id % 3 = 1
+     THEN 'HTTP://WWW.example' || CAST((doc_id // 3) % 5 AS VARCHAR)
+          || '.com:80/item/' || CAST(doc_id // 3 AS VARCHAR)
+          || '/?b=2&utm_source=feed&a=1#frag'
+     ELSE 'http://example' || CAST((doc_id // 3) % 5 AS VARCHAR)
+          || '.com/item/' || CAST(doc_id // 3 AS VARCHAR)
+          || '?gclid=g' || CAST(doc_id AS VARCHAR) || '&a=1&b=2'
+END"""
+    return f"""
+WITH urls AS (
+  SELECT doc_id, {fixture} AS url FROM documents
+),
+canon AS (
+  SELECT doc_id, {canonicalize_url_sql("url")} AS canonical_url
+  FROM urls
+)
+SELECT doc_id, canonical_url FROM (
+  SELECT doc_id, canonical_url,
+         row_number() OVER (
+           PARTITION BY md5(coalesce(canonical_url, chr(0) || 'null'))
+           ORDER BY doc_id
+         ) AS rn
+  FROM canon
+) WHERE rn = 1
+"""
+
+
+SQL_URL_DEDUP = _sql_url_dedup()
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = tokens_frame(docs, "doc_id", "text", shingle_size=1)
