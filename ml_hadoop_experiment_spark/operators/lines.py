@@ -124,6 +124,167 @@ def drop_repeated_lines(
     )
 
 
+# --------------------------------------------------------------------------
+# Paragraph-block dedup (round 13): the CCNet recipe one granularity up.
+# Lines catch single-line boilerplate; real page furniture (cookie
+# banners, footers, nav blocks) spans SEVERAL lines that repeat as a
+# unit — the published paragraph variant dedups on blank-line-delimited
+# blocks. Frozen spec: paragraphs split on the regex \n\s*\n (a blank
+# line, possibly whitespace-bearing, possibly several), the match key is
+# the whitespace-COLLAPSED trimmed (and by default lowercased) block —
+# indentation and internal line-wrapping variants of the same banner
+# dedup together — and survivors rejoin with a canonical "\n\n" (the
+# original separator run is not preserved; documented).
+# --------------------------------------------------------------------------
+
+_PARA_SPLIT = r"\n\s*\n"
+
+
+def _pnorm(par: Column, normalize: bool) -> Column:
+    if not normalize:
+        return F.trim(par)
+    return F.lower(F.trim(F.regexp_replace(par, r"\s+", " ")))
+
+
+def repeated_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_docs: int = 1,
+    normalize: bool = True,
+) -> DataFrame:
+    """``(paragraph, n_docs)`` — every normalized non-blank paragraph
+    block appearing in more than ``max_docs`` distinct documents: the
+    multi-line boilerplate census (:func:`repeated_lines` one
+    granularity up). Same plan shape: map-side explode + one
+    partial-aggregated distinct-count keyed by the normalized block."""
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), _PARA_SPLIT)).alias("__p"),
+    ).select("id", _pnorm(F.col("__p"), normalize).alias("paragraph"))
+    return (
+        paras.where(F.col("paragraph") != "")
+        .groupBy("paragraph")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .where(F.col("n_docs") > max_docs)
+    )
+
+
+def drop_repeated_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_docs: int = 1,
+    normalize: bool = True,
+    out_text_col: str = "clean_text",
+) -> DataFrame:
+    """The cleaned corpus at PARAGRAPH granularity: ``(id_col,
+    out_text_col, n_removed_paragraphs)`` with every cross-document
+    repeated block cut and the survivors rejoined with ``\\n\\n``.
+    Clean documents pass through with ``n_removed_paragraphs = 0``;
+    NULL text stays NULL. Same scale shape as
+    :func:`drop_repeated_lines`: drop decisions come back as one
+    bounded position list per AFFECTED document (broadcast), the cut is
+    a pure codegen index filter, and the corpus payload never
+    shuffles."""
+    rep = repeated_paragraphs(df, id_col, text_col, max_docs, normalize)
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), _PARA_SPLIT)).alias(
+            "pos", "__p"
+        ),
+    ).select("id", "pos", _pnorm(F.col("__p"), normalize).alias("paragraph"))
+    drops = (
+        paras.where(F.col("paragraph") != "")
+        .join(rep.select("paragraph"), "paragraph")
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("__drops"))
+        .withColumnRenamed("id", "__did")
+    )
+    joined = df.join(
+        F.broadcast(drops), df[id_col] == F.col("__did"), "left"
+    )
+    dp = F.coalesce(F.col("__drops"), F.expr("cast(array() as array<int>)"))
+    split = F.split(F.col(text_col), _PARA_SPLIT)
+    kept = F.filter(split, lambda par, i: ~F.array_contains(dp, i))
+    clean = F.when(
+        F.col(text_col).isNotNull(), F.array_join(kept, "\n\n")
+    )
+    removed = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(split) - F.size(kept)
+    )
+    return joined.select(
+        F.col(id_col),
+        clean.alias(out_text_col),
+        removed.cast("long").alias("n_removed_paragraphs"),
+    )
+
+
+def _pnorm_sql(expr: str, normalize: bool) -> str:
+    if not normalize:
+        return f"trim({expr})"
+    return f"lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g')))"
+
+
+def drop_repeated_paragraphs_sql(
+    relation: str,
+    id_expr: str,
+    text_expr: str,
+    max_docs: int = 1,
+    normalize: bool = True,
+    out_id: str = "id",
+    out_text_col: str = "clean_text",
+) -> str:
+    """DuckDB twin of :func:`drop_repeated_paragraphs` — same regex
+    split, same whitespace-collapsed key (DuckDB ``regexp_replace``
+    needs the explicit ``'g'`` flag where Spark replaces globally by
+    default), same blank exemption and index filter (1-based lambda,
+    0-based positions), same ``\\n\\n`` rejoin with the empty-list
+    NULL coalesce."""
+    sep = "chr(10) || chr(10)"
+    split = f"regexp_split_to_array(c.txt, '{_PARA_SPLIT}')"
+    keep = (
+        f"list_filter({split}, (x, i) -> "
+        "NOT list_contains(coalesce(d.drops, CAST([] AS BIGINT[])), "
+        "i - 1))"
+    )
+    return f"""
+WITH corpus_base AS (
+  SELECT {id_expr} AS id, {text_expr} AS txt FROM {relation}
+),
+paras AS (
+  SELECT id, i - 1 AS pos,
+         {_pnorm_sql(
+             f"regexp_split_to_array(txt, '{_PARA_SPLIT}')[i]", normalize
+         )} AS paragraph
+  FROM corpus_base,
+       unnest(range(1, len(regexp_split_to_array(txt, '{_PARA_SPLIT}'))
+                       + 1)) AS r(i)
+),
+rep AS (
+  SELECT paragraph FROM (
+    SELECT paragraph, count(DISTINCT id) AS n_docs
+    FROM paras WHERE paragraph <> '' GROUP BY paragraph
+  ) WHERE n_docs > {int(max_docs)}
+),
+drops AS (
+  SELECT id, list(pos) AS drops
+  FROM paras JOIN rep USING (paragraph)
+  WHERE paragraph <> ''
+  GROUP BY id
+)
+SELECT c.id AS {out_id},
+       CASE WHEN c.txt IS NOT NULL
+            THEN coalesce(array_to_string({keep}, {sep}), '')
+       END AS {out_text_col},
+       CAST(CASE WHEN c.txt IS NULL THEN 0
+                 ELSE len(regexp_split_to_array(c.txt, '{_PARA_SPLIT}'))
+                      - len({keep})
+            END AS BIGINT) AS n_removed_paragraphs
+FROM corpus_base c LEFT JOIN drops d ON c.id = d.id
+"""
+
+
 def _norm_sql(expr: str, normalize: bool) -> str:
     return f"lower(trim({expr}))" if normalize else f"trim({expr})"
 

@@ -924,6 +924,64 @@ def _sql_line_dedup() -> str:
 SQL_LINE_DEDUP = _sql_line_dedup()
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-BLOCK cross-document dedup (operators/lines.
+    drop_repeated_paragraphs — the CCNet recipe one granularity up
+    from q_line_dedup): drop every blank-line-delimited block whose
+    whitespace-collapsed normalized form repeats across documents,
+    returning (doc_id, clean_text, n_removed_paragraphs). The fixture
+    synthesizes 3-paragraph pages in pure codegen (replayed by the
+    oracle): a subscribe banner shared per SOURCE (~50 docs each —
+    always cut), a doc-unique body, and a copyright footer shared per
+    LANG whose spelling alternates between an indented UPPERCASE and a
+    plain lowercase variant by doc parity — cut only because the match
+    key collapses case and whitespace. The second separator is a
+    whitespace-bearing blank line (newline-space-newline), pinning the
+    \\n\\s*\\n split."""
+    from ml_hadoop_experiment_spark.operators.lines import (
+        drop_repeated_paragraphs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("Subscribe to "), F.col("source"), F.lit(" newsletter"),
+        F.lit("\n\n"),
+        F.substring(F.col("text"), 1, 150),
+        F.lit("\n \n"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("  COPYRIGHT "))
+        .otherwise(F.lit("copyright ")),
+        F.col("lang"), F.lit(" team"),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    return drop_repeated_paragraphs(pages, "doc_id", "text", max_docs=1)
+
+
+def _sql_paragraph_dedup() -> str:
+    from ml_hadoop_experiment_spark.operators.lines import (
+        drop_repeated_paragraphs_sql,
+    )
+
+    page = (
+        "'Subscribe to ' || source || ' newsletter'"
+        " || chr(10) || chr(10)"
+        " || substr(text, 1, 150)"
+        " || chr(10) || ' ' || chr(10)"
+        " || CASE WHEN doc_id % 2 = 0 THEN '  COPYRIGHT '"
+        "         ELSE 'copyright ' END"
+        " || lang || ' team'"
+    )
+    return drop_repeated_paragraphs_sql(
+        f"(SELECT doc_id, {page} AS text FROM documents)",
+        "doc_id",
+        "text",
+        max_docs=1,
+        out_id="doc_id",
+    )
+
+
+SQL_PARAGRAPH_DEDUP = _sql_paragraph_dedup()
+
+
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decontamination ACTION (operators/curation.decontaminate_spans):
     the CLEANED corpus itself — every maximal token span sharing a word
