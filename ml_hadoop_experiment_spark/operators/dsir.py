@@ -156,3 +156,93 @@ SELECT id,
 FROM tf JOIN stats USING (tok), tots
 GROUP BY id
 """
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    round_digits: int = 6,
+    salt: int = 0,
+) -> DataFrame:
+    """The paper's actual selection artifact — the RESAMPLED corpus:
+    ``k`` raw documents drawn without replacement with probability
+    increasing in the importance weight
+    ``w = exp(logratio / n_tokens)`` (the length-normalized ratio,
+    Xie et al. 2023 §3's importance resampling posture), via
+    deterministic priority sampling
+    (:func:`~.sampling.weighted_priority_sample` — the Gumbel-top-k
+    trick with the portable unit hash as the noise source, so the
+    sampled set replays bit-identically in the oracle). Returns
+    ``(id, n_tokens, logratio, score, priority_key, est_weight)``;
+    ``SUM(est_weight)`` estimates the population weight mass.
+
+    Determinism: ``score`` rounds the per-token ratio to
+    ``round_digits`` BEFORE ``exp``, and the weight rounds AFTER, so
+    the only cross-engine float risk is a round-boundary straddle of
+    two correctly-rounded-to-1-ulp ``exp`` calls. Documents whose
+    weight rounds to zero (extremely anti-target, below
+    ``0.5e-round_digits``) drop out of the draw — zero inclusion
+    probability, documented and replayed.
+
+    Scale: :func:`dsir_weights`'s exchanges are vocabulary-bounded;
+    the draw itself is a TakeOrderedAndProject (per-partition top-k
+    heaps, ``(k+1) x partitions`` rows move, no global sort).
+    """
+    from ml_hadoop_experiment_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    w = dsir_weights(raw, target, id_col, text_col, round_digits)
+    score = F.round(
+        F.col("logratio") / F.col("n_tokens").cast("double"),
+        round_digits,
+    )
+    weighted = w.withColumn("score", score).withColumn(
+        "__w", F.round(F.exp(F.col("score")), round_digits)
+    )
+    out = weighted_priority_sample(
+        weighted, F.col("id"), "__w", k, salt=salt
+    )
+    return out.select(
+        "id", "n_tokens", "logratio", "score", "priority_key",
+        "est_weight",
+    )
+
+
+def dsir_resample_sql(
+    raw_relation: str,
+    target_relation: str,
+    id_expr: str,
+    text_expr: str,
+    k: int,
+    round_digits: int = 6,
+    salt: int = 0,
+) -> str:
+    """DuckDB twin of :func:`dsir_resample` — the weights twin composed
+    through the priority-sampling twin, same rounding fences."""
+    from ml_hadoop_experiment_spark.operators.sampling import (
+        weighted_priority_sample_sql,
+    )
+
+    d = round_digits
+    inner = dsir_weights_sql(
+        raw_relation, target_relation, id_expr, text_expr, d
+    )
+    weighted = (
+        f"(SELECT id, n_tokens, logratio,"
+        f" round(logratio / CAST(n_tokens AS DOUBLE), {d}) AS score,"
+        f" round(exp(round(logratio / CAST(n_tokens AS DOUBLE), {d})),"
+        f" {d}) AS __w"
+        f" FROM ({inner}))"
+    )
+    sample = weighted_priority_sample_sql(
+        weighted, "id", "__w", "id, n_tokens, logratio, score", k,
+        salt=salt,
+    )
+    return (
+        f"SELECT id, n_tokens, logratio, score, priority_key,"
+        f" est_weight FROM ({sample})"
+    )

@@ -431,3 +431,45 @@ LIMIT 50
 
 
 SQL_DSIR_SELECT = _sql_dsir_select()
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING (operators/dsir.dsir_resample — the
+    paper's actual selection artifact, closing the q_dsir_select
+    composition gap): weight every raw document by
+    exp(logratio/n_tokens) against the src1 target and draw 50 without
+    replacement by deterministic priority sampling (portable-unit-hash
+    Gumbel noise), so the sampled SET — not just a top-k cut — replays
+    bit-identically in DuckDB, est_weight included."""
+    from ml_hadoop_experiment_spark.operators.dsir import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.where(F.col("source") != "src1")
+    target = docs.where(F.col("source") == "src1")
+    return dsir_resample(raw, target, "doc_id", "text", k=50).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "logratio",
+        "score",
+        "priority_key",
+        "est_weight",
+    )
+
+
+def _sql_dsir_resample() -> str:
+    from ml_hadoop_experiment_spark.operators.dsir import dsir_resample_sql
+
+    inner = dsir_resample_sql(
+        "(SELECT * FROM documents WHERE source <> 'src1')",
+        "(SELECT * FROM documents WHERE source = 'src1')",
+        "doc_id",
+        "text",
+        k=50,
+    )
+    return (
+        f"SELECT id AS doc_id, n_tokens, logratio, score,"
+        f" priority_key, est_weight FROM ({inner})"
+    )
+
+
+SQL_DSIR_RESAMPLE = _sql_dsir_resample()

@@ -79,3 +79,54 @@ class TestDsirWeights:
         for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
             assert marker not in plan
         assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+
+
+class TestDsirResample:
+    def test_resample_contract_and_duckdb_twin(self, spark, frames):
+        from ml_hadoop_experiment_spark.operators.dsir import (
+            dsir_resample,
+            dsir_resample_sql,
+        )
+
+        raw, tgt = frames
+        sp = (
+            dsir_resample(raw, tgt, "doc_id", "text", k=2)
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert len(sp) == 2
+        # every sampled row carries the audit columns, and est_weight
+        # is at least the raw weight (the tau floor)
+        assert set(sp.columns) == {
+            "id", "n_tokens", "logratio", "score", "priority_key",
+            "est_weight",
+        }
+        con = duckdb.connect()
+        con.register("raw", pd.DataFrame(RAW, columns=["doc_id", "text"]))
+        con.register("tgt", pd.DataFrame(TGT, columns=["doc_id", "text"]))
+        du = (
+            con.execute(
+                dsir_resample_sql("raw", "tgt", "doc_id", "text", k=2)
+            )
+            .df()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        for c in sp.columns:
+            assert list(sp[c].astype(str)) == list(du[c].astype(str)), c
+
+    def test_k_at_population_returns_all_with_raw_weights(
+        self, spark, frames
+    ):
+        from ml_hadoop_experiment_spark.operators.dsir import dsir_resample
+
+        raw, tgt = frames
+        got = dsir_resample(raw, tgt, "doc_id", "text", k=10).collect()
+        # fewer than k+1 finalists -> no threshold: est_weight == w
+        assert len(got) == 4
+        import math
+
+        for r in got:
+            w = round(math.exp(r["score"]), 6)
+            assert abs(r["est_weight"] - w) < 1e-12
