@@ -1169,6 +1169,7 @@ def dedup_exact_substrings(
     seed_gram: int = 4,
     hash_grams: bool = True,
     max_posting_width: int = 64,
+    hot_posting_width: int = 512,
     out_text_col: str = "clean_text",
 ) -> DataFrame:
     """Cross-document exact-substring SELF-dedup — the primary use case
@@ -1186,22 +1187,45 @@ def dedup_exact_substrings(
     keyed by gram (the distributed re-expression of the paper's suffix
     array: matching positions land in the same reducer). Skew guard:
     grams occurring at more than ``max_posting_width`` positions
-    corpus-wide are excluded from SEEDING by a deterministic windowed
-    count (the ``max_bucket_ids`` discipline — replayed identically by
-    the oracle, so the cap is part of the contract, not a sampling
-    choice). Recall caveat, documented honestly: a shared substring
-    ALL of whose seed grams are hot is not anchored and survives; any
-    substring containing at least one sub-cap gram is found and
-    extended to its full extent (extension is token-exact and may
-    cross hot regions). Each surviving anchor pair extends
-    bidirectionally (:func:`_extended_extents` — per-anchor bounded
-    codegen fold, hash collisions self-destruct), extents merge per
-    doc, and the cut never shuffles the corpus payload.
+    corpus-wide are excluded from DENSE seeding by a deterministic
+    windowed count (the ``max_bucket_ids`` discipline — replayed
+    identically by the oracle, so the cap is part of the contract, not
+    a sampling choice).
 
-    At 100 TB: posting lists are gram-keyed and width-capped, anchor
-    volume is proportional to TRUE duplication (the quantity being
-    removed — the same economics as the MinHash bucket join), and the
-    extension joins carry token arrays only for anchored documents.
+    HOT-GRAM RECALL TIER (round 13 — closes the round-12 caveat that a
+    shared substring ALL of whose seed grams are hot was never
+    anchored): hot grams re-enter seeding at WINNOWED density
+    (Schleimer, Wilkerson, Aiken, SIGMOD 2003, "Winnowing: Local
+    Algorithms for Document Fingerprinting"). Per document, every
+    window of ``w = min_len - seed_gram + 1`` consecutive gram
+    positions selects its minimum-gram position (ties to the
+    rightmost — a pure content function of the window, so two
+    documents sharing a substring of >= ``min_len`` tokens select the
+    SAME relative position in both); a hot gram seeds at exactly its
+    winnow-selected positions. Guarantee: every shared substring of
+    length >= ``min_len`` contains a full window, whose selected gram
+    is either sub-cap (dense tier holds all its occurrences) or hot
+    (winnow tier holds the aligned selection on both sides) — full
+    recall at threshold, restored. The remaining honest cap:
+    winnow-selected postings of a single gram wider than
+    ``hot_posting_width`` (corpus-constant text — the same sentence at
+    millions of winnow-survivor sites) are dropped, deterministically
+    and oracle-replayed; ``repeated_ngrams``/``drop_repeated_lines``
+    are the right tools for that tier.
+
+    Each surviving anchor pair extends bidirectionally
+    (:func:`_extended_extents` — per-anchor bounded codegen fold, hash
+    collisions self-destruct), extents merge per doc, and the cut
+    never shuffles the corpus payload.
+
+    At 100 TB: posting lists are gram-keyed and width-capped (dense
+    cap ``max_posting_width``, winnow cap ``hot_posting_width``),
+    anchor volume is proportional to TRUE duplication (the quantity
+    being removed — the same economics as the MinHash bucket join),
+    and the extension joins carry token arrays only for anchored
+    documents. The winnow pass adds one slim-row exchange keyed by
+    document (a framed window over (id, pos)), the same magnitude as
+    the existing gram-width pass.
     """
     if seed_gram < 1 or min_len < seed_gram:
         raise ValueError(
@@ -1210,6 +1234,11 @@ def dedup_exact_substrings(
     if max_posting_width < 2:
         raise ValueError(
             f"max_posting_width must be >= 2, got {max_posting_width}"
+        )
+    if hot_posting_width < max_posting_width:
+        raise ValueError(
+            "hot_posting_width must be >= max_posting_width, got "
+            f"{hot_posting_width}/{max_posting_width}"
         )
     k = int(seed_gram)
     gh = (
@@ -1246,9 +1275,41 @@ def dedup_exact_substrings(
     from pyspark.sql import Window
 
     w = Window.partitionBy("gram")
-    pg = pg.withColumn("__width", F.count(F.lit(1)).over(w)).where(
-        F.col("__width") <= max_posting_width
-    ).drop("__width")
+    pgw = pg.withColumn("__width", F.count(F.lit(1)).over(w))
+    dense = pgw.where(F.col("__width") <= max_posting_width).drop(
+        "__width"
+    )
+    # winnow tier: per doc, every window of win_w consecutive gram
+    # positions selects its (gram, rightmost) minimum — a pure content
+    # function, so shared substrings select aligned positions in both
+    # documents. Hot grams seed only at selected positions.
+    win_w = min_len - k + 1
+    wsel = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        0, win_w - 1
+    )
+    selected = (
+        pg.withColumn(
+            "__sel",
+            F.min(
+                F.struct(
+                    F.col("gram").alias("g"),
+                    (-F.col("pos")).alias("np"),
+                )
+            ).over(wsel),
+        )
+        .select("id", (-F.col("__sel.np")).alias("pos"))
+        .distinct()
+    )
+    w2 = Window.partitionBy("gram")
+    winnowed = (
+        pgw.where(F.col("__width") > max_posting_width)
+        .drop("__width")
+        .join(selected, ["id", "pos"])
+        .withColumn("__w2", F.count(F.lit(1)).over(w2))
+        .where(F.col("__w2") <= hot_posting_width)
+        .drop("__w2")
+    )
+    pg = dense.unionByName(winnowed)
     earlier = pg.select(
         F.col("id").alias("__bid"),
         F.col("pos").alias("__bpos"),
@@ -1287,13 +1348,15 @@ def dedup_exact_substrings_sql(
     seed_gram: int = 4,
     hash_grams: bool = True,
     max_posting_width: int = 64,
+    hot_posting_width: int = 512,
     out_id: str = "id",
     out_text_col: str = "clean_text",
 ) -> str:
     """DuckDB twin of :func:`dedup_exact_substrings` — same seed grams,
-    same deterministic posting-width cap (``QUALIFY count(*) OVER
-    (PARTITION BY gram)``), same keep-first pairing, extension, merge,
-    and cut."""
+    same deterministic posting-width caps (``QUALIFY count(*) OVER
+    (PARTITION BY gram)``), same winnow tier (framed struct-min window,
+    ties to the rightmost — verified bit-identical against Spark's),
+    same keep-first pairing, extension, merge, and cut."""
     if seed_gram < 1 or min_len < seed_gram:
         raise ValueError(
             f"need 1 <= seed_gram <= min_len, got {seed_gram}/{min_len}"
@@ -1301,6 +1364,11 @@ def dedup_exact_substrings_sql(
     if max_posting_width < 2:
         raise ValueError(
             f"max_posting_width must be >= 2, got {max_posting_width}"
+        )
+    if hot_posting_width < max_posting_width:
+        raise ValueError(
+            "hot_posting_width must be >= max_posting_width, got "
+            f"{hot_posting_width}/{max_posting_width}"
         )
     k = int(seed_gram)
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
@@ -1320,15 +1388,40 @@ WITH corpus_base AS (
          regexp_split_to_array(trim({text_expr}), '\\s+') AS t
   FROM {relation}
 ),
-pg AS (
-  SELECT id, t, i - 1 AS pos, {gh} AS gram
+pg0 AS (
+  SELECT id, i - 1 AS pos, {gh} AS gram
   FROM corpus_base, unnest(range(1, len(t) - {k - 1} + 1)) AS r(i)
   WHERE txt IS NOT NULL AND len(t) >= {k}
-  QUALIFY count(*) OVER (PARTITION BY {gh}) <= {max_posting_width}
+),
+pgw AS (
+  SELECT id, pos, gram,
+         count(*) OVER (PARTITION BY gram) AS width
+  FROM pg0
+),
+sel AS (
+  SELECT DISTINCT id,
+         -struct_extract(min({{'g': gram, 'np': -pos}}) OVER
+           (PARTITION BY id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW
+            AND {min_len - k} FOLLOWING), 'np') AS pos
+  FROM pg0
+),
+winnowed AS (
+  SELECT p.id, p.pos, p.gram
+  FROM pgw p JOIN sel USING (id, pos)
+  WHERE p.width > {max_posting_width}
+  QUALIFY count(*) OVER (PARTITION BY p.gram) <= {hot_posting_width}
+),
+pg AS (
+  SELECT id, pos, gram FROM pgw WHERE width <= {max_posting_width}
+  UNION ALL
+  SELECT id, pos, gram FROM winnowed
 ),
 anchors AS (
-  SELECT c.id, c.t, c.pos, b.t AS bt, b.pos AS bpos
+  SELECT c.id, ct.t, c.pos, bb.t AS bt, b.pos AS bpos
   FROM pg c JOIN pg b ON c.gram = b.gram AND c.id > b.id
+  JOIN corpus_base ct ON ct.id = c.id
+  JOIN corpus_base bb ON bb.id = b.id
 ),
 extents AS (
   SELECT DISTINCT id, pos - bwd AS span_start, pos + fwd - 1 AS span_end

@@ -599,11 +599,12 @@ class TestDedupExactSubstrings:
         assert got[5] == (None, 0)
         assert got[6] == ("", 10)
 
-    def test_posting_cap_is_deterministic_and_replayed(self, spark):
-        """With max_posting_width=2 the shared run's grams (3 postings
-        each across docs 1/2/6) are ALL excluded from seeding, so
-        nothing anchors — both engines must agree on the capped
-        result, not just the uncapped one."""
+    def test_all_hot_grams_still_anchor_via_winnow_tier(self, spark):
+        """Round-13 recall fix: with max_posting_width=2 the shared
+        run's grams (3 postings each across docs 1/2/6) are ALL hot —
+        the round-12 code found nothing; the winnow tier must now
+        anchor the duplicate anyway, and both engines must agree on
+        the winnowed result."""
         import duckdb
 
         from ml_hadoop_experiment_spark.operators.curation import (
@@ -617,7 +618,9 @@ class TestDedupExactSubstrings:
             min_len=8, seed_gram=4, max_posting_width=2,
         )
         sp = sorted(tuple(r) for r in out.collect())
-        assert all(r[2] == 0 for r in sp)  # every seed gram is hot
+        # every seed gram is hot, yet later copies of the shared run
+        # are cut (keep-first: the earliest doc keeps its copy)
+        assert any(r[2] > 0 for r in sp)
         con = duckdb.connect()
         con.register("corpus_v", corpus.toPandas())
         dk = sorted(
@@ -632,6 +635,73 @@ class TestDedupExactSubstrings:
         )
         con.close()
         assert sp == dk
+
+    def test_hot_posting_width_is_the_final_cap_and_replayed(self, spark):
+        """hot_posting_width bounds the winnow tier itself: squeezing
+        it to max_posting_width (=2) drops the 3-doc shared gram from
+        the winnow postings too, so nothing anchors — deterministic
+        and oracle-replayed, the documented corpus-constant-text
+        exclusion."""
+        import duckdb
+
+        from ml_hadoop_experiment_spark.operators.curation import (
+            dedup_exact_substrings,
+            dedup_exact_substrings_sql,
+        )
+
+        corpus = self._corpus(spark)
+        out = dedup_exact_substrings(
+            corpus, "doc_id", "text",
+            min_len=8, seed_gram=4, max_posting_width=2,
+            hot_posting_width=2,
+        )
+        sp = sorted(tuple(r) for r in out.collect())
+        assert all(r[2] == 0 for r in sp)
+        con = duckdb.connect()
+        con.register("corpus_v", corpus.toPandas())
+        dk = sorted(
+            tuple(r)
+            for r in con.execute(
+                dedup_exact_substrings_sql(
+                    "corpus_v", "doc_id", "text",
+                    min_len=8, seed_gram=4, max_posting_width=2,
+                    hot_posting_width=2,
+                    out_id="doc_id",
+                )
+            ).fetchall()
+        )
+        con.close()
+        assert sp == dk
+
+    def test_planted_duplicate_with_every_gram_hot_is_found(self, spark):
+        """The verdict's done-gate: plant a 12-token sentence in 70+
+        documents so EVERY one of its 4-grams exceeds the default
+        max_posting_width=64 — the pair (in fact the whole cluster)
+        must still be found and cut from all but the first document."""
+        from ml_hadoop_experiment_spark.operators.curation import (
+            dedup_exact_substrings,
+        )
+
+        sent = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (i, f"unique lead {i} alpha beta {sent} tail {i} omega")
+            for i in range(70)
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+            for r in dedup_exact_substrings(
+                corpus, "doc_id", "text", min_len=8, seed_gram=4
+            ).collect()
+        }
+        # doc 0 keeps its copy; every later doc loses the full MAXIMAL
+        # shared extent — "alpha beta <sent> tail" (the framing tokens
+        # are shared too; extension finds the true extent, 15 tokens)
+        assert out[0][1] == 0 and sent in out[0][0]
+        for i in range(1, 70):
+            assert out[i] == (f"unique lead {i} {i} omega", 15), (
+                i, out[i],
+            )
 
     def test_matches_duckdb_twin(self, spark):
         import duckdb
