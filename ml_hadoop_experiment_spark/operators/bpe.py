@@ -84,6 +84,25 @@ def merge_pair_expr(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _disjoint_prefix(
+    cands: List[Tuple[str, int]],
+) -> List[Tuple[str, str, int]]:
+    """Longest prefix of the sorted ``(pair, count)`` candidates whose
+    pairs share no symbol, STOPPING at the first conflict (skipping
+    past one would reorder the greedy sequence): the safe batch whose
+    one-pass application equals sequential application. Returns
+    ``[(left, right, count)]`` in selection order."""
+    batch: List[Tuple[str, str, int]] = []
+    used: set = set()
+    for pair, count in cands:
+        left, right = pair.split(PAIR_SEP, 1)
+        if batch and ({left, right} & used):
+            break
+        batch.append((left, right, count))
+        used |= {left, right}
+    return batch
+
+
 def _pair_counts(vocab: DataFrame, syms_col: str) -> DataFrame:
     """(pair, pair_count) over adjacent symbols, weighted by word
     count — vocabulary-sized input, map-combined aggregation."""
@@ -109,6 +128,7 @@ def bpe_learn(
     df: DataFrame,
     text_col: str,
     n_merges: int,
+    merges_per_round: int = 1,
 ) -> Tuple[DataFrame, List[Tuple[str, str, int]]]:
     """Train ``n_merges`` BPE merges on the corpus; returns
     ``(segmented_vocab, merges)`` where ``segmented_vocab`` is
@@ -125,13 +145,32 @@ def bpe_learn(
     iterations, so a short corpus must fail loudly, not diverge).
 
     Scale: ONE corpus-sized shuffle (the distinct-word collapse, pinned
-    vocabulary-sized), then per merge one aggregation over the vocab
-    frame and one 1-row collect; each iteration's symbol column is
+    vocabulary-sized), then per ROUND one aggregation over the vocab
+    frame and one bounded collect; each round's symbol column is
     re-materialized into the pin so plans stay shallow (the Lloyd
     pattern — no expression stacking across iterations).
+
+    ``merges_per_round`` batches the driver loop (round 13 — a
+    production 30k-merge vocab must not be 30k Spark jobs): each round
+    applies the longest PREFIX of the (count desc, pair asc)-sorted
+    candidates whose pairs are pairwise symbol-DISJOINT, stopping at
+    the first conflict, capped at ``merges_per_round``. Disjoint pairs
+    leave each other's counts untouched and their greedy folds
+    commute, so applying the prefix in one pass equals applying its
+    members sequentially. The one documented divergence from strict
+    one-at-a-time greedy: a batch member's merge can CREATE a pair
+    (containing its new symbol, count bounded by that member's count)
+    that strict greedy would have ranked before a LATER batch member —
+    the merge SET can differ near such ties. The default (1) is the
+    exact Sennrich order and what every declared oracle query uses;
+    the SQL twin replays ``merges_per_round=1`` only.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
+    if merges_per_round < 1:
+        raise ValueError(
+            f"merges_per_round must be positive, got {merges_per_round}"
+        )
     from pyspark import StorageLevel
 
     words = df.select(
@@ -148,23 +187,29 @@ def bpe_learn(
     merges: List[Tuple[str, str, int]] = []
     current = vocab
     try:
-        for i in range(n_merges):
+        while len(merges) < n_merges:
+            m = min(merges_per_round, n_merges - len(merges))
             best = (
                 _pair_counts(current, "__s")
                 .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
-                .limit(1)
+                .limit(m)
                 .collect()
             )
             if not best:
                 raise ValueError(
-                    f"vocabulary exhausted after {i} merges"
+                    f"vocabulary exhausted after {len(merges)} merges"
                     f" (requested {n_merges})"
                 )
-            left, right = best[0]["pair"].split(PAIR_SEP, 1)
-            merges.append((left, right, int(best[0]["pair_count"])))
-            nxt = current.withColumn(
-                "__s", merge_pair_expr(F.col("__s"), left, right)
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            batch = _disjoint_prefix(
+                [(r["pair"], int(r["pair_count"])) for r in best]
+            )
+            merges.extend(batch)
+            col = F.col("__s")
+            for left, right, _ in batch:
+                col = merge_pair_expr(col, left, right)
+            nxt = current.withColumn("__s", col).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
             nxt.count()
             current.unpersist()
             current = nxt

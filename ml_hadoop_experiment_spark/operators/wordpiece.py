@@ -49,6 +49,7 @@ from .bpe import (
     PAIR_SEP,
     WORD_SPLIT_SPARK,
     WORD_SPLIT_SQL,
+    _disjoint_prefix,
     _pair_counts,
 )
 
@@ -107,6 +108,7 @@ def wordpiece_learn(
     df: DataFrame,
     text_col: str,
     n_merges: int,
+    merges_per_round: int = 1,
 ) -> Tuple[DataFrame, List[Tuple[str, str, int]]]:
     """Train ``n_merges`` WordPiece merges; returns ``(segmented_vocab,
     merges)`` where ``segmented_vocab`` is ``(word, segmentation,
@@ -121,11 +123,29 @@ def wordpiece_learn(
     ``n_merges`` iterations — a short corpus must fail loudly).
 
     Scale: ONE corpus-sized shuffle (the pinned distinct-word
-    collapse); per merge two vocabulary-sized aggregations, one
-    broadcast-joined argmax, one 1-row collect.
+    collapse); per ROUND two vocabulary-sized aggregations, one
+    broadcast-joined argmax, one bounded collect.
+
+    ``merges_per_round`` batches the driver loop exactly as
+    :func:`~.bpe.bpe_learn` does (the shared ``_disjoint_prefix``
+    rule): the longest conflict-free prefix of the (score desc, pair
+    asc)-sorted candidates applies in one pass. Disjoint pairs leave
+    each other's pair counts AND symbol counts (hence scores)
+    untouched, so APPLICATION commutes — but WordPiece batched
+    SELECTION diverges from strict sequential more readily than BPE's:
+    a merge's created pairs carry a small new-symbol denominator and
+    routinely outscore the next batch member (where BPE's created
+    pairs are count-bounded by the merged pair). Batching here is the
+    documented-approximate scale mode for large vocabularies; default
+    1 is the exact sequential order and what the declared oracle
+    queries and the SQL twin replay.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
+    if merges_per_round < 1:
+        raise ValueError(
+            f"merges_per_round must be positive, got {merges_per_round}"
+        )
     from pyspark import StorageLevel
 
     words = df.select(
@@ -142,7 +162,8 @@ def wordpiece_learn(
     merges: List[Tuple[str, str, int]] = []
     current = vocab
     try:
-        for i in range(n_merges):
+        while len(merges) < n_merges:
+            m = min(merges_per_round, n_merges - len(merges))
             pairs = _pair_counts(current, "__s").select(
                 "pair",
                 "pair_count",
@@ -190,19 +211,24 @@ def wordpiece_learn(
             )
             best = (
                 scored.orderBy(F.col("score").desc(), F.col("pair").asc())
-                .limit(1)
+                .limit(m)
                 .collect()
             )
             if not best:
                 raise ValueError(
-                    f"vocabulary exhausted after {i} merges"
+                    f"vocabulary exhausted after {len(merges)} merges"
                     f" (requested {n_merges})"
                 )
-            left, right = best[0]["pair"].split(PAIR_SEP, 1)
-            merges.append((left, right, int(best[0]["pair_count"])))
-            nxt = current.withColumn(
-                "__s", merge_wp_pair_expr(F.col("__s"), left, right)
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            batch = _disjoint_prefix(
+                [(r["pair"], int(r["pair_count"])) for r in best]
+            )
+            merges.extend(batch)
+            col = F.col("__s")
+            for left, right, _ in batch:
+                col = merge_wp_pair_expr(col, left, right)
+            nxt = current.withColumn("__s", col).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
             nxt.count()
             current.unpersist()
             current = nxt

@@ -180,3 +180,101 @@ class TestBpeLearn:
         ).fetchall()))
         con.close()
         assert s == d
+
+
+class TestBatchedMerges:
+    CORPUS = [
+        ("low low low lower lowest new newer newest",),
+        ("wide wider widest low slow slower slowest",),
+        ("deep deeper deepest steep steeper steepest",),
+    ]
+
+    def _counting_collect(self, spark, monkeypatch):
+        # patch the CONCRETE class (pyspark 4.x: pyspark.sql.DataFrame
+        # is abstract; classic.DataFrame overrides collect)
+        cls = type(spark.range(1))
+        calls = {"n": 0}
+        orig = cls.collect
+
+        def counting(df):
+            calls["n"] += 1
+            return orig(df)
+
+        monkeypatch.setattr(cls, "collect", counting)
+        return calls
+
+    def test_batched_equals_sequential_and_cuts_rounds(
+        self, spark, monkeypatch
+    ):
+        from ml_hadoop_experiment_spark.operators.bpe import bpe_learn
+
+        docs = spark.createDataFrame(self.CORPUS, "text string")
+        n = 8
+        calls = self._counting_collect(spark, monkeypatch)
+        seg1, merges1 = bpe_learn(docs, "text", n)
+        out1 = sorted(tuple(r) for r in seg1.collect())
+        seq_rounds = calls["n"] - 1  # minus the result collect
+        calls["n"] = 0
+        seg4, merges4 = bpe_learn(docs, "text", n, merges_per_round=4)
+        out4 = sorted(tuple(r) for r in seg4.collect())
+        batch_rounds = calls["n"] - 1
+        # result-equality with m=1 on the fixture (merge LIST and the
+        # full segmented vocabulary), with measurably fewer driver
+        # rounds (the jobs-per-vocab reduction)
+        assert merges4 == merges1
+        assert out4 == out1
+        assert seq_rounds == n
+        assert batch_rounds < seq_rounds, (batch_rounds, seq_rounds)
+
+    def test_wordpiece_batched_equals_sequential(
+        self, spark, monkeypatch
+    ):
+        """Equality fixture where the commutation provably holds:
+        2-char words over disjoint alphabets — merging one word
+        creates NO new pairs (size-1 symbol arrays) and touches no
+        other word's symbol counts, so batched selection == strict
+        sequential. (On corpora with longer words WordPiece batching
+        is documented-approximate: a merge's created pairs have small
+        new-symbol denominators and jump the score queue.)"""
+        from ml_hadoop_experiment_spark.operators.wordpiece import (
+            wordpiece_learn,
+        )
+
+        docs = spark.createDataFrame(
+            [("ab ab ab ab cd cd cd ef ef gh ij kl",)], "text string"
+        )
+        n = 6
+        calls = self._counting_collect(spark, monkeypatch)
+        seg1, merges1 = wordpiece_learn(docs, "text", n)
+        out1 = sorted(tuple(r) for r in seg1.collect())
+        seq_rounds = calls["n"] - 1
+        calls["n"] = 0
+        seg3, merges3 = wordpiece_learn(
+            docs, "text", n, merges_per_round=3
+        )
+        out3 = sorted(tuple(r) for r in seg3.collect())
+        batch_rounds = calls["n"] - 1
+        assert merges3 == merges1
+        assert out3 == out1
+        assert seq_rounds == n
+        assert batch_rounds < seq_rounds, (batch_rounds, seq_rounds)
+
+    def test_disjoint_prefix_stops_at_conflict(self):
+        from ml_hadoop_experiment_spark.operators.bpe import (
+            _disjoint_prefix,
+        )
+
+        got = _disjoint_prefix(
+            [("a b", 9), ("c d", 8), ("b e", 7), ("f g", 6)]
+        )
+        # "b e" shares 'b' with the first pick: the prefix STOPS there
+        # (skipping would reorder the greedy sequence), so "f g" is
+        # excluded even though it conflicts with nothing
+        assert got == [("a", "b", 9), ("c", "d", 8)]
+
+    def test_rejects_nonpositive_batch(self, spark):
+        from ml_hadoop_experiment_spark.operators.bpe import bpe_learn
+
+        docs = spark.createDataFrame(self.CORPUS, "text string")
+        with pytest.raises(ValueError, match="merges_per_round"):
+            bpe_learn(docs, "text", 2, merges_per_round=0)
