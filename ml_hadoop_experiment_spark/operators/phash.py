@@ -1,12 +1,14 @@
 """Image perceptual-hash near-duplicates: dHash over decoded pixels.
 
 Completes the multimodal tier beyond metadata (``multimodal.py`` parses
-container headers) into CONTENT dedup: decode the two containers the
+container headers) into CONTENT dedup: decode the three containers the
 engine handles without codec dependencies (24-bit BITMAPINFOHEADER
 BMP — pure numpy over the payload bytes; non-interlaced 8-bit PNG —
 stdlib ``zlib`` inflate + the full None/Sub/Up/Average/Paeth scanline
-defilter set; both real decoders, not stubs, dispatched by magic
-bytes), reduce each image to a difference hash
+defilter set; baseline-sequential JPEG — ``operators/jpeg.py``'s
+marker walk + Huffman + dequant + IDCT, round 13; all real decoders,
+not stubs, dispatched by magic bytes), reduce each image to a
+difference hash
 (dHash: bit = left pixel brighter than its right neighbor on a fixed
 8x8 grayscale grid; Krawetz's public algorithm), and find pairs within
 a Hamming radius with the SAME pigeonhole segment blocking the text
@@ -194,14 +196,20 @@ def png_gray_pixels(payload: bytes) -> Optional[np.ndarray]:
 
 
 def decode_gray_pixels(payload: bytes) -> Optional[np.ndarray]:
-    """Container dispatch by magic bytes: BMP (``BM``) or PNG
-    (``\\x89PNG``) to their decoders; None otherwise. The one entry
-    point the hashing scan needs — adding a codec means adding a
-    branch here, nothing downstream changes."""
+    """Container dispatch by magic bytes: BMP (``BM``), PNG
+    (``\\x89PNG``), or JPEG (``\\xff\\xd8\\xff``, round 13 — the
+    dominant crawled-image format, ``operators/jpeg.py``'s baseline
+    decoder) to their decoders; None otherwise. The one entry point
+    the hashing scan needs — adding a codec means adding a branch
+    here, nothing downstream changes."""
     if payload[:2] == b"BM":
         return bmp_gray_pixels(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_gray_pixels(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpeg import jpeg_gray_pixels
+
+        return jpeg_gray_pixels(payload)
     return None
 
 
@@ -304,7 +312,7 @@ def image_dhash_frame(
     df: DataFrame, id_col: str, payload_col: str
 ) -> DataFrame:
     """``(id, fp)`` dHash fingerprints for a binary image payload
-    column (BMP or PNG, dispatched by magic bytes —
+    column (BMP, PNG, or baseline JPEG, dispatched by magic bytes —
     :func:`decode_gray_pixels`): one Arrow-batched mapInPandas scan,
     decode + downscale + hash in numpy per image (the one per-byte
     Python path is PNG Average/Paeth scanlines — see
@@ -345,7 +353,8 @@ def image_near_dup_pairs(
     max_hamming: int = 2,
 ) -> DataFrame:
     """Image near-duplicate pairs ``(id_a, id_b, hamming)`` — all pairs
-    of decodable image payloads (BMP or PNG) whose dHash fingerprints
+    of decodable image payloads (BMP, PNG, or baseline JPEG) whose
+    dHash fingerprints
     differ in at most ``max_hamming`` of the 56 bits, id_a < id_b.
     Blocking and exact verification are
     ``dedup.simhash_pairs_from_fingerprints`` (pigeonhole segments over

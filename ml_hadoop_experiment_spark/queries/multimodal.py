@@ -595,3 +595,118 @@ FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 2
 
 
 SQL_AUDIO_NEAR_DUP = _sql_audio_near_dup()
+
+
+def q_image_near_dup_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image content near-dup over a BMP + PNG + JPEG corpus (round
+    13 — operators/jpeg.py's baseline decoder closes the dominant-
+    web-format gap): groups of 5 docs share an 8x8 raster built for
+    LOSSY-roundtrip stability — ranks 0..11 from md5 with parity
+    forced by column (adjacent pixels differ by >= 16 gray levels,
+    far above the flat-quant JPEG roundtrip's <= ~4 error bound, so
+    dHash bits survive the DCT), docs with doc_id%5=r>0 shift pixel
+    (r, r)'s rank by 3 (mod 6, parity kept). Container cycles by
+    group: BMP, PNG, flat-quant grayscale JPEG; every 13th doc is a
+    non-image payload pinning the undecodable-tier drop. The OPERATOR
+    decodes actual bytes (magic dispatch; JPEG = full marker walk +
+    Huffman + dequant + IDCT); the oracle replays raster -> hash ->
+    blocks -> join -> popcount in integer SQL, so the gate passes only
+    if encode-decode preserves every dHash comparison for all THREE
+    containers."""
+    import hashlib
+
+    from ml_hadoop_experiment_spark.operators.jpeg import jpeg_bytes
+    from ml_hadoop_experiment_spark.operators.phash import (
+        bmp_bytes,
+        image_near_dup_pairs,
+        png_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 13 == 0:
+                    payloads.append(b"GIF89a not a decodable image")
+                    continue
+                grp, r = d // 5, d % 5
+                gray = np.empty((8, 8), dtype=np.int64)
+                for y in range(8):
+                    for x in range(8):
+                        hh = int(
+                            hashlib.md5(
+                                f"{grp}_{y * 8 + x}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                        rank6 = hh % 6
+                        if x == y and x > 0 and r == x:
+                            rank6 = (rank6 + 3) % 6
+                        gray[y, x] = 20 + 16 * (2 * rank6 + (x % 2))
+                if grp % 3 == 0:
+                    payloads.append(bmp_bytes(gray))
+                elif grp % 3 == 1:
+                    payloads.append(png_bytes(gray))
+                else:
+                    payloads.append(jpeg_bytes(gray))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    imgs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return image_near_dup_pairs(imgs, "doc_id", "payload", max_hamming=2)
+
+
+def _sql_image_near_dup_jpeg() -> str:
+    from ml_hadoop_experiment_spark.operators.dedup import simhash_blocks_sql
+    from ml_hadoop_experiment_spark.operators.hll import _nibble_val_sql
+    from ml_hadoop_experiment_spark.operators.phash import (
+        DHASH_BITS,
+        DHASH_GRID,
+    )
+
+    def gray(x: int, y: int) -> str:
+        d = f"md5(CAST(doc_id // 5 AS VARCHAR) || '_{y * 8 + x}')"
+        n1 = _nibble_val_sql(f"substring({d}, 1, 1)")
+        n2 = _nibble_val_sql(f"substring({d}, 2, 1)")
+        rank6 = f"(({n1} * 16 + {n2}) % 6)"
+        if x == y and x > 0:
+            rank6 = (
+                f"(CASE WHEN doc_id % 5 = {x}"
+                f" THEN ({rank6} + 3) % 6 ELSE {rank6} END)"
+            )
+        return f"(20 + 16 * (2 * {rank6} + {x % 2}))"
+
+    bits = []
+    for y in range(DHASH_GRID):
+        for x in range(DHASH_GRID - 1):
+            bits.append(
+                f"CASE WHEN {gray(x, y)} > {gray(x + 1, y)}"
+                f" THEN {1 << (y * (DHASH_GRID - 1) + x)} ELSE 0 END"
+            )
+    fp = "CAST(" + " + ".join(bits) + " AS BIGINT)"
+    blocks = simhash_blocks_sql(DHASH_BITS, 2)
+    return f"""
+WITH fps AS (
+  SELECT doc_id AS id, {fp} AS fp FROM documents WHERE doc_id % 13 != 0
+),
+blocks AS (
+  {blocks}
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+  FROM blocks a JOIN blocks b
+    ON a.part = b.part AND a.block = b.block AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
+FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 2
+"""
+
+
+SQL_IMAGE_NEAR_DUP_JPEG = _sql_image_near_dup_jpeg()
