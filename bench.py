@@ -206,6 +206,14 @@ BENCH_QUERIES = [
     "pq_rerank",
     "streaming_simhash",
     "ivf_pq_routed_steady",
+    # round-13 additions: URL-level dedup (pure codegen canonicalization
+    # + digest window), paragraph-block dedup, the DSIR resampled
+    # corpus, and image content dedup over the BMP+PNG+JPEG mix (the
+    # JPEG leg prices the Huffman+IDCT decode path)
+    "url_dedup",
+    "paragraph_dedup",
+    "dsir_resample",
+    "image_near_dup_jpeg",
 ]
 
 

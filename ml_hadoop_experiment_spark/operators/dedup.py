@@ -99,32 +99,6 @@ def dedup_against(
     )
 
 
-def dedup_by_url(
-    df: DataFrame,
-    id_col: str,
-    url_col: str,
-    out_col: str = "canonical_url",
-) -> DataFrame:
-    """URL-level dedup — the crawl pipeline's standard FIRST pass
-    (CCNet / RefinedWeb order: URL dedup before any content is fetched
-    or compared): canonicalize ``url_col``
-    (:func:`~..functions.url.canonicalize_url` — scheme/host case,
-    ``www.``, default ports, fragments, tracking params, param order,
-    trailing slashes) and keep one representative row (lowest
-    ``id_col``) per canonical URL, via the :func:`dedup_exact` digest
-    machinery. The surviving rows carry the canonical form in
-    ``out_col``.
-
-    At 100 TB: canonicalization is a map-only expression; the single
-    shuffle is ``dedup_exact``'s, keyed on the 16-byte digest of the
-    canonical URL — never on page payloads.
-    """
-    from ml_hadoop_experiment_spark.functions.url import canonicalize_url
-
-    with_canon = df.withColumn(out_col, canonicalize_url(F.col(url_col)))
-    return dedup_exact(with_canon, [out_col], id_col)
-
-
 def duplicate_stats(df: DataFrame, content_cols: List[str]) -> DataFrame:
     """(digest, n_copies) for groups with more than one row — the audit view."""
     return (

@@ -110,7 +110,7 @@ def _url_fixture(d):
 
 
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-level dedup (operators/dedup.dedup_by_url) — the crawl
+    """URL-level dedup (operators/urldedup.dedup_by_url) — the crawl
     pipeline's standard first pass: canonicalize the synthesized crawl
     URLs (functions/url.canonicalize_url: case, www., default port,
     fragment, tracking params, param order, trailing slash) and keep
@@ -119,7 +119,9 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frozen canonicalization spec in DuckDB string/list functions — the
     gate passes only if the two independent canonicalizers agree
     bit-for-bit on every URL."""
-    from ml_hadoop_experiment_spark.operators.dedup import dedup_by_url
+    from ml_hadoop_experiment_spark.operators.urldedup import (
+        dedup_by_url,
+    )
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", _url_fixture(F.col("doc_id")).alias("url")
