@@ -214,6 +214,13 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "dsir_resample",
     "image_near_dup_jpeg",
+    # round-13 late additions: domain-level crawl rollup, per-domain
+    # grouped boilerplate removal, CCNet perplexity bucketing,
+    # embedding-tier semantic benchmark decontamination
+    "domain_stats",
+    "boilerplate_grouped",
+    "quality_buckets",
+    "decontaminate_semantic",
 ]
 
 
@@ -477,22 +484,43 @@ def _run_canary(spark) -> list[float]:
     Its max/min ratio measures ambient host load on a plan too small to
     have its own variance; a ratio > CANARY_MAX_RATIO means the sweep
     ran under CPU steal and the durable record is demoted to *_noisy
-    (never an anchor — BASELINE.md "Durable bench records")."""
+    (never an anchor — BASELINE.md "Durable bench records").
+
+    The leg starts from a settled heap (explicit System.gc() + 2 s
+    pause): the closing leg runs right after a ~240 s allocation burst
+    (170 plans' worth of codegen classes and shuffle buffers), and G1's
+    concurrent drain of that debt otherwise bleeds into the canary
+    samples as a rising 0.23→0.38 s ramp (observed round 13) — GC debt
+    is JVM state, not the ambient host load this gate exists to detect.
+    The gate itself is unchanged (3 timed samples, max/min ≤ 1.35)."""
     from pyspark.sql import functions as F
 
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # canary must never fail the bench
+    time.sleep(2.0)
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     times: list[float] = []
-    for i in range(5):
+    for i in range(7):
         t0 = time.perf_counter()
         li.groupBy("l_returnflag").agg(
             F.count(F.lit(1)).alias("n")
         ).write.format("noop").mode("overwrite").save()
-        if i >= 2:  # first 2 are warmup (scan cache + codegen)
+        # First 4 are warmup: 2 warmups left a residual C2 warm-in ramp
+        # in the OPENING leg's timed samples (r13 sweeps: 0.62->0.38 s
+        # descending, ratio 1.6 on an idle host — JVM state misread as
+        # host noise; the closing leg, fully warm, sat at 0.100-0.108).
+        if i >= 4:
             times.append(time.perf_counter() - t0)
     return times
 
 
 CANARY_MAX_RATIO = 1.35
+# Cross-leg span ceiling: closing/opening differ by C2 warmth alone on an
+# idle host (measured band 2.5-6x across the r12/r13 records); a span past
+# this is an opening leg run under load (see the gate comment in main()).
+CANARY_MAX_SPAN = 7.0
 
 # Isolated steady probes for the similarity family (r11 verdict task #2):
 # each declared query re-run 1 warm + 3 timed back-to-back AFTER the sweep,
@@ -506,6 +534,15 @@ STEADY_PROBES = [
     "overlap_pairs",
     "jaccard_join",
     "topk_similar_pairs",
+    # r13: the recurring in-sweep outlier — three quiet-leg r13 sweeps
+    # carried it at 0.97/2.16/2.93 s while isolated fresh-session warm
+    # probes sit at 1.0-1.3 s, so the r12 "ambient load" adjudication
+    # was wrong: the gap is in-sweep JVM context (GC debt + code-cache
+    # pressure from ~173 neighboring plans), not host noise. The
+    # steady probe records the serving-shape number every sweep so the
+    # in-sweep figure stops being adjudicated by hand (BASELINE.md
+    # "Round-13 record").
+    "salted_join",
 ]
 
 
@@ -592,13 +629,24 @@ def main() -> None:
     # leg runs on a fully C2-warmed JVM and is systematically ~3-6x
     # faster than the opening leg on an idle host (measured 0.10 s vs
     # 0.27-0.6 s) — a cross-leg ratio measures JIT warmth, not load. The
-    # cross-leg span is still recorded (canary_span) for forensics.
+    # cross-leg span is still recorded (canary_span) — AND gated: a load
+    # window that covers an entire leg UNIFORMLY leaves that leg's 3
+    # samples self-consistent and slips the per-leg ratio (observed
+    # round 13: opening leg 0.88-1.04 s under the previous sweep's
+    # shutdown tail, span 10.4x, and salted_join at 8.5 s in an
+    # otherwise "quiet" record), so a span past the documented
+    # JIT-warmth band demotes the record too. Both gates only ADD
+    # demotion conditions — a record can never pass by the span gate
+    # alone.
     canary_end = _run_canary(spark)
     ratio_open = max(canary_times) / max(min(canary_times), 1e-9)
     ratio_close = max(canary_end) / max(min(canary_end), 1e-9)
     canary_ratio = max(ratio_open, ratio_close)
     pooled = canary_times + canary_end
     canary_span = max(pooled) / max(min(pooled), 1e-9)
+    canary_quiet = (
+        canary_ratio <= CANARY_MAX_RATIO and canary_span <= CANARY_MAX_SPAN
+    )
 
     # Isolated steady probes (untimed toward "value": they re-run declared
     # queries already counted in the sweep): 1 warm + 3 timed back-to-back,
@@ -640,7 +688,7 @@ def main() -> None:
         "canary_end_sec": [round(t, 3) for t in canary_end],
         "canary_span": round(canary_span, 3),
         "canary_ratio": round(canary_ratio, 3),
-        "canary_quiet": canary_ratio <= CANARY_MAX_RATIO,
+        "canary_quiet": canary_quiet,
     }
     if cc_rounds:
         # convergence rounds of the connected-components pipelines: a CC
@@ -679,7 +727,7 @@ def main() -> None:
         # Quiet-host gate: a sweep whose canary ratio exceeds the gate ran
         # under ambient CPU steal — record it (for forensics) but DEMOTE
         # the filename so it can never be mistaken for an anchor record.
-        if canary_ratio > CANARY_MAX_RATIO:
+        if not canary_quiet:
             name = name.replace(".json", "_noisy.json")
         with open(os.path.join(here, name), "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
@@ -704,7 +752,7 @@ def main() -> None:
         "n_queries": n_declared,
         "full_record": local_record,
         "canary_ratio": round(canary_ratio, 3),
-        "canary_quiet": canary_ratio <= CANARY_MAX_RATIO,
+        "canary_quiet": canary_quiet,
         "steady": steady,
         # type-consistent with the full line (name -> seconds), small
         # enough to parse: the 10 most expensive entries only

@@ -108,6 +108,104 @@ def canonicalize_url(
     return F.when(u.rlike(_SCHEME_RE), canon).otherwise(u)
 
 
+#: Frozen multi-part effective-TLD suffixes (a common subset of the
+#: publicsuffix.org Public Suffix List — public knowledge; NOT the full
+#: list: production swaps in a full PSL snapshot via the
+#: ``multi_part_suffixes`` parameter). A host's registered domain is its
+#: last TWO labels unless those two labels are one of these, in which
+#: case it is the last THREE.
+MULTI_PART_SUFFIXES: tuple = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "org.mx", "gob.mx",
+    "co.in", "net.in", "org.in", "ac.in", "gov.in",
+    "co.kr", "or.kr", "ac.kr", "go.kr",
+    "com.tw", "org.tw", "com.sg", "org.sg", "com.hk", "org.hk",
+    "co.za", "org.za", "ac.za", "gov.za",
+    "com.ar", "com.tr", "com.sa", "com.eg", "com.my", "com.ph",
+    "com.vn", "com.pk", "com.bd", "com.co", "com.pe", "com.ve",
+    "co.th", "ac.th", "go.th", "co.id", "or.id", "ac.id",
+    "com.ua", "gov.ua", "com.pl",
+)
+
+_IPV4_RE = r"^\d{1,3}(\.\d{1,3}){3}$"
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of a scheme-bearing URL: the authority with any
+    ``user:pass@`` userinfo and any ``:port`` suffix stripped (the
+    ``www.`` prefix is KEPT — this is the raw host for per-host crawl
+    stats; :func:`canonicalize_url` owns the www-stripping dedup key).
+    Non-URL inputs (no ``scheme://``) and NULL yield NULL. Pure
+    codegen — map-only at any scale."""
+    u = F.trim(url)
+    auth = F.lower(F.regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(auth, "^[^@]*@", ""), ":[0-9]*$", ""
+    )
+    return F.when(u.rlike(_SCHEME_RE), host)
+
+
+def registered_domain(
+    host: Column,
+    multi_part_suffixes: Sequence[str] = MULTI_PART_SUFFIXES,
+) -> Column:
+    """Registrable domain of a lowercased ``host`` (from
+    :func:`url_host`): the last two labels, or the last three when the
+    last two form a frozen multi-part suffix (``co.uk`` family —
+    :data:`MULTI_PART_SUFFIXES`). IPv4 literals and hosts with fewer
+    than two labels pass through unchanged. Pure codegen: two anchored
+    regexp extractions + one IN — no UDF, no shuffle.
+
+    This is the domain-level rollup key of crawl curation (per-domain
+    doc counts, blocklists, CCNet-style per-domain boilerplate
+    grouping)."""
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    suffixes = [s.lower() for s in multi_part_suffixes]
+    return (
+        F.when(host.rlike(_IPV4_RE), host)
+        .when((last3 != "") & last2.isin(suffixes), last3)
+        .when(last2 != "", last2)
+        .otherwise(host)
+    )
+
+
+def url_host_sql(expr: str) -> str:
+    """DuckDB twin of :func:`url_host` — same extraction spec, NULL for
+    non-URL inputs via the same scheme test."""
+    u = f"trim({expr})"
+    auth = f"lower(regexp_extract({u}, '^[^:/?#]+://([^/?#]*)', 1))"
+    host = (
+        f"regexp_replace(regexp_replace({auth}, '^[^@]*@', ''),"
+        " ':[0-9]*$', '')"
+    )
+    return (
+        f"CASE WHEN regexp_matches({u}, '^[A-Za-z][A-Za-z0-9+.-]*://')"
+        f" THEN {host} END"
+    )
+
+
+def registered_domain_sql(
+    expr: str,
+    multi_part_suffixes: Sequence[str] = MULTI_PART_SUFFIXES,
+) -> str:
+    """DuckDB twin of :func:`registered_domain` — same anchored
+    extractions, same frozen suffix set, same IPv4 passthrough."""
+    suffixes = ", ".join(f"'{s.lower()}'" for s in multi_part_suffixes)
+    last2 = f"regexp_extract({expr}, '([^.]+\\.[^.]+)$', 1)"
+    last3 = f"regexp_extract({expr}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+    return f"""CASE
+ WHEN regexp_matches({expr}, '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$') THEN {expr}
+ WHEN {last3} <> '' AND {last2} IN ({suffixes}) THEN {last3}
+ WHEN {last2} <> '' THEN {last2}
+ ELSE {expr} END"""
+
+
 def canonicalize_url_sql(
     expr: str,
     tracking_params: Sequence[str] = TRACKING_PARAMS,

@@ -57,22 +57,43 @@ def repeated_lines(
     text_col: str,
     max_docs: int = 1,
     normalize: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """``(line, n_docs)`` — every normalized non-blank line appearing
     in more than ``max_docs`` distinct documents, with its document
     frequency: the boilerplate census (what :func:`drop_repeated_lines`
     cuts). One map-side explode + one partial-aggregated distinct-count
-    keyed by the normalized line."""
-    lines = df.select(
+    keyed by the normalized line.
+
+    With ``group_col`` (the CCNet posture: boilerplate is counted
+    WITHIN a shard/domain, because a cookie banner that floods one
+    domain is not evidence against the same sentence on another), the
+    census keys on ``(group, line)`` and the output carries the group:
+    ``(group_col, line, n_docs)``. Same plan shape — the group column
+    rides the exploded slim rows; the aggregation stays bounded by the
+    per-group distinct-line vocabulary."""
+    cols = [
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), "\n")).alias("__l"),
-    ).select("id", _norm(F.col("__l"), normalize).alias("line"))
-    return (
+    ]
+    keys = ["line"]
+    if group_col is not None:
+        cols.insert(0, F.col(group_col).alias("__grp"))
+        keys = ["__grp", "line"]
+    lines = df.select(*cols).select(
+        *([F.col("__grp")] if group_col is not None else []),
+        "id",
+        _norm(F.col("__l"), normalize).alias("line"),
+    )
+    out = (
         lines.where(F.col("line") != "")
-        .groupBy("line")
+        .groupBy(*keys)
         .agg(F.countDistinct("id").alias("n_docs"))
         .where(F.col("n_docs") > max_docs)
     )
+    if group_col is not None:
+        out = out.withColumnRenamed("__grp", group_col)
+    return out
 
 
 def drop_repeated_lines(
@@ -82,6 +103,7 @@ def drop_repeated_lines(
     max_docs: int = 1,
     normalize: bool = True,
     out_text_col: str = "clean_text",
+    group_col: str | None = None,
 ) -> DataFrame:
     """The cleaned corpus: ``(id_col, out_text_col, n_removed_lines)``
     with every cross-document repeated line cut and the survivors
@@ -92,15 +114,36 @@ def drop_repeated_lines(
     AFFECTED document (broadcast), and the cut itself is a pure
     codegen two-arg ``filter`` over the split array — the corpus
     payload never shuffles.
+
+    With ``group_col``, repetition is counted and cut WITHIN each group
+    (per-domain boilerplate — see :func:`repeated_lines`): the drop
+    join keys on ``(group, line)``, so a line that floods one domain
+    survives untouched everywhere else.
     """
-    rep = repeated_lines(df, id_col, text_col, max_docs, normalize)
-    lines = df.select(
+    rep = repeated_lines(df, id_col, text_col, max_docs, normalize, group_col)
+    cols = [
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "__l"),
-    ).select("id", "pos", _norm(F.col("__l"), normalize).alias("line"))
+    ]
+    if group_col is not None:
+        cols.insert(0, F.col(group_col).alias("__grp"))
+    lines = df.select(*cols).select(
+        *([F.col("__grp")] if group_col is not None else []),
+        "id",
+        "pos",
+        _norm(F.col("__l"), normalize).alias("line"),
+    )
+    if group_col is not None:
+        rep_keys = rep.select(
+            F.col(group_col).alias("__grp"), "line"
+        )
+        join_on = ["__grp", "line"]
+    else:
+        rep_keys = rep.select("line")
+        join_on = ["line"]
     drops = (
         lines.where(F.col("line") != "")
-        .join(rep.select("line"), "line")
+        .join(rep_keys, join_on)
         .groupBy("id")
         .agg(F.collect_list("pos").alias("__drops"))
         .withColumnRenamed("id", "__did")
@@ -297,13 +340,16 @@ def drop_repeated_lines_sql(
     normalize: bool = True,
     out_id: str = "id",
     out_text_col: str = "clean_text",
+    group_expr: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`drop_repeated_lines` — same split, same
     normalization key, same blank-line exemption, same index filter
     (DuckDB lambda indexes are 1-based; the drop positions are 0-based,
     hence ``i - 1``; ``array_to_string([])`` is NULL in DuckDB where
     Spark's ``array_join([])`` is ``''``, so the fully-cut document
-    coalesces to the empty string)."""
+    coalesces to the empty string). ``group_expr`` mirrors
+    ``group_col``: the census and the drop join key on
+    ``(grp, line)``."""
     nl = "chr(10)"
     key = _norm_sql("l", normalize)
     keep = (
@@ -311,25 +357,28 @@ def drop_repeated_lines_sql(
         "NOT list_contains(coalesce(d.drops, CAST([] AS BIGINT[])), "
         "i - 1))"
     )
+    grp_sel = f"{group_expr} AS grp, " if group_expr is not None else ""
+    grp_fwd = "grp, " if group_expr is not None else ""
+    join_keys = "(grp, line)" if group_expr is not None else "(line)"
     return f"""
 WITH corpus_base AS (
-  SELECT {id_expr} AS id, {text_expr} AS txt FROM {relation}
+  SELECT {grp_sel}{id_expr} AS id, {text_expr} AS txt FROM {relation}
 ),
 lines AS (
-  SELECT id, i - 1 AS pos,
+  SELECT {grp_fwd}id, i - 1 AS pos,
          {_norm_sql(f"string_split(txt, {nl})[i]", normalize)} AS line
   FROM corpus_base,
        unnest(range(1, len(string_split(txt, {nl})) + 1)) AS r(i)
 ),
 rep AS (
-  SELECT line FROM (
-    SELECT line, count(DISTINCT id) AS n_docs
-    FROM lines WHERE line <> '' GROUP BY line
+  SELECT {grp_fwd}line FROM (
+    SELECT {grp_fwd}line, count(DISTINCT id) AS n_docs
+    FROM lines WHERE line <> '' GROUP BY {grp_fwd}line
   ) WHERE n_docs > {int(max_docs)}
 ),
 drops AS (
   SELECT id, list(pos) AS drops
-  FROM lines JOIN rep USING (line)
+  FROM lines JOIN rep USING {join_keys}
   WHERE line <> ''
   GROUP BY id
 )

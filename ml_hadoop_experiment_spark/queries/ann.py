@@ -767,3 +767,52 @@ LIMIT 20
 
 
 SQL_PQ_RERANK = _sql_pq_rerank()
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination (operators/semdecon.
+    cosine_decontaminate): the embedding tier of the decontamination
+    stack — n-gram tiers catch verbatim leakage, this one flags
+    paraphrased leakage by exact cosine against the benchmark split
+    (vec_id %% 10 == 0, the decontaminate convention) inside shared
+    LSH sign-bit buckets (4 planes — the embedding_near_dup recall
+    contract). Every corpus vector reports its max in-bucket benchmark
+    cosine and a contaminated flag at threshold 0.3; the benchmark
+    side never exceeds benchmark size, so the per-bucket matmul slab
+    stays bounded at crawl scale."""
+    from ml_hadoop_experiment_spark.operators.semdecon import (
+        cosine_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_decontaminate(
+        emb.where(F.col("vec_id") % 10 != 0),
+        emb.where(F.col("vec_id") % 10 == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        num_planes=4,
+        dim=64,
+        threshold=0.3,
+    )
+    return out.withColumnRenamed("id", "vec_id")
+
+
+SQL_DECONTAMINATE_SEMANTIC = f"""
+WITH buckets AS (
+  SELECT vec_id,
+         {lsh_bucket_sql('embedding', 4, 64)} AS bucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / {_ROW_NORM}) AS vnorm
+  FROM embeddings
+),
+cor AS (SELECT * FROM buckets WHERE vec_id % 10 <> 0),
+ben AS (SELECT * FROM buckets WHERE vec_id % 10 = 0),
+m AS (
+  SELECT a.vec_id AS vec_id, max(round({_PAIR_DOT_NORMED}, 6)) AS max_score
+  FROM cor a JOIN ben b ON a.bucket = b.bucket
+  WHERE {_PAIR_DOT_NORMED} IS NOT NULL
+  GROUP BY a.vec_id
+)
+SELECT c.vec_id, m.max_score,
+       coalesce(m.max_score >= 0.3, false) AS contaminated
+FROM cor c LEFT JOIN m USING (vec_id)
+"""

@@ -1475,3 +1475,164 @@ def _sql_dedup_substrings() -> str:
 
 
 SQL_DEDUP_SUBSTRINGS = _sql_dedup_substrings()
+
+
+def _domain_fixture(d):
+    """Synthetic crawl-URL column for the domain rollup (pure codegen,
+    replayed verbatim by the oracle — the fixture is shared by design,
+    the two HOST/DOMAIN extractors are not): six URL shapes cycling
+    five sites, exercising subdomains, ``www.``, an explicit port, a
+    ``user:pw@`` userinfo, two multi-part public suffixes (``co.uk``,
+    ``gov.uk``), an IPv4 literal, and (every 13th doc) a non-URL
+    passthrough line."""
+    h = (d % 5).cast("string")
+    p = (d % 7).cast("string")
+    v0 = F.concat(F.lit("https://news.site"), h, F.lit(".co.uk/p/"), p)
+    v1 = F.concat(F.lit("https://www.site"), h, F.lit(".com/p/"), p)
+    v2 = F.concat(
+        F.lit("http://cdn"), (d % 3).cast("string"),
+        F.lit(".site"), h, F.lit(".com:8080/a/"), p,
+    )
+    v3 = F.concat(F.lit("https://user:pw@blog.site"), h, F.lit(".org/p/"), p)
+    v4 = F.concat(F.lit("http://site"), h, F.lit(".gov.uk/p/"), p)
+    v5 = F.concat(F.lit("http://10.0."), h, F.lit(".25/x/"), p)
+    return (
+        F.when(d % 13 == 3, F.concat(F.lit("bookmark "), d.cast("string")))
+        .when(d % 6 == 0, v0)
+        .when(d % 6 == 1, v1)
+        .when(d % 6 == 2, v2)
+        .when(d % 6 == 3, v3)
+        .when(d % 6 == 4, v4)
+        .otherwise(v5)
+    )
+
+
+_DOMAIN_FIXTURE_SQL = """
+CASE WHEN doc_id % 13 = 3
+     THEN 'bookmark ' || CAST(doc_id AS VARCHAR)
+     WHEN doc_id % 6 = 0
+     THEN 'https://news.site' || CAST(doc_id % 5 AS VARCHAR)
+          || '.co.uk/p/' || CAST(doc_id % 7 AS VARCHAR)
+     WHEN doc_id % 6 = 1
+     THEN 'https://www.site' || CAST(doc_id % 5 AS VARCHAR)
+          || '.com/p/' || CAST(doc_id % 7 AS VARCHAR)
+     WHEN doc_id % 6 = 2
+     THEN 'http://cdn' || CAST(doc_id % 3 AS VARCHAR)
+          || '.site' || CAST(doc_id % 5 AS VARCHAR)
+          || '.com:8080/a/' || CAST(doc_id % 7 AS VARCHAR)
+     WHEN doc_id % 6 = 3
+     THEN 'https://user:pw@blog.site' || CAST(doc_id % 5 AS VARCHAR)
+          || '.org/p/' || CAST(doc_id % 7 AS VARCHAR)
+     WHEN doc_id % 6 = 4
+     THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR)
+          || '.gov.uk/p/' || CAST(doc_id % 7 AS VARCHAR)
+     ELSE 'http://10.0.' || CAST(doc_id % 5 AS VARCHAR)
+          || '.25/x/' || CAST(doc_id % 7 AS VARCHAR)
+END"""
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level crawl rollup (functions/url.url_host +
+    registered_domain): extract the host (userinfo/port stripped) and
+    the registrable domain (last two labels, or three over the frozen
+    multi-part-suffix subset of the Public Suffix List; IPv4 literals
+    pass through) from the synthesized crawl URLs, then aggregate per
+    domain — the standard first census of a crawl (per-domain doc
+    counts drive blocklists, quotas, and CCNet-style per-domain
+    processing). Non-URL rows group under the NULL domain with zero
+    distinct hosts. Pure codegen extraction; the single shuffle is the
+    KB-sized domain aggregation."""
+    from ml_hadoop_experiment_spark.functions.url import (
+        registered_domain,
+        url_host,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _domain_fixture(F.col("doc_id")).alias("url")
+    )
+    hosts = docs.select(
+        "doc_id", "url", url_host(F.col("url")).alias("host")
+    ).withColumn("domain", registered_domain(F.col("host")))
+    return hosts.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.countDistinct("url").alias("n_urls"),
+    )
+
+
+def _sql_domain_stats() -> str:
+    from ml_hadoop_experiment_spark.functions.url import (
+        registered_domain_sql,
+        url_host_sql,
+    )
+
+    return f"""
+WITH urls AS (
+  SELECT doc_id, {_DOMAIN_FIXTURE_SQL} AS url FROM documents
+),
+hosts AS (
+  SELECT doc_id, url, {url_host_sql("url")} AS host FROM urls
+),
+doms AS (
+  SELECT doc_id, url, host, {registered_domain_sql("host")} AS domain
+  FROM hosts
+)
+SELECT domain, count(*) AS n_docs,
+       count(DISTINCT host) AS n_hosts,
+       count(DISTINCT url) AS n_urls
+FROM doms GROUP BY domain
+"""
+
+
+SQL_DOMAIN_STATS = _sql_domain_stats()
+
+
+def q_boilerplate_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOMAIN boilerplate removal (operators/lines.
+    drop_repeated_lines with group_col — the CCNet posture: repetition
+    is evidence WITHIN a shard/domain, not across the whole crawl).
+    The fixture synthesizes 3-line pages grouped by source: a
+    doc-unique body; a per-source banner (25+ docs per source — always
+    cut); and a cross-source "notice" line keyed by doc_id %% 89 whose
+    GLOBAL frequency exceeds max_docs=3 but whose within-source
+    frequency mostly does not — the line the grouped and ungrouped
+    operators disagree on, pinning the group scoping. Same scale shape
+    as line_dedup; the census key just gains the group column."""
+    from ml_hadoop_experiment_spark.operators.lines import (
+        drop_repeated_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.col("text"), F.lit(" #"), F.col("doc_id")),
+        F.concat(F.lit("Subscribe to "), F.col("source"), F.lit(" updates")),
+        F.concat(F.lit("notice "), (F.col("doc_id") % 89)),
+    )
+    pages = docs.select("doc_id", "source", page.alias("text"))
+    return drop_repeated_lines(
+        pages, "doc_id", "text", max_docs=3, group_col="source"
+    )
+
+
+def _sql_boilerplate_grouped() -> str:
+    from ml_hadoop_experiment_spark.operators.lines import (
+        drop_repeated_lines_sql,
+    )
+
+    page = (
+        "concat_ws(chr(10), text || ' #' || CAST(doc_id AS VARCHAR), "
+        "'Subscribe to ' || source || ' updates', "
+        "'notice ' || CAST(doc_id % 89 AS VARCHAR))"
+    )
+    return drop_repeated_lines_sql(
+        f"(SELECT doc_id, source, {page} AS text FROM documents)",
+        "doc_id",
+        "text",
+        max_docs=3,
+        out_id="doc_id",
+        group_expr="source",
+    )
+
+
+SQL_BOILERPLATE_GROUPED = _sql_boilerplate_grouped()

@@ -648,3 +648,36 @@ def _sql_bigram_xent() -> str:
 
 
 SQL_BIGRAM_XENT = _sql_bigram_xent()
+
+
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (operators/ccnet.
+    perplexity_buckets): score every document with the corpus-unigram
+    cross-entropy (the green unigram_xent contract — cross-engine
+    exact) and split the corpus into three equal-population buckets at
+    the exact 1/3 and 2/3 percentiles (Spark ``percentile`` vs DuckDB
+    ``quantile_cont`` — the interpolation parity the quantiles query
+    pins), strict-greater rule, ties to the lower bucket. The
+    composition CCNet actually ships: downstream recipes mix or cut by
+    bucket_label."""
+    from ml_hadoop_experiment_spark.operators.ccnet import (
+        perplexity_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _sql_quality_buckets() -> str:
+    from ml_hadoop_experiment_spark.operators.ccnet import (
+        perplexity_buckets_sql,
+    )
+
+    return perplexity_buckets_sql(
+        "documents", "doc_id", "text", out_id="doc_id"
+    )
+
+
+SQL_QUALITY_BUCKETS = _sql_quality_buckets()

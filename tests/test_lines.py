@@ -197,3 +197,104 @@ class TestDropRepeatedParagraphs:
         )
         for c in ["doc_id", "clean_text", "n_removed_paragraphs"]:
             assert list(sp[c].astype(str)) == list(du[c].astype(str)), c
+
+
+GROUPED = [
+    # (doc_id, domain, text) — "banner x" floods domain A (3 docs) but
+    # appears once in domain B; "shared note" appears twice in EACH
+    # domain (4 globally — cut ungrouped at max_docs=1? no: grouped
+    # max_docs=1 cuts it per-domain too since 2 > 1; at max_docs=2 it
+    # survives grouped but is cut ungrouped)
+    (1, "a.com", "banner x\nbody one\nshared note"),
+    (2, "a.com", "banner x\nbody two"),
+    (3, "a.com", "banner x\nbody three\nshared note"),
+    (4, "b.org", "banner x\nbody four\nshared note"),
+    (5, "b.org", "body five\nshared note"),
+    (6, "b.org", "body six"),
+]
+
+
+class TestGroupedBoilerplate:
+    @pytest.fixture(scope="class")
+    def gdocs(self, spark):
+        return spark.createDataFrame(
+            GROUPED, "doc_id int, domain string, text string"
+        )
+
+    def test_census_is_group_scoped(self, spark, gdocs):
+        from ml_hadoop_experiment_spark.operators.lines import (
+            repeated_lines,
+        )
+
+        rep = {
+            (r["domain"], r["line"]): r["n_docs"]
+            for r in repeated_lines(
+                gdocs, "doc_id", "text", max_docs=2, group_col="domain"
+            ).collect()
+        }
+        # banner x: 3 docs in a.com (> 2 -> flagged), 1 in b.org (not)
+        assert rep == {("a.com", "banner x"): 3}
+
+    def test_cut_is_group_scoped(self, spark, gdocs):
+        from ml_hadoop_experiment_spark.operators.lines import (
+            drop_repeated_lines,
+        )
+
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_removed_lines"])
+            for r in drop_repeated_lines(
+                gdocs, "doc_id", "text", max_docs=2, group_col="domain"
+            ).collect()
+        }
+        # banner x cut from a.com docs only; shared note (2 per domain,
+        # 4 globally) survives everywhere under grouping
+        assert out[1] == ("body one\nshared note", 1)
+        assert out[2] == ("body two", 1)
+        assert out[3] == ("body three\nshared note", 1)
+        assert out[4] == ("banner x\nbody four\nshared note", 0)
+        assert out[5] == ("body five\nshared note", 0)
+        assert out[6] == ("body six", 0)
+        # the same corpus UNGROUPED cuts banner x (4 docs) everywhere
+        # and shared note (4 docs) too
+        ung = {
+            r["doc_id"]: r["n_removed_lines"]
+            for r in drop_repeated_lines(
+                gdocs, "doc_id", "text", max_docs=2
+            ).collect()
+        }
+        assert ung == {1: 2, 2: 1, 3: 2, 4: 2, 5: 1, 6: 0}
+
+    def test_duckdb_twin_grouped(self, spark, gdocs):
+        from ml_hadoop_experiment_spark.operators.lines import (
+            drop_repeated_lines,
+            drop_repeated_lines_sql,
+        )
+
+        got = sorted(
+            (r["doc_id"], r["clean_text"], r["n_removed_lines"])
+            for r in drop_repeated_lines(
+                gdocs, "doc_id", "text", max_docs=2, group_col="domain"
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE g(doc_id INT, domain VARCHAR, text VARCHAR)"
+        )
+        con.executemany("INSERT INTO g VALUES (?, ?, ?)", GROUPED)
+        sql = drop_repeated_lines_sql(
+            "g", "doc_id", "text", max_docs=2,
+            out_id="doc_id", group_expr="domain",
+        )
+        want = sorted(con.execute(sql).fetchall())
+        assert got == want
+
+    def test_ungrouped_sql_unchanged_by_group_param(self):
+        from ml_hadoop_experiment_spark.operators.lines import (
+            drop_repeated_lines_sql,
+        )
+
+        # the group_expr=None path must emit byte-identical SQL to the
+        # pre-group-feature generator (line_dedup's recorded oracle)
+        sql = drop_repeated_lines_sql("t", "id", "txt", max_docs=3)
+        assert "grp" not in sql
+        assert "USING (line)" in sql

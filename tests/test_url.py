@@ -158,3 +158,92 @@ class TestDedupByUrl:
         # canonicalization must not add exchanges: exactly the window's
         # one shuffle
         assert plan.count("Exchange") == 1
+
+
+HOST_CASES = [
+    # (raw, host, registered_domain)
+    ("https://News.Site0.co.uk/p/1", "news.site0.co.uk", "site0.co.uk"),
+    ("http://WWW.Example.COM:8080/x", "www.example.com", "example.com"),
+    ("https://user:pw@blog.example.org/p", "blog.example.org", "example.org"),
+    ("http://example.gov.uk/a", "example.gov.uk", "example.gov.uk"),
+    ("http://a.b.c.example.com.au/", "a.b.c.example.com.au", "example.com.au"),
+    ("http://10.0.3.25/x", "10.0.3.25", "10.0.3.25"),
+    ("http://localhost:9000/", "localhost", "localhost"),
+    ("http://co.uk/", "co.uk", "co.uk"),
+    ("file:///etc/passwd", "", ""),
+    ("not a url", None, None),
+]
+
+
+class TestHostAndRegisteredDomain:
+    def test_goldens(self, spark):
+        from ml_hadoop_experiment_spark.functions.url import (
+            registered_domain,
+            url_host,
+        )
+
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _, _) in enumerate(HOST_CASES)],
+            "i long, url string",
+        )
+        rows = {
+            r["i"]: (r["h"], r["d"])
+            for r in df.select(
+                "i",
+                url_host(F.col("url")).alias("h"),
+                registered_domain(url_host(F.col("url"))).alias("d"),
+            ).collect()
+        }
+        for i, (raw, want_h, want_d) in enumerate(HOST_CASES):
+            assert rows[i] == (want_h, want_d), f"{raw!r}: {rows[i]}"
+
+    def test_duckdb_parity(self, spark):
+        from ml_hadoop_experiment_spark.functions.url import (
+            registered_domain,
+            registered_domain_sql,
+            url_host,
+            url_host_sql,
+        )
+
+        raws = [raw for raw, _, _ in HOST_CASES] + [None]
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(raws)], "i long, url string"
+        )
+        got = {
+            r["i"]: (r["h"], r["d"])
+            for r in df.select(
+                "i",
+                url_host(F.col("url")).alias("h"),
+                registered_domain(url_host(F.col("url"))).alias("d"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(i BIGINT, url VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(raws)))
+        h = url_host_sql("url")
+        want = {
+            i: (hh, dd)
+            for i, hh, dd in con.execute(
+                f"SELECT i, {h}, {registered_domain_sql(h)} FROM t"
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_every_multi_part_suffix(self, spark):
+        from ml_hadoop_experiment_spark.functions.url import (
+            MULTI_PART_SUFFIXES,
+            registered_domain,
+        )
+
+        hosts = [f"www.brand.{s}" for s in MULTI_PART_SUFFIXES]
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(hosts)], "i long, h string"
+        )
+        rows = {
+            r["i"]: r["d"]
+            for r in df.select(
+                "i", registered_domain(F.col("h")).alias("d")
+            ).collect()
+        }
+        for i, s in enumerate(MULTI_PART_SUFFIXES):
+            assert rows[i] == f"brand.{s}"
