@@ -51,7 +51,7 @@ from typing import List, Sequence, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import squared_distance_expr
+from ..functions import fastexpr as FX
 
 #: decimal type for order-independent per-dim sums (see
 #: operators/similarity.embedding_centroids — same contract: exact on
@@ -60,21 +60,18 @@ _SUM_DECIMAL = "decimal(27,10)"
 
 
 def kmeans_assign_expr(
-    vec_col: Column, centroids: Sequence[Sequence[float]]
+    vec_col: "Column | str", centroids: Sequence[Sequence[float]]
 ) -> Column:
     """Cluster index of ``vec_col`` under literal ``centroids``: argmin
     of the squared-distance fold, ties to the smallest index. Pure
-    codegen (array_min over (distance, index) structs) — map-only."""
-    ranked = F.array(
-        *[
-            F.struct(
-                squared_distance_expr(vec_col, cent).alias("d"),
-                F.lit(i).alias("c"),
-            )
-            for i, cent in enumerate(centroids)
-        ]
-    )
-    return F.array_min(ranked)["c"]
+    codegen (array_min over (distance, index) structs) — map-only.
+
+    Built as ONE SQL parse (functions/fastexpr, round-13 optimization):
+    the k x dim literal matrix through the Column API cost ~0.6 s of
+    py4j round trips PER PLAN BUILD at k=8, dim=16 — pure driver dead
+    time re-paid every Lloyd iteration. Bit-identical expression
+    (tests/test_fastexpr.py pins old-vs-new equality)."""
+    return F.expr(FX.argmin_frag(FX.sql_of(vec_col), centroids))
 
 
 def kmeans_lloyd(
@@ -109,14 +106,18 @@ def kmeans_lloyd(
         raise ValueError(f"k={k} but only {len(init_rows)} rows")
     centroids = [[float(x) for x in r[1]] for r in init_rows]
 
+    # one F.expr parse per column instead of 4-5 py4j calls each (the
+    # fastexpr rationale; `v`[i] is 0-based GetArrayItem on both forms)
     sums = [
-        F.sum(F.col(vec_col)[i].cast(_SUM_DECIMAL)).alias(f"__s{i}")
+        F.expr(
+            f"sum(CAST(`{vec_col}`[{i}] AS {_SUM_DECIMAL}))"
+        ).alias(f"__s{i}")
         for i in range(dim)
     ]
     means = [
-        F.round(F.col(f"__s{i}").cast("double") / F.col("n"), round_digits).alias(
-            f"__m{i}"
-        )
+        F.expr(
+            f"round(CAST(`__s{i}` AS DOUBLE) / `n`, {round_digits})"
+        ).alias(f"__m{i}")
         for i in range(dim)
     ]
     for _ in range(iters):

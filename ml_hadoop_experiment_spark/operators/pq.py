@@ -44,7 +44,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_unit_hash, portable_unit_hash_sql
-from .clustering import _SUM_DECIMAL, kmeans_assign_expr, kmeans_ctes
+from ..functions import fastexpr as FX
+from .clustering import _SUM_DECIMAL, kmeans_ctes
 
 
 def _check_geometry(dim: int, n_subspaces: int) -> int:
@@ -115,34 +116,35 @@ def pq_train(
         ]
         for s in range(n_subspaces)
     ]
+    # fastexpr (round-13): the whole explode(array(struct...)) tree and
+    # the per-dim decimal sums parse as single SQL strings — the Column
+    # API paid ~2 s of py4j round trips per Lloyd iteration here
+    # (OPTIMIZATION_r13.md receipts); expressions are bit-identical
     sums = [
-        F.sum(F.col("v")[i].cast(_SUM_DECIMAL)).alias(f"__s{i}")
+        F.expr(f"sum(CAST(`v`[{i}] AS {_SUM_DECIMAL}))").alias(f"__s{i}")
         for i in range(sub_dim)
     ]
     means = [
-        F.round(
-            F.col(f"__s{i}").cast("double") / F.col("n"), round_digits
+        F.expr(
+            f"round(CAST(`__s{i}` AS DOUBLE) / `n`, {round_digits})"
         ).alias(f"__m{i}")
         for i in range(sub_dim)
     ]
+    vec_sql = FX.sql_of(F.col(vec_col))
     for _ in range(iters):
-        slices = F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("s"),
-                    kmeans_assign_expr(
-                        F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim),
-                        codebooks[s],
-                    ).alias("c"),
-                    F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
-                        "v"
-                    ),
-                )
-                for s in range(n_subspaces)
-            ]
+        structs = ", ".join(
+            "named_struct('s', {s}, 'c', {c}, 'v', {v})".format(
+                s=s,
+                c=FX.argmin_frag(
+                    FX.slice_frag(vec_sql, s * sub_dim + 1, sub_dim),
+                    codebooks[s],
+                ),
+                v=FX.slice_frag(vec_sql, s * sub_dim + 1, sub_dim),
+            )
+            for s in range(n_subspaces)
         )
         agg = (
-            base.select(F.explode(slices).alias("e"))
+            base.select(F.expr(f"explode(array({structs}))").alias("e"))
             .select("e.s", "e.c", "e.v")
             .groupBy("s", "c")
             .agg(F.count(F.lit(1)).alias("n"), *sums)
@@ -171,13 +173,16 @@ def pq_code_expr(
     ``kmeans_assign_expr`` contract). Pure codegen, map-only."""
     n_subspaces = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    return F.array(
-        *[
-            kmeans_assign_expr(
-                F.slice(vec_col, s * sub_dim + 1, sub_dim), codebooks[s]
+    vec_sql = FX.sql_of(vec_col)
+    return F.expr(
+        "array("
+        + ", ".join(
+            FX.argmin_frag(
+                FX.slice_frag(vec_sql, s * sub_dim + 1, sub_dim), codebooks[s]
             )
             for s in range(n_subspaces)
-        ]
+        )
+        + ")"
     )
 
 
@@ -236,16 +241,17 @@ def pq_topk(
     query = [float(x) for x in qrow[0][0]]
     if len(query) != dim:
         raise ValueError(f"query vector has {len(query)} dims, expected {dim}")
-    score = None
+    # one SQL parse; "t0 + t1 + ..." is left-associated, the same IEEE
+    # addition order as the replaced per-term accumulation loop
+    vec_sql = FX.sql_of(F.col(vec_col))
+    terms = []
     for s in range(n_subspaces):
         adc = _adc_table(query, codebooks[s], s * sub_dim)
-        code = kmeans_assign_expr(
-            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim), codebooks[s]
+        code = FX.argmin_frag(
+            FX.slice_frag(vec_sql, s * sub_dim + 1, sub_dim), codebooks[s]
         )
-        term = F.element_at(
-            F.array(*[F.lit(d) for d in adc]), code + F.lit(1)
-        )
-        score = term if score is None else score + term
+        terms.append(f"element_at({FX.double_array(adc)}, {code} + 1)")
+    score = F.expr(" + ".join(terms))
     return (
         df.where(F.col(id_col) != query_id)
         .select(

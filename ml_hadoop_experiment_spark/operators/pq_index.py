@@ -47,6 +47,7 @@ from typing import List, Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import fastexpr as FX
 from ..functions.hashing import portable_unit_hash_sql
 from .clustering import _sqdist_sql, kmeans_assign_expr, kmeans_ctes
 from .pq import _adc_table, _check_geometry, pq_code_expr, pq_train
@@ -187,17 +188,18 @@ def _adc_score_expr(index: PQIndex, query: Sequence[float]) -> "Column":  # noqa
     sum over subspaces of ``element_at(adc_table_s, code[s] + 1)`` —
     the SAME literal tables (:func:`~.pq._adc_table`, IEEE doubles) and
     the same ascending-subspace addition order as ``pq.pq_topk``, so
-    the probe scores are bit-identical to the from-scratch path."""
+    the probe scores are bit-identical to the from-scratch path. One
+    SQL parse (functions/fastexpr); "+" chains left-associate like the
+    replaced accumulation loop."""
     sub_dim = index.dim // index.n_subspaces
-    score = None
+    terms = []
     for s in range(index.n_subspaces):
         adc = _adc_table(query, index.codebooks[s], s * sub_dim)
-        term = F.element_at(
-            F.array(*[F.lit(d) for d in adc]),
-            F.element_at(F.col("code"), s + 1) + F.lit(1),
+        terms.append(
+            f"element_at({FX.double_array(adc)}, "
+            f"element_at(`code`, {s + 1}) + 1)"
         )
-        score = term if score is None else score + term
-    return score
+    return F.expr(" + ".join(terms))
 
 
 def _residual_adc_score_expr(
@@ -216,22 +218,23 @@ def _residual_adc_score_expr(
         ]
         for p in probes
     }
-    score = None
+    terms = []
     for s in range(index.n_subspaces):
-        table = None
-        for p in probes:
-            adc = _adc_table(qres[p], index.codebooks[s], s * sub_dim)
-            arr = F.array(*[F.lit(d) for d in adc])
-            table = (
-                F.when(F.col("list_id") == p, arr)
-                if table is None
-                else table.when(F.col("list_id") == p, arr)
+        # CASE chain == the replaced F.when chain (no ELSE -> NULL)
+        arms = " ".join(
+            "WHEN `list_id` = {p} THEN {arr}".format(
+                p=p,
+                arr=FX.double_array(
+                    _adc_table(qres[p], index.codebooks[s], s * sub_dim)
+                ),
             )
-        term = F.element_at(
-            table, F.element_at(F.col("code"), s + 1) + F.lit(1)
+            for p in probes
         )
-        score = term if score is None else score + term
-    return score
+        terms.append(
+            f"element_at(CASE {arms} END, "
+            f"element_at(`code`, {s + 1}) + 1)"
+        )
+    return F.expr(" + ".join(terms))
 
 
 def pq_topk_against_index(
@@ -340,14 +343,15 @@ def ivf_pq_topk(
     if len(query) != dim:
         raise ValueError(f"query vector has {len(query)} dims, expected {dim}")
     probes = ivf_probes_fixed(centroids, query, nprobe)
-    score = None
+    vec_sql = FX.sql_of(F.col(vec_col))
+    terms = []
     for s in range(n_subspaces):
         adc = _adc_table(query, codebooks[s], s * sub_dim)
-        code = kmeans_assign_expr(
-            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim), codebooks[s]
+        code = FX.argmin_frag(
+            FX.slice_frag(vec_sql, s * sub_dim + 1, sub_dim), codebooks[s]
         )
-        term = F.element_at(F.array(*[F.lit(d) for d in adc]), code + F.lit(1))
-        score = term if score is None else score + term
+        terms.append(f"element_at({FX.double_array(adc)}, {code} + 1)")
+    score = F.expr(" + ".join(terms))
     list_id = kmeans_assign_expr(F.col(vec_col), centroids)
     return (
         df.where(F.col(id_col) != query_id)
@@ -371,25 +375,21 @@ def _residual_frame(
     list plus its residual against that list's centroid — one IEEE
     subtraction per component, so both engines compute identical
     doubles from identical inputs."""
-    cent_arr = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in cent])
-            for cent in centroids
-        ]
-    )
     list_id = kmeans_assign_expr(F.col(vec_col), centroids)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         list_id.alias("list_id"),
     )
+    # one SQL parse for the k x dim centroid matrix + subtraction fold
+    # (fastexpr): semantics identical to the replaced zip_with lambda
     return base.select(
         "id",
         "list_id",
-        F.zip_with(
-            F.col("v"),
-            F.element_at(cent_arr, F.col("list_id") + 1),
-            lambda x, y: x.cast("double") - y,
+        F.expr(
+            f"zip_with(`v`, element_at("
+            f"{FX.nested_double_array(centroids)}, `list_id` + 1), "
+            "(x, y) -> CAST(x AS DOUBLE) - y)"
         ).alias("res"),
     )
 
@@ -470,22 +470,22 @@ def ivf_pq_residual_topk(
         p: [query[j] - float(centroids[p][j]) for j in range(dim)]
         for p in probes
     }
-    score = None
+    terms = []
     for s in range(n_subspaces):
-        code = kmeans_assign_expr(
-            F.slice(F.col("res"), s * sub_dim + 1, sub_dim), codebooks[s]
+        code = FX.argmin_frag(
+            FX.slice_frag("`res`", s * sub_dim + 1, sub_dim), codebooks[s]
         )
-        table = None
-        for p in probes:
-            adc = _adc_table(qres[p], codebooks[s], s * sub_dim)
-            arr = F.array(*[F.lit(d) for d in adc])
-            table = (
-                F.when(F.col("list_id") == p, arr)
-                if table is None
-                else table.when(F.col("list_id") == p, arr)
+        arms = " ".join(
+            "WHEN `list_id` = {p} THEN {arr}".format(
+                p=p,
+                arr=FX.double_array(
+                    _adc_table(qres[p], codebooks[s], s * sub_dim)
+                ),
             )
-        term = F.element_at(table, code + F.lit(1))
-        score = term if score is None else score + term
+            for p in probes
+        )
+        terms.append(f"element_at(CASE {arms} END, {code} + 1)")
+    score = F.expr(" + ".join(terms))
     return (
         resid.where(F.col("id") != query_id)
         .where(F.col("list_id").isin(probes))
@@ -786,8 +786,6 @@ def ivf_pq_rerank_topk(
     fold over ``shortlist`` rows only. At 100 TB the re-rank cost is
     fixed by ``shortlist``, not the corpus.
     """
-    from ..functions.vectors import cosine_similarity_expr
-
     if not 1 <= k <= shortlist:
         raise ValueError(f"need 1 <= k <= shortlist, got {k}/{shortlist}")
     # ONE driver-side fetch of the query row, shared by both stages
@@ -808,12 +806,14 @@ def ivf_pq_rerank_topk(
         train_fraction=train_fraction, seed=seed,
         round_digits=round_digits, query_vec=query_vec,
     ).select(F.col("id").alias("__cand"))
-    q = F.array(*[F.lit(v) for v in query_vec])
     fetched = df.join(
         F.broadcast(cand), df[id_col] == F.col("__cand")
     )
     score = F.round(
-        cosine_similarity_expr(F.col(vec_col), q), round_digits
+        F.expr(
+            FX.cosine_frag(f"`{vec_col}`", FX.double_array(query_vec))
+        ),
+        round_digits,
     )
     return (
         fetched.select(F.col(id_col).alias("id"), score.alias("score"))

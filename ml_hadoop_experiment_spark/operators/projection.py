@@ -83,9 +83,12 @@ def jl_project(
         raise ValueError(f"need dim, out_dim >= 1; got {dim}, {out_dim}")
     scale = 1.0 / (out_dim ** 0.5)
     signs = jl_signs(dim, out_dim, seed)
-    signs_lit = F.array(
-        *[F.array(*[F.lit(float(s)) for s in row]) for row in signs]
-    )
+    # one SQL parse for the out_dim x dim literal sign matrix
+    # (functions/fastexpr): the Column-API form cost out_dim*dim py4j
+    # round trips (~0.6 s at 16x64) per plan build
+    from ..functions import fastexpr as FX
+
+    signs_lit = F.expr(FX.nested_double_array(signs))
     vec = F.col(vec_col)
     comps = F.transform(
         signs_lit,

@@ -35,6 +35,8 @@ from typing import List, Sequence, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import fastexpr as FX
+
 #: quantization levels for int8 (values land in [-128, 127])
 _LEVELS = 255
 _ZERO_POINT = 128
@@ -58,35 +60,39 @@ def quantize_expr(
 ) -> Column:
     """``array<int>`` int8-range code of ``vec_col`` under literal
     ``params`` — pure codegen, map-only."""
+    # one SQL parse (fastexpr): per-dim fragments identical to the
+    # replaced Column chain (same literal values, same cast points)
+    vec_sql = FX.sql_of(vec_col)
     elems = []
     for i, (mn, mx) in enumerate(params):
         if mx == mn:
-            elems.append(F.lit(0))
+            elems.append("0")
             continue
-        scaled = (vec_col[i].cast("double") - F.lit(mn)) * F.lit(
-            _LEVELS / (mx - mn)
+        scaled = (
+            f"(CAST({vec_sql}[{i}] AS DOUBLE) - {FX.dlit(mn)}) * "
+            f"{FX.dlit(_LEVELS / (mx - mn))}"
         )
         elems.append(
-            (F.round(scaled, 0).cast("int") - F.lit(_ZERO_POINT)).alias(f"q{i}")
+            f"(CAST(round({scaled}, 0) AS INT) - {_ZERO_POINT})"
         )
-    return F.array(*elems)
+    return F.expr("array(" + ", ".join(elems) + ")")
 
 
 def dequantize_expr(
     qvec_col: Column, params: Sequence[Tuple[float, float]]
 ) -> Column:
     """``array<double>`` reconstruction of a quantized code."""
+    vec_sql = FX.sql_of(qvec_col)
     elems = []
     for i, (mn, mx) in enumerate(params):
         if mx == mn:
-            elems.append(F.lit(float(mn)))
+            elems.append(FX.dlit(float(mn)))
             continue
         elems.append(
-            (qvec_col[i].cast("double") + F.lit(_ZERO_POINT))
-            * F.lit((mx - mn) / _LEVELS)
-            + F.lit(mn)
+            f"(CAST({vec_sql}[{i}] AS DOUBLE) + {_ZERO_POINT}) * "
+            f"{FX.dlit((mx - mn) / _LEVELS)} + {FX.dlit(mn)}"
         )
-    return F.array(*elems)
+    return F.expr("array(" + ", ".join(elems) + ")")
 
 
 def symmetric_scale(df: DataFrame, vec_col: str) -> float:
@@ -124,10 +130,13 @@ def symmetric_quantize_expr(vec_col: Column, scale: float) -> Column:
 
 
 def _int_dot_expr(qvec: Column, code: Sequence[int]) -> Column:
-    """Exact int64 dot product against a literal code."""
-    lit = F.array(*[F.lit(int(c)).cast("long") for c in code])
+    """Exact int64 dot product against a literal code. The literal
+    array parses as ONE F.expr (functions/fastexpr) instead of
+    2 x dim py4j calls; the fold keeps the Column API because ``qvec``
+    is itself a derived expression (sql_of only round-trips bare
+    refs/slices). Same fold, same BIGINT typing as before."""
     return F.aggregate(
-        F.zip_with(qvec, lit, lambda x, y: x.cast("long") * y),
+        F.zip_with(qvec, F.expr(FX.bigint_array(code)), lambda x, y: x.cast("long") * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )

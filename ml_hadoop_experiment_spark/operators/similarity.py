@@ -23,6 +23,7 @@ from typing import List, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ml_hadoop_experiment_spark.functions import fastexpr as FX
 from ml_hadoop_experiment_spark.functions.vectors import cosine_similarity_expr
 
 _KNUTH = 2_654_435_761
@@ -44,11 +45,9 @@ def plane_vectors(num_planes: int, dim: int) -> List[List[float]]:
 def _dot_with_literal(vec: Column, coeffs: Sequence[float]) -> Column:
     """Fold-based dot product with a literal plane; left-to-right double
     accumulation (same order the DuckDB twin folds in)."""
-    plane = F.array(*[F.lit(float(c)) for c in coeffs])
-    return F.aggregate(
-        F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    return F.expr(
+        f"aggregate(zip_with({FX.sql_of(vec)}, {FX.double_array(coeffs)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
     )
 
 
@@ -89,8 +88,11 @@ def cosine_topk(
     Output (id, score) with score rounded to 6 decimals; ordering ties break
     on id so results are total-ordered and reproducible.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    score = F.round(cosine_similarity_expr(F.col(vec_col), q), 6)
+    # one SQL parse for the literal query + cosine fold (fastexpr):
+    # bit-identical to the replaced cosine_similarity_expr tree
+    score = F.round(
+        F.expr(FX.cosine_frag(f"`{vec_col}`", FX.double_array(query_vec))), 6
+    )
     return (
         df.select(F.col(id_col).alias("id"), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col("id").asc())
@@ -253,13 +255,10 @@ def ivf_index(
 
 def squared_distance_expr(vec: Column, coeffs: Sequence[float]) -> Column:
     """Squared L2 distance to a literal centroid; left-to-right double fold
-    (same order as the DuckDB twin in ``ivf_fixed_sql``)."""
-    cent = F.array(*[F.lit(float(c)) for c in coeffs])
-    return F.aggregate(
-        F.zip_with(vec, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    (same order as the DuckDB twin in ``ivf_fixed_sql``). One SQL parse
+    (functions/fastexpr) — bit-identical to the Column-API form it
+    replaced (tests/test_fastexpr.py)."""
+    return F.expr(FX.sqdist_frag(FX.sql_of(vec), coeffs))
 
 
 def ivf_assign_fixed(
@@ -277,19 +276,10 @@ def ivf_assign_fixed(
     embedded in the scan; write the result partitioned by ``list_id`` so
     probes prune at the source.
     """
-    ranked = F.array(
-        *[
-            F.struct(
-                squared_distance_expr(F.col(vec_col), cent).alias("d"),
-                F.lit(i).alias("c"),
-            )
-            for i, cent in enumerate(centroids)
-        ]
-    )
     return df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        F.array_min(ranked)["c"].alias("list_id"),
+        F.expr(FX.argmin_frag(f"`{vec_col}`", centroids)).alias("list_id"),
     )
 
 
@@ -326,8 +316,9 @@ def ivf_topk_fixed(
     KMeans path (``ivf_index``/``ivf_topk``) is its production complement."""
     probes = ivf_probes_fixed(centroids, query_vec, nprobe)
     assigned = ivf_assign_fixed(df, centroids, id_col=id_col, vec_col=vec_col)
-    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
-    score = F.round(cosine_similarity_expr(F.col("vec"), qcol), 6)
+    score = F.round(
+        F.expr(FX.cosine_frag("`vec`", FX.double_array(query_vec))), 6
+    )
     return (
         assigned.where(F.col("list_id").isin(probes))
         .select("id", score.alias("score"))
@@ -431,8 +422,9 @@ def ivf_topk(
     q = np.asarray(query_vec, dtype=float)
     dists = [float(np.linalg.norm(np.asarray(c, dtype=float) - q)) for c in centers]
     probes = [int(i) for i in np.argsort(dists, kind="stable")[:nprobe]]
-    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
-    score = F.round(cosine_similarity_expr(F.col("vec"), qcol), 6)
+    score = F.round(
+        F.expr(FX.cosine_frag("`vec`", FX.double_array(query_vec))), 6
+    )
     return (
         assigned.where(F.col("list_id").isin(probes))
         .select("id", score.alias("score"))
