@@ -207,10 +207,15 @@ def bpe_learn(
             col = F.col("__s")
             for left, right, _ in batch:
                 col = merge_pair_expr(col, left, right)
-            nxt = current.withColumn("__s", col).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            nxt.count()
+            # eager localCheckpoint, not persist+count: persist keeps
+            # the FULL logical lineage, so round r's plan carried r
+            # nested merge folds and Catalyst re-analysis grew
+            # quadratically with the merge count (measured gaps
+            # 0.4 -> 1.9 s across 4 wordpiece rounds, r13 receipts);
+            # the checkpoint truncates lineage to the materialized
+            # blocks — same rows, O(1) analysis per round (the
+            # connected_components precedent, guide §3.3)
+            nxt = current.withColumn("__s", col).localCheckpoint()
             current.unpersist()
             current = nxt
         out = current.select(
