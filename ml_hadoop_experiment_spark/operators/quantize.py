@@ -46,12 +46,16 @@ def quantization_params(
     df: DataFrame, vec_col: str, dim: int
 ) -> List[Tuple[float, float]]:
     """Per-dimension ``(min, max)`` over ``vec_col`` — one partial-
-    aggregated pass, ``2 x dim`` scalars collected (never row-sized)."""
-    aggs = []
+    aggregated pass, ``2 x dim`` scalars collected (never row-sized).
+    The ``2 x dim`` aggregates ship as ONE ``selectExpr`` call (r13:
+    the Column-API loop cost ~4 py4j round trips per aggregate —
+    ~0.5 s of driver dead time at dim=64 per call; aggregates in a
+    grouping-free select ARE a global aggregation, same plan)."""
+    frags = []
     for i in range(dim):
-        aggs.append(F.min(F.col(vec_col)[i]).alias(f"__mn{i}"))
-        aggs.append(F.max(F.col(vec_col)[i]).alias(f"__mx{i}"))
-    row = df.agg(*aggs).collect()[0]
+        frags.append(f"min(`{vec_col}`[{i}]) AS __mn{i}")
+        frags.append(f"max(`{vec_col}`[{i}]) AS __mx{i}")
+    row = df.selectExpr(*frags).collect()[0]
     return [(float(row[2 * i]), float(row[2 * i + 1])) for i in range(dim)]
 
 
@@ -196,17 +200,42 @@ def quantization_error(
     Per-row error is a fixed-order double fold rounded to
     ``round_digits`` and summed through decimal — addition-order
     independent, so the corpus mean is cross-engine exact (the
-    operators/corpus.py contribution-sum pattern)."""
+    operators/corpus.py contribution-sum pattern).
+
+    The per-row error is ONE compact higher-order-function fold over
+    two literal param ARRAYS instead of ``dim`` inlined per-dimension
+    encode∘decode fragments (r13: the inlined tree was ~2k Catalyst
+    nodes at dim=64 and every eager DataFrame analysis paid ~3.4 s on
+    it — measured in OPTIMIZATION_r13.md; the HOF tree is ~100 nodes).
+    Arithmetic is unchanged element-wise: the scale factors become
+    single IEEE double divisions computed in-engine on the same
+    doubles, which is bit-identical to the Python-side division the
+    inlined form embedded (both are one IEEE-754 op on equal inputs —
+    the same argument ``quantize_expr``'s docstring makes for the
+    DuckDB twin)."""
     params = quantization_params(df, vec_col, dim)
-    recon = dequantize_expr(quantize_expr(F.col(vec_col), params), params)
-    err = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            recon,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    mns = FX.double_array([mn for mn, _ in params])
+    mxs = FX.double_array([mx for _, mx in params])
+    # zip_with pads exactly like the replaced zip_with(vec, recon):
+    # both pair the vector against a dim-element array
+    err = F.expr(
+        f"aggregate(zip_with(`{vec_col}`, sequence(0, {dim - 1}), "
+        "(x, i) -> CASE WHEN element_at({mxs}, i + 1) = element_at({mns}, i + 1) "
+        "THEN (CAST(x AS DOUBLE) - element_at({mns}, i + 1)) "
+        "* (CAST(x AS DOUBLE) - element_at({mns}, i + 1)) "
+        "ELSE (CAST(x AS DOUBLE) - ("
+        "(CAST(CAST(round((CAST(x AS DOUBLE) - element_at({mns}, i + 1)) "
+        "* (255.0D / (element_at({mxs}, i + 1) - element_at({mns}, i + 1))), 0) AS INT) "
+        "- 128 AS DOUBLE) + 128) "
+        "* ((element_at({mxs}, i + 1) - element_at({mns}, i + 1)) / 255.0D) "
+        "+ element_at({mns}, i + 1))) "
+        "* (CAST(x AS DOUBLE) - ("
+        "(CAST(CAST(round((CAST(x AS DOUBLE) - element_at({mns}, i + 1)) "
+        "* (255.0D / (element_at({mxs}, i + 1) - element_at({mns}, i + 1))), 0) AS INT) "
+        "- 128 AS DOUBLE) + 128) "
+        "* ((element_at({mxs}, i + 1) - element_at({mns}, i + 1)) / 255.0D) "
+        "+ element_at({mns}, i + 1))) END), "
+        "0.0D, (acc, v) -> acc + v)".format(mns=mns, mxs=mxs)
     )
     per_row = F.round(err, round_digits).cast("decimal(28,6)")
     return df.select(per_row.alias("__e")).agg(
