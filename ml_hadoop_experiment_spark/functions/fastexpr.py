@@ -94,12 +94,24 @@ def sqdist_frag(vec_sql: str, centroid: Sequence[float]) -> str:
 def argmin_frag(vec_sql: str, centroids: Sequence[Sequence[float]]) -> str:
     """Argmin centroid index of ``vec_sql`` under literal ``centroids``,
     ties to the smallest index — the ``clustering.kmeans_assign_expr``
-    contract (``array_min`` over ``(d, c)`` structs)."""
-    structs = ", ".join(
-        f"named_struct('d', {sqdist_frag(vec_sql, cent)}, 'c', {i})"
-        for i, cent in enumerate(centroids)
+    contract (``array_min`` over ``(d, c)`` structs).
+
+    Emitted as ONE ``zip_with`` over the literal centroid MATRIX (not k
+    separate per-centroid folds): Catalyst's eager analysis priced the
+    k-fold form at ~0.8 s per analyzed op at k=8 x dim=64 — lambda
+    binding is per-HOF, so one outer fold + one inner fold analyzes in
+    ~0.1 s (r13 receipts in OPTIMIZATION_r13.md). Values, types, fold
+    order and the tie contract are unchanged (pinned value-wise by
+    tests/test_fastexpr.py::test_argmin_frag). Lambda variables are
+    name-mangled so a caller's column reference can never be captured."""
+    k = len(centroids)
+    return (
+        f"array_min(zip_with({nested_double_array(centroids)}, "
+        f"sequence(0, {k - 1}), (__amf_cent, __amf_i) -> named_struct("
+        f"'d', aggregate(zip_with({vec_sql}, __amf_cent, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, x) -> acc + x), 'c', __amf_i))).c"
     )
-    return f"array_min(array({structs})).c"
 
 
 def slice_frag(vec_sql: str, start_1based: int, length: int) -> str:
