@@ -88,11 +88,31 @@ SQL_HLL_AUDIT = _sql_hll_audit()
 
 
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13: the builtin `percentile` aggregate merges every (value, count)
+    # pair in ONE reducer (~2.5 s single-threaded at 600k near-unique
+    # doubles); exact_group_percentiles computes bit-identical values
+    # through a range exchange + bounded collects (guide §2.5; receipts
+    # in OPTIMIZATION_r13.md "Exact-percentile family", bit-exactness
+    # pinned by tests/test_exact_percentile.py).
+    from ml_hadoop_experiment_spark.plans.prefix import (
+        exact_group_percentiles,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
-        F.count(F.lit(1)).alias("n_rows"),
+    pct, counts = exact_group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.95]
+    )
+    rows = [
+        (
+            g[0],
+            None if pct[g] is None else pct[g][0],
+            None if pct[g] is None else pct[g][1],
+            counts[g][0],
+        )
+        for g in sorted(pct)
+    ]
+    return spark.createDataFrame(
+        rows, "l_returnflag string, p50 double, p95 double, n_rows long"
     )
 
 
@@ -119,6 +139,11 @@ def q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff the sketch drifts out of tolerance. The exact aggregate exists here
     only as the yardstick — ``bench.py`` times the approx-only plan
     separately as ``quantiles_approx``."""
+    # r13 probe: swapping the exact side onto the range-exchange
+    # percentile plan LOST here (1.23 -> 1.66 s isolated) — the builtin
+    # computes ap+ep in ONE aggregation job while the split pays the
+    # sketch job plus the helper's three; reverted, receipt in
+    # OPTIMIZATION_r13.md "Exact-percentile family".
     li = _t(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.expr(
