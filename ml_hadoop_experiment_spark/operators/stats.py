@@ -48,12 +48,6 @@ def mad_outliers(
     paths are benched each round (SCALE.md "Exact-yardstick vs approx-
     production pairs").
     """
-    # r13 probe: the range-exchange exact-percentile plan LOST here
-    # (0.70 -> 1.56 s isolated at sf0.1) — events carry only ~18k
-    # distinct values, so the builtin's per-key buffers are small while
-    # the two-round helper pays two exchanges and four bounded jobs;
-    # left on the builtin (OPTIMIZATION_r13.md "Exact-percentile
-    # family").
     pct = "approx_percentile" if approx else "percentile"
     v = F.col(value_col).cast("double")
     med = df.groupBy(*key_cols).agg(
@@ -211,43 +205,23 @@ def equi_depth_histogram(
     every bin holds ~the same row count regardless of skew. Output:
     (bin, n_rows, lo, hi) per occupied bin.
 
-    Plan (r13): boundaries come from the range-exchange exact-percentile
-    plan (``plans/prefix.exact_group_percentiles`` — bit-identical to the
-    builtin ``percentile``, whose single-reducer value buffer cost ~2.5 s
-    at 600k near-unique doubles; tests/test_exact_percentile.py) and are
-    inlined as a LITERAL array into a map-side comparison
-    (``bin = #{boundaries < v}``), then a map-combined group count.
-    Swap ``approx_percentile`` in at 100 TB for a one-pass mergeable
-    sketch (the quantiles/quantiles_approx pairing; both sides benched —
-    see SCALE.md "Exact-yardstick vs approx-production pairs").
+    Plan: one aggregation produces the boundary ARRAY in a single row,
+    broadcast to a map-side comparison (``bin = #{boundaries < v}``), then
+    a map-combined group count — two scans, no wide exchange of data rows.
+    Exact ``percentile`` is the oracle yardstick; swap
+    ``approx_percentile`` in at 100 TB for a one-pass mergeable sketch
+    (the quantiles/quantiles_approx pairing; both sides benched — see
+    SCALE.md "Exact-yardstick vs approx-production pairs").
     """
-    from ml_hadoop_experiment_spark.functions.fastexpr import double_array
-    from ml_hadoop_experiment_spark.plans.prefix import (
-        exact_group_percentiles,
-    )
-
+    fracs = ", ".join(str(i / num_bins) for i in range(1, num_bins))
     v = F.col(value_col).cast("double")
-    pct, _counts = exact_group_percentiles(
-        df, [], value_col, [i / num_bins for i in range(1, num_bins)]
+    bnds = df.agg(
+        F.expr(f"percentile({value_col}, array({fracs}))").alias("__bnds")
     )
-    vals = pct.get(())
-    if vals is None:
-        # empty input / all-null column: keep the builtin plan, whose
-        # NULL-array boundary row reproduces the degenerate output shape
-        fracs = ", ".join(str(i / num_bins) for i in range(1, num_bins))
-        bnds = df.agg(
-            F.expr(f"percentile({value_col}, array({fracs}))").alias("__bnds")
-        )
-        binned = df.join(F.broadcast(bnds)).withColumn(
-            "bin",
-            F.size(F.filter(F.col("__bnds"), lambda b: v > b)).cast("int"),
-        )
-    else:
-        binned = df.withColumn(
-            "bin",
-            F.size(F.filter(F.expr(double_array(vals)), lambda b: v > b))
-            .cast("int"),
-        )
+    binned = df.join(F.broadcast(bnds)).withColumn(
+        "bin",
+        F.size(F.filter(F.col("__bnds"), lambda b: v > b)).cast("int"),
+    )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min(v).alias("lo"),
@@ -427,11 +401,6 @@ def trimmed_stats(
 
     Output: ``key_cols..., p_lo, p_hi, trimmed_mean, n_kept, n_clipped``.
     """
-    # r13 probe: the range-exchange exact-percentile plan LOST here
-    # (0.96 -> 1.03 s isolated at sf0.1) — per-key fences over orders-
-    # sized groups keep the builtin's buffers modest, so its single
-    # aggregation job beats the helper's three; left on the builtin
-    # (OPTIMIZATION_r13.md "Exact-percentile family").
     pct = "approx_percentile" if approx else "percentile"
     fences = df.groupBy(*key_cols).agg(
         F.expr(f"{pct}({value_col}, {lo!r})").cast("double").alias("p_lo"),

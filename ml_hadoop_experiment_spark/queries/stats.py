@@ -94,7 +94,7 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through a range exchange + bounded collects (guide §2.5; receipts
     # in OPTIMIZATION_r13.md "Exact-percentile family", bit-exactness
     # pinned by tests/test_exact_percentile.py).
-    from ml_hadoop_experiment_spark.plans.prefix import (
+    from ml_hadoop_experiment_spark.plans.percentiles import (
         exact_group_percentiles,
     )
 
@@ -139,11 +139,6 @@ def q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff the sketch drifts out of tolerance. The exact aggregate exists here
     only as the yardstick — ``bench.py`` times the approx-only plan
     separately as ``quantiles_approx``."""
-    # r13 probe: swapping the exact side onto the range-exchange
-    # percentile plan LOST here (1.23 -> 1.66 s isolated) — the builtin
-    # computes ap+ep in ONE aggregation job while the split pays the
-    # sketch job plus the helper's three; reverted, receipt in
-    # OPTIMIZATION_r13.md "Exact-percentile family".
     li = _t(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.expr(
@@ -379,13 +374,39 @@ SQL_KS_DRIFT = _sql_ks_drift()
 def q_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram of l_extendedprice in 10 quantile bins — the
     feature-bucketing primitive (every bin ~equal count regardless of
-    skew). Boundary array computed once, broadcast, map-side binning;
-    exact percentile as the oracle yardstick, approx_percentile as the
-    documented 100 TB path."""
-    from ml_hadoop_experiment_spark.operators.stats import equi_depth_histogram
+    skew). Boundary array computed once, inlined as a literal, map-side
+    binning; exact percentile as the oracle yardstick, approx_percentile
+    as the documented 100 TB path.
+
+    r13: boundaries come from the range-exchange exact-percentile plan
+    (``plans/percentiles.exact_group_percentiles`` — bit-identical to
+    the builtin ``percentile`` whose single-reducer value buffer cost
+    ~2.5 s at 600k near-unique doubles; 3.63 -> 1.11 s isolated) and are
+    inlined into the binning projection, replacing the
+    ``equi_depth_histogram`` operator's percentile-agg + crossJoin-
+    broadcast subtree; bin rule (strict greater) and output identical —
+    same oracle SQL, plan diff in plans/r13."""
+    from ml_hadoop_experiment_spark.functions.fastexpr import double_array
+    from ml_hadoop_experiment_spark.plans.percentiles import (
+        exact_group_percentiles,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
-    return equi_depth_histogram(li, "l_extendedprice", num_bins=10)
+    num_bins = 10
+    pct, _counts = exact_group_percentiles(
+        li, [], "l_extendedprice", [i / num_bins for i in range(1, num_bins)]
+    )
+    v = F.col("l_extendedprice").cast("double")
+    binned = li.withColumn(
+        "bin",
+        F.size(F.filter(F.expr(double_array(pct[()])), lambda b: v > b))
+        .cast("int"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+    )
 
 
 def _sql_feature_hist() -> str:
