@@ -1,4 +1,4 @@
-"""Bit-exactness of plans/prefix.exact_group_percentiles vs the builtin
+"""Bit-exactness of plans/percentiles.exact_group_percentiles vs the builtin
 ``percentile`` aggregate (the r13 optimization that removes the builtin's
 single-reducer OpenHashMap merge — OPTIMIZATION_r13.md "Exact-percentile
 family").
