@@ -572,17 +572,21 @@ QUERIES = {
     "quantiles": q_quantiles,
     "quantized_topk": q_quantized_topk,
     "semantic_dedup": q_semantic_dedup,
-    # r13 tier 2 (2): oldest driver greens — the stalest round-8 rows
-    # (the other 13 of the former 15-slot backfill slid to 51+ when
-    # tier 0c took their slots)
+    # r13 tier 0d (1): profile_table re-fingerprinted by its declared
+    # form's split-distinct rewrite (the Expand removal — results
+    # identical, OPTIMIZATION_r13.md "profile_table")
+    "profile_table": q_profile_table,
+    # r13 tier 2 (1): oldest driver green — the stalest round-8 row
+    # (doc_chunks joined the displaced backfill at 51+ when
+    # profile_table took its slot)
     "dedup_keep_best": q_dedup_keep_best,
-    "doc_chunks": q_doc_chunks,
     # --- outside the driver window (position 51+): unchanged,
     #     driver-green, and re-gated locally every round by
     #     tests/test_oracle_parity.py ---
     # (the 11 oldest-green backfill rows displaced by tier 0c lead the
     # line for r14, then bpe_pairs / cms_audit / cohort_retention /
     # doc_fingerprint from the late-round-13 displacement)
+    "doc_chunks": q_doc_chunks,
     "doc_pipeline": q_doc_pipeline,
     "dq_audit": q_dq_audit,
     "trimmed_stats": q_trimmed_stats,
@@ -614,7 +618,6 @@ QUERIES = {
     "outlier_stats": q_outlier_stats,
     "overlap_pairs": q_overlap_pairs,
     "pack_bins": q_pack_bins,
-    "profile_table": q_profile_table,
     "robust_scale": q_robust_scale,
     "segment_trend": q_segment_trend,
     "simhash": q_simhash,

@@ -606,15 +606,59 @@ SELECT rank, o_orderkey, o_totalprice FROM (
 
 
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-scan numeric column profile of lineitem (counts, nulls, exact
+    """Numeric column profile of lineitem (counts, nulls, exact
     distincts, min/max, decimal-exact mean) unpivoted to one row per
     column via stack — the pre-training data-quality snapshot. Exact
     count(DISTINCT) is the oracle yardstick; approx_count_distinct is
-    the documented 100 TB path."""
-    from ml_hadoop_experiment_spark.operators.stats import profile_numeric
+    the documented 100 TB path.
 
+    r13: the operator's single-aggregation form plans the three exact
+    count(DISTINCT)s through ONE Expand — every row triplicated into a
+    single 1.8M-row hash-aggregate stage, measured 1.6-1.7 s of the
+    query's 2.4-2.8 s (event-log receipt in OPTIMIZATION_r13.md). This
+    declared form splits each distinct into its own
+    dedup-then-count subtree crossJoined onto the non-distinct
+    aggregate: AQE materializes the four independent stages
+    CONCURRENTLY (guide §2.6 — the idle-capacity overlap), no row is
+    ever replicated, and the biggest subtree (583k-value dedup) bounds
+    the wall clock: 2.11 -> 0.78 s warm, rows identical (A/B receipt in
+    OPTIMIZATION_r13.md; the `profile_numeric` operator keeps the
+    one-scan form for callers that want a single pass at the cost of
+    the Expand)."""
     li = _t(spark, sf_dir, "lineitem")
-    return profile_numeric(li, ["l_extendedprice", "l_quantity", "l_discount"])
+    cols = ["l_extendedprice", "l_quantity", "l_discount"]
+    decimals = "decimal(25,6)"
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+            (
+                F.sum(F.col(c).cast(decimals)).cast("double")
+                / F.count(F.col(c))
+            ).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    for c in cols:
+        # count(DISTINCT c) ignores NULLs — match it exactly
+        wide = wide.crossJoin(
+            li.where(F.col(c).isNotNull())
+            .select(c)
+            .distinct()
+            .agg(F.count(F.lit(1)).alias(f"{c}__dist"))
+        )
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__dist, {c}__min, {c}__max, {c}__mean"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_rows, n_nulls, n_distinct, min, max, mean)"
+        )
+    )
 
 
 def _sql_profile_table() -> str:

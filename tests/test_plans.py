@@ -132,7 +132,6 @@ _BNLJ_QUERIES = [
     "bm25_topk",
     "chi_square",
     "dsir_select",
-    "feature_hist",
     "heavy_hitters",
     "hll_audit",
     "kmv_source_overlap",
@@ -140,6 +139,7 @@ _BNLJ_QUERIES = [
     "mixture_plan",
     "mixture_sample",
     "pmi_bigrams",
+    "profile_table",
     "psi_drift",
     "quantized_topk",
     "series_topk",
