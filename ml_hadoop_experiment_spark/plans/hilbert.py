@@ -46,8 +46,18 @@ from pyspark.sql import functions as F
 from .layout import ZDim, quantize, quantize_sql
 
 #: largest per-dimension bit width served by the literal lookup table
-#: (2^(2*bits) int64 entries: 6 -> 4096 ints, ~32 KiB broadcast)
-MAX_LOOKUP_BITS = 8
+#: (2^(2*bits) int64 entries: 6 -> 4096 ints, ~32 KiB broadcast).
+#: r14: lowered 8 -> 6. A 2^14/2^16-entry literal array is not "one
+#: lookup" to the DRIVER: every analysis/optimization pass walks the
+#: 16k/65k-child CreateArray before it constant-folds, and a clustered
+#: write re-plans it for the range-sampling job, the sort, and the
+#: write (measured: the bits=8 clustered-write pytest spent 253 s of
+#: driver time at MAX=8 vs 4.4 s on the Arrow rotation path at MAX=6 —
+#: the same planning-time pathology functions/fastexpr.py documents).
+#: The Arrow path (:func:`hilbert_value_batch`) is bit-identical
+#: (equivalence pytest-pinned) and scale-honest for fine grids; the
+#: literal table remains the oracle-replayable form at the default 6.
+MAX_LOOKUP_BITS = 6
 
 
 def hilbert_xy2d(bits: int, x: int, y: int) -> int:

@@ -88,31 +88,21 @@ SQL_HLL_AUDIT = _sql_hll_audit()
 
 
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r13: the builtin `percentile` aggregate merges every (value, count)
-    # pair in ONE reducer (~2.5 s single-threaded at 600k near-unique
-    # doubles); exact_group_percentiles computes bit-identical values
-    # through a range exchange + bounded collects (guide §2.5; receipts
-    # in OPTIMIZATION_r13.md "Exact-percentile family", bit-exactness
-    # pinned by tests/test_exact_percentile.py).
-    from ml_hadoop_experiment_spark.plans.percentiles import (
-        exact_group_percentiles,
-    )
-
+    # r14: REVERTED to the builtin `percentile` aggregate. The r13
+    # range-exchange helper (plans/percentiles.exact_group_percentiles)
+    # won in isolated probes (1.31 s) but regressed ~5x in BOTH of the
+    # driver's independent sweeps (9.44 s quiet 8-core / 10.30 s noisy
+    # 32-core vs 2.0 s on this builtin in r12) — the r13 verdict's #1
+    # item. The builtin's 3 per-group value buffers merge in 3 parallel
+    # reducer tasks at this group cardinality; it is also lazy and
+    # composable where the helper was an eager driver-materialized
+    # collect. feature_hist keeps the helper (independently verified
+    # faster there: 3.30 -> 2.13 s in the same driver record).
     li = _t(spark, sf_dir, "lineitem")
-    pct, counts = exact_group_percentiles(
-        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.95]
-    )
-    rows = [
-        (
-            g[0],
-            None if pct[g] is None else pct[g][0],
-            None if pct[g] is None else pct[g][1],
-            counts[g][0],
-        )
-        for g in sorted(pct)
-    ]
-    return spark.createDataFrame(
-        rows, "l_returnflag string, p50 double, p95 double, n_rows long"
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
 
 

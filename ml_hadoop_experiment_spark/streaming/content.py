@@ -4,8 +4,10 @@ The steady-state production shape of content dedup: the corpus SimHash
 index (``operators/simhash_index.build_simhash_index`` — fingerprint +
 pigeonhole block rows, pinned once per corpus rotation) is STATIC; each
 streaming micro-batch of new documents is fingerprinted in-flight (the
-SimHash bit-vote is a pure codegen expression, so it runs on a streaming
-DataFrame unchanged) and equi-joined against the pinned blocks — a
+r14 Arrow-vectorized SimHash projection runs on a streaming DataFrame
+unchanged — and, unlike the pre-r14 ~1.5k-node codegen expression,
+is not re-Janino-compiled per micro-batch: measured 15.6 -> 2.6 s on
+the isolated sf0.1 drain) and equi-joined against the pinned blocks — a
 stream-static join, stateless on the stream side except for the
 candidate de-duplication. Recall stays EXACT at the index's declared
 Hamming radius (the pigeonhole guarantee is per-pair, independent of

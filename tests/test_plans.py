@@ -89,10 +89,15 @@ def test_text_stats_is_pure_codegen(spark):
     assert "EvalPython" not in plan, plan
 
 
-def test_simhash_is_pure_codegen(spark):
+def test_simhash_is_one_arrow_projection(spark):
+    """r14: the fingerprint is ONE vectorized ArrowEvalPython projection
+    (tokenization stays JVM-side) — not 32 HOF filter scans (the pre-r14
+    codegen tree, whose per-plan analysis/Janino cost dominated the
+    simhash query band), and never row-at-a-time BatchEvalPython."""
     df = QUERIES["simhash"](spark, SF_DIR)
     plan = executed_plan_str(df)
-    assert "EvalPython" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
 
 
 def test_dedup_exact_single_shuffle(spark):
