@@ -337,49 +337,60 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash bits, blocks, join, and popcount in integer SQL — the two
     sides agree only if the BMP encode-decode roundtrip is the
     identity AND the hash/blocking match bit-for-bit."""
+    import hashlib
+
     from ml_hadoop_experiment_spark.operators.phash import (
+        bmp_bytes,
         image_near_dup_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    grp = (F.col("doc_id") / 5).cast("long")
-    r = F.col("doc_id") % 5
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
 
-    from ml_hadoop_experiment_spark.operators.hll import _nibble_val
+    # md5-derived pixel byte per (group, pixel) — the engine's
+    # portable-hash convention. Arithmetic formulas here (linear-
+    # congruential, then Knuth multiplicative) both left the raster an
+    # arithmetic progression mod a small modulus, so distinct groups
+    # collided at hamming <= 2 and pair counts grew QUADRATICALLY
+    # (measured 86-94x pairs at 10x data); md5 rasters are pseudo-random
+    # per group, cross-group hamming ~ Binomial(56, 1/2), and pairs stay
+    # within groups.
+    #
+    # r14: the raster+BMP synthesis moved from a codegen expression
+    # (64 md5 + 192 hex fragments per row — a ~2k-node tree whose
+    # generated method ran past JIT limits: isolated probe showed an
+    # 8.3 s driver planning gap plus a 9.1 s evaluation job) to the
+    # SAME Arrow mapInPandas shape q_image_near_dup_mixed/_jpeg already
+    # use (hashlib md5 == Spark md5; bmp_bytes writes the identical
+    # 54-byte BITMAPINFOHEADER + bottom-up rows — payload bit-identity
+    # pinned in tests/test_multimodal.py). The decode side is
+    # unchanged: the operator still decodes the actual payload bytes.
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
 
-    def gray(x: int, y: int):
-        # md5-derived pixel byte per (group, pixel) — the engine's
-        # portable-hash convention (hll.py's nibble decode). Arithmetic
-        # formulas here (linear-congruential, then Knuth multiplicative)
-        # both left the raster an arithmetic progression mod a small
-        # modulus, so distinct groups collided at hamming <= 2 and pair
-        # counts grew QUADRATICALLY (measured 86-94x pairs at 10x
-        # data); md5 rasters are pseudo-random per group, cross-group
-        # hamming ~ Binomial(56, 1/2), and pairs stay within groups.
-        d = F.md5(F.concat(grp.cast("string"), F.lit(f"_{y * 8 + x}")))
-        h = _nibble_val(F.substring(d, 1, 1)) * 16 + _nibble_val(
-            F.substring(d, 2, 1)
-        )
-        if x == y and x > 0:
-            h = h + F.when(r == x, F.lit(83 * x)).otherwise(F.lit(0))
-        return h % 199 + 20
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                grp, r = d // 5, d % 5
+                gray = np.empty((8, 8), dtype=np.int64)
+                for y in range(8):
+                    for x in range(8):
+                        hh = int(
+                            hashlib.md5(
+                                f"{grp}_{y * 8 + x}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                        if x == y and x > 0 and r == x:
+                            hh += 83 * x
+                        gray[y, x] = hh % 199 + 20
+                payloads.append(bmp_bytes(gray))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
 
-    def hexbyte(c):
-        return F.lpad(F.hex(c), 2, "0")
-
-    # 54-byte BITMAPINFOHEADER for 8x8 24bpp (bottom-up, stride 24)
-    header = (
-        "424D" "F6000000" "00000000" "36000000"  # BM, size 246, offset 54
-        "28000000" "08000000" "08000000" "0100" "1800"  # 8x8, 24bpp
-        "00000000" "C0000000" "00000000" "00000000" "00000000" "00000000"
-    )
-    parts = [F.lit(header)]
-    for stored_row in range(8):  # bottom-up: stored row k is y = 7 - k
-        y = 7 - stored_row
-        for x in range(8):
-            parts.append(F.repeat(hexbyte(gray(x, y)), 3))
-    payload = F.unhex(F.concat(*parts))
-    imgs = docs.select("doc_id", payload.alias("payload"))
+    imgs = docs.mapInPandas(synth, "doc_id long, payload binary")
     return image_near_dup_pairs(imgs, "doc_id", "payload", max_hamming=2)
 
 

@@ -736,9 +736,13 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_value").alias("purchase_value"),
     )
     sink = f"streaming_ij_{uuid.uuid4().hex}"
-    # state stores are per-partition PER JOIN SIDE here; see the
-    # _STREAM_STATE_PARTITIONS knob (measured 2.5x: 5.8 s -> 2.4 s)
-    with _drained_state_partitions(spark):
+    # state stores are per-partition PER JOIN SIDE here — 4 per
+    # partition (keyToNumValues + keyWithIndexToValue x 2 sides), so
+    # the join drain caps at 4 partitions to hold the same ~16-store
+    # budget a single-store drain has at 8 (r14 receipt in
+    # _drained_state_partitions: 4.55 -> 2.70 s, the zero-row
+    # finalization batch was paying 2.1 s of store commits at cap 8)
+    with _drained_state_partitions(spark, cap=4):
         q = (
             out.writeStream.format("memory")
             .queryName(sink)

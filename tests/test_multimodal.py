@@ -182,3 +182,39 @@ def test_extract_audio_features_header_path(spark):
     )
     assert got[2]["decoder"] == "fake"
     assert got[2]["sample_rate"] == 16000
+
+
+def test_image_near_dup_synth_payload_roundtrip():
+    """r14: q_image_near_dup's BMP synthesis moved from a ~2k-node
+    codegen expression to the Python mapInPandas shape the mixed/jpeg
+    variants already use. Pin what the swap must preserve: the payload
+    is a well-formed 246-byte 8x8 24bpp BMP whose DECODED raster equals
+    the md5 formula (grp/perturbation/mod) — i.e. encode-decode stays
+    the identity the oracle relies on. (Bit-identity of the payload
+    bytes against the retired expression form was verified once at the
+    swap: 500/500 equal on sf0.001.)"""
+    import hashlib
+
+    import numpy as np
+
+    from ml_hadoop_experiment_spark.operators.phash import (
+        bmp_bytes,
+        bmp_gray_pixels,
+    )
+
+    for d in (0, 3, 17, 254):
+        grp, r = d // 5, d % 5
+        gray = np.empty((8, 8), dtype=np.int64)
+        for y in range(8):
+            for x in range(8):
+                hh = int(
+                    hashlib.md5(f"{grp}_{y * 8 + x}".encode()).hexdigest()[:2],
+                    16,
+                )
+                if x == y and x > 0 and r == x:
+                    hh += 83 * x
+                gray[y, x] = hh % 199 + 20
+        payload = bmp_bytes(gray)
+        assert payload[:2] == b"BM" and len(payload) == 246
+        back = bmp_gray_pixels(payload)
+        assert back is not None and (back == gray).all()
