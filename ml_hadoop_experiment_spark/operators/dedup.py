@@ -25,8 +25,6 @@ import logging
 import math
 from typing import List, Optional
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -817,10 +815,8 @@ def near_dup_against_index(
 # --------------------------------------------------------------------------
 
 
-def simhash_codegen_expr(col: Column, bits: int = 16) -> Column:
-    """``bits``-bit SimHash fingerprint as a pure column expression —
-    the pre-r14 evaluation form, kept as the equivalence yardstick for
-    :func:`simhash` (tests/test_simhash_arrow.py pins bit-identity).
+def simhash(col: Column, bits: int = 16) -> Column:
+    """``bits``-bit SimHash fingerprint of the whitespace token multiset.
 
     Bit b of a token's hash = (hex digit b of md5(token)) >= '8' — i.e. the
     top bit of each md5 nibble, giving up to 32 independent bits. The
@@ -835,11 +831,7 @@ def simhash_codegen_expr(col: Column, bits: int = 16) -> Column:
     packed-lane struct accumulators (true single pass) 0.95 s — the
     "single pass" rewrites LOSE because aggregate/struct per-element
     allocation outweighs a cheap byte compare, and the scan+split+md5
-    floor is ~0.26 s of that total. What those A/Bs could not fix is the
-    EXPRESSION TREE itself: 32 HOF filter scans build a ~1.5k-node
-    Catalyst tree that is re-analyzed per transformation and Janino-
-    compiled per plan — the r14 Arrow form (:func:`simhash`) collapses
-    it to one vectorized UDF call. ``simhash_sql`` keeps the value-
+    floor is ~0.26 s of that total. ``simhash_sql`` keeps the value-
     identical nibble-compare form (the oracle only runs at toy scale).
     """
     assert 1 <= bits <= 63, "bigint fingerprint holds at most 63 bits"
@@ -866,78 +858,6 @@ def simhash_codegen_expr(col: Column, bits: int = 16) -> Column:
         bit_on = (set_count * 2) > n  # strict: vote sum > 0
         fp = fp + F.when(bit_on, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
     return fp
-
-
-#: per-bits cache of the Arrow fingerprint UDFs (pandas_udf registration
-#: costs a py4j round trip; every call site reuses one function object)
-_SIMHASH_ARROW_UDFS: dict = {}
-
-
-def _simhash_arrow_udf(bits: int):
-    """Vectorized SimHash vote kernel: an Arrow ``pandas_udf`` taking the
-    TOKEN ARRAY column (tokenization stays in the JVM — split/trim/lower
-    semantics are Spark's own by construction) and returning the
-    ``bits``-bit fingerprint. Per batch: md5/sha256 each token once
-    (hashlib — C speed), extract the top bit of each digest nibble with
-    two numpy shifts, sum votes per bit, pack the sign bits.
-
-    Value contract is IDENTICAL to :func:`simhash_codegen_expr` (pinned
-    bit-for-bit by tests/test_simhash_arrow.py): nibble b of the hex
-    digest >= '8' == bit 7 (even b) / bit 3 (odd b) of digest byte b//2;
-    vote rule ``2 * set_count > n`` strict; NULL token array -> 0 (the
-    expression form's ``when(...).otherwise(0)`` sum over a NULL-size
-    comparison also yields 0)."""
-    if bits in _SIMHASH_ARROW_UDFS:
-        return _SIMHASH_ARROW_UDFS[bits]
-    assert 1 <= bits <= 63, "bigint fingerprint holds at most 63 bits"
-    import hashlib
-
-    nbytes = (bits + 1) // 2  # digest bytes that carry the used nibbles
-    hasher = hashlib.md5 if bits <= 32 else hashlib.sha256
-    digest_len = 16 if bits <= 32 else 32
-
-    @F.pandas_udf("long")
-    def _fp(tokens: pd.Series) -> pd.Series:
-        shifts = np.arange(bits, dtype=np.uint64)
-        out = np.zeros(len(tokens), dtype=np.int64)
-        for i, toks in enumerate(tokens):
-            if toks is None or len(toks) == 0:
-                continue  # fp 0, matching the expression form
-            n = len(toks)
-            buf = b"".join(hasher(t.encode("utf-8")).digest() for t in toks)
-            arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, digest_len)
-            arr = arr[:, :nbytes]
-            # even nibble index 2j = high nibble of byte j (>= 8 == top
-            # bit); odd nibble 2j+1 = low nibble (its bit 3)
-            mat = np.empty((n, 2 * nbytes), dtype=np.uint8)
-            mat[:, 0::2] = arr >> 7
-            mat[:, 1::2] = (arr >> 3) & 1
-            votes = mat[:, :bits].sum(axis=0, dtype=np.int64)
-            fp_bits = (votes * 2 > n).astype(np.uint64)
-            out[i] = int((fp_bits << shifts).sum())
-        return pd.Series(out)
-
-    _SIMHASH_ARROW_UDFS[bits] = _fp
-    return _fp
-
-
-def simhash(col: Column, bits: int = 16) -> Column:
-    """``bits``-bit SimHash fingerprint of the whitespace token multiset
-    — bit-identical to :func:`simhash_codegen_expr` (and to
-    ``simhash_sql``'s DuckDB twin), evaluated as ONE Arrow-vectorized
-    projection instead of 32 higher-order-function filter scans.
-
-    r14 (guide §4.2, §7.3): the expression form's cost was never the
-    byte compares — it was the ~1.5k-node Catalyst tree built PER CALL
-    SITE: re-analyzed on every downstream transformation, Janino-
-    compiled per plan, and duplicated across join sides in the pair
-    pipelines. The Arrow form is a single plan node; tokenization
-    (``split(trim(lower(col)), '\\s+')``) stays in the JVM so the token
-    contract is Spark's own, and only the token arrays cross to Python
-    where hashlib + numpy compute digests and votes per batch.
-    """
-    tokens = F.split(F.trim(F.lower(col)), r"\s+")
-    return _simhash_arrow_udf(bits)(tokens)
 
 
 def simhash_sql(expr: str, bits: int = 16) -> str:

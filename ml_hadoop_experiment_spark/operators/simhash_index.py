@@ -26,7 +26,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _simhash_block_frame, simhash
+from .dedup import _simhash_block_frame
+from .simhash_fp import simhash  # r14: Arrow-vectorized fingerprint
 
 
 class SimHashCorpusIndex:

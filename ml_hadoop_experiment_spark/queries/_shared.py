@@ -93,34 +93,17 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 _STREAM_STATE_PARTITIONS = 8
 
 
-def _drained_state_partitions(spark: SparkSession, cap: int | None = None):
+def _drained_state_partitions(spark: SparkSession):
     """Context manager: cap shuffle (= state-store) partitions for a
-    stateful streaming drain, restoring the session value after.
-
-    ``cap`` sizes PER-OPERATOR state-store count, which is what the
-    per-batch fixed overhead actually tracks: every shuffle partition
-    instantiates one store per stateful operator INSTANCE — a
-    stream-stream join runs FOUR stores per partition (keyToNumValues +
-    keyWithIndexToValue, per side) where dedup/aggregation run one. The
-    r14 receipt (local[32], sf0.1, min of 2 after warm): the interval
-    join's zero-row watermark-finalization batch cost 2.1 s at the
-    default cap 8 (32 stores committing nothing); cap 4 halves the
-    store count and the drain fell 4.55 -> 2.70 s, while single-store
-    drains LOSE below 8 (streaming_dedup 1.93 -> 2.78 s at 4 — its
-    per-key Python work wants the parallelism). So join drains pass
-    cap=4 (same ~store budget as a single-store drain at 8) and
-    everything else keeps the default. Production sizes this to
-    key-cardinality / throughput instead (conf, not constant)."""
+    stateful streaming drain, restoring the session value after."""
     from contextlib import contextmanager
-
-    limit = _STREAM_STATE_PARTITIONS if cap is None else cap
 
     @contextmanager
     def _cm():
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set(
             "spark.sql.shuffle.partitions",
-            str(min(int(prev), limit)),
+            str(min(int(prev), _STREAM_STATE_PARTITIONS)),
         )
         try:
             yield

@@ -425,8 +425,13 @@ def q_near_dup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14: Arrow-vectorized fingerprint (operators/simhash_fp) — one
+    # ArrowEvalPython projection instead of 32 HOF filter scans;
+    # bit-identical (tests/test_simhash_arrow.py), same oracle SQL
+    from ml_hadoop_experiment_spark.operators.simhash_fp import simhash as simhash_fp
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash16"))
+    return docs.select("doc_id", simhash_fp(F.col("text"), bits=16).alias("simhash16"))
 
 
 SQL_SIMHASH = f"""
@@ -524,7 +529,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 bits (vs the earlier 16) gives each block 256 values, so candidate
     buckets stay discriminating: measured 2.1x fewer candidate pairs and
     >2x faster at sf0.1 with identical recall semantics."""
-    from ml_hadoop_experiment_spark.operators.dedup import simhash_near_dup_pairs
+    from ml_hadoop_experiment_spark.operators.simhash_fp import (
+        simhash_near_dup_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(
@@ -561,7 +568,7 @@ def q_simhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a 32-bit SimHash — new-vs-corpus only, corpus never self-paired,
     recall EXACT at the declared radius (pigeonhole segments), unlike
     the Jaccard-recalled near_dup_incr."""
-    from ml_hadoop_experiment_spark.operators.dedup import simhash_against
+    from ml_hadoop_experiment_spark.operators.simhash_fp import simhash_against
 
     docs = _t(spark, sf_dir, "documents")
     new = docs.where(F.col("doc_id") % 10 == 0)
@@ -627,8 +634,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_clusters' label-only view. Returns (doc_id, cluster, q) of the
     kept rows."""
     from ml_hadoop_experiment_spark.functions.text import quality_score
-    from ml_hadoop_experiment_spark.operators.dedup import (
-        keep_best_per_cluster,
+    from ml_hadoop_experiment_spark.operators.dedup import keep_best_per_cluster
+    from ml_hadoop_experiment_spark.operators.simhash_fp import (
         simhash_near_dup_pairs,
     )
 
@@ -666,8 +673,8 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for partition-sized graphs — operators/dedup.connected_components);
     the oracle computes the identical closure with a DuckDB recursive
     CTE — two independent transitive-closure algorithms."""
-    from ml_hadoop_experiment_spark.operators.dedup import (
-        dedup_clusters,
+    from ml_hadoop_experiment_spark.operators.dedup import dedup_clusters
+    from ml_hadoop_experiment_spark.operators.simhash_fp import (
         simhash_near_dup_pairs,
     )
 
@@ -732,11 +739,11 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, cluster, split); the oracle replays the recursive-CTE
     closure plus the identical portable-hash CASE on the cluster
     label."""
-    from ml_hadoop_experiment_spark.operators.dedup import (
-        simhash_near_dup_pairs,
-    )
     from ml_hadoop_experiment_spark.operators.group_split import (
         leakage_safe_split,
+    )
+    from ml_hadoop_experiment_spark.operators.simhash_fp import (
+        simhash_near_dup_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -773,11 +780,11 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval contamination the cluster-level split eliminates by
     construction (its audit is empty; pytest-gated since empty frames
     make weak oracle gates)."""
-    from ml_hadoop_experiment_spark.operators.dedup import (
-        simhash_near_dup_pairs,
-    )
     from ml_hadoop_experiment_spark.operators.group_split import (
         split_leakage_audit,
+    )
+    from ml_hadoop_experiment_spark.operators.simhash_fp import (
+        simhash_near_dup_pairs,
     )
     from ml_hadoop_experiment_spark.operators.sampling import assign_split
 

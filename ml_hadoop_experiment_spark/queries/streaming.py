@@ -700,6 +700,37 @@ def q_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_PSI = SQL_PSI_DRIFT
 
 
+def _drained_join_state_partitions(spark: SparkSession, cap: int = 4):
+    """Stream-stream-JOIN variant of ``_shared._drained_state_partitions``:
+    same restore-after context manager, but the cap sizes per-operator
+    STATE-STORE COUNT rather than partitions. A stream-stream join
+    instantiates 4 stores per partition (keyToNumValues +
+    keyWithIndexToValue, per side) where dedup/aggregation run one, and
+    the drain's zero-row watermark-finalization batch pays a commit per
+    store: measured 1.8 s of addBatch for 0 rows at cap 8 (32 stores,
+    `recentProgress[].durationMs`, local[32] sf0.1). cap=4 holds the
+    same ~16-store budget a single-store drain has at 8: the drain fell
+    4.55 -> 2.70 s (min of 2 after warm) while single-store drains keep
+    the default (streaming_dedup REGRESSES 1.93 -> 2.78 below 8 — its
+    per-key Python work wants the parallelism). Production sizes this
+    by key cardinality / throughput, not a constant (BASELINE.md
+    "Round-14 receipts")."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(int(prev), cap))
+        )
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _cm()
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join, drained availableNow: purchases
     within 30 minutes after a click by the same user. Both sides are
@@ -737,12 +768,9 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"streaming_ij_{uuid.uuid4().hex}"
     # state stores are per-partition PER JOIN SIDE here — 4 per
-    # partition (keyToNumValues + keyWithIndexToValue x 2 sides), so
-    # the join drain caps at 4 partitions to hold the same ~16-store
-    # budget a single-store drain has at 8 (r14 receipt in
-    # _drained_state_partitions: 4.55 -> 2.70 s, the zero-row
-    # finalization batch was paying 2.1 s of store commits at cap 8)
-    with _drained_state_partitions(spark, cap=4):
+    # partition, so the join drain budgets STORES, not partitions
+    # (r14: see _drained_join_state_partitions)
+    with _drained_join_state_partitions(spark, cap=4):
         q = (
             out.writeStream.format("memory")
             .queryName(sink)

@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import simhash, simhash_block_bounds
+from ..operators.dedup import simhash_block_bounds
+from ..operators.simhash_fp import simhash  # r14: Arrow-vectorized fingerprint
 from ..operators.simhash_index import SimHashCorpusIndex
 
 

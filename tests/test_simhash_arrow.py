@@ -7,7 +7,11 @@ fixture corpus and on crafted whitespace/empty/null edge cases.
 
 Tokenization deliberately stays in the JVM (``split(trim(lower(col)),
 '\\s+')`` feeds the UDF), so split/trim/lower semantics cannot drift:
-only the md5/sha256 + vote kernel moved to numpy."""
+only the md5/sha256 + vote kernel moved to numpy. The Arrow form lives
+in its OWN module (operators/simhash_fp.py) so operators/dedup.py —
+whose module fingerprint covers the whole MinHash family — stays
+byte-identical to its r13-verified state; ``dedup.simhash`` IS the
+retained expression form and the yardstick here."""
 
 from __future__ import annotations
 
@@ -15,9 +19,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from ml_hadoop_experiment_spark.operators.dedup import (
-    simhash,
-    simhash_codegen_expr,
+    simhash as simhash_codegen_expr,
 )
+from ml_hadoop_experiment_spark.operators.simhash_fp import simhash
 
 #: whitespace-shape edge cases: F.trim strips 0x20 only, Java's \s is
 #: [ \t\n\x0B\f\r], and split(limit=-1) KEEPS leading/trailing empty
