@@ -67,6 +67,22 @@ _RUNTIME_CONFS = {
 }
 
 
+def _materialize_ctes(sql: str) -> str:
+    """Rewrite every non-recursive CTE head ``name AS (`` to
+    ``name AS MATERIALIZED (`` — DuckDB inlines plain CTEs PER
+    REFERENCE, so an oracle whose fingerprint/codebook CTE is read by
+    several union arms or join sides re-evaluates it each time
+    (measured r14: dup_clusters' closure 36.6 -> 1.1 s,
+    pq_residual_index 28.6 -> 0.3 s at sf0.001, values identical —
+    checked row-for-row for every converted oracle). Recursive heads
+    (``name(cols) AS (``) don't match the pattern and stay inlined, as
+    DuckDB requires. Results are unchanged by construction — this is
+    an evaluation hint, part of the oracle TEXT only."""
+    import re
+
+    return re.sub(r"(\b[a-zA-Z_]\w*\s+AS)\s*\(", r"\1 MATERIALIZED (", sql)
+
+
 def _ensure_confs(spark: SparkSession) -> None:
     for k, v in _RUNTIME_CONFS.items():
         if spark.conf.get(k, None) != v:

@@ -50,7 +50,7 @@ from ml_hadoop_experiment_spark.operators.similarity import (
     lsh_bucket_sql,
     lsh_bucketed,
 )
-from ml_hadoop_experiment_spark.queries._shared import _EVENT_TYPES, _t  # noqa: E501
+from ml_hadoop_experiment_spark.queries._shared import _materialize_ctes, _EVENT_TYPES, _t  # noqa: E501
 
 
 
@@ -129,7 +129,7 @@ _PAIR_DOT_NORMED = (
     "(acc, v) -> acc + v)"
 )
 
-SQL_EMBEDDING_NEAR_DUP = f"""
+SQL_EMBEDDING_NEAR_DUP = _materialize_ctes(f"""
 WITH buckets AS (
   SELECT vec_id,
          {lsh_bucket_sql('embedding', 4, 64)} AS bucket,
@@ -141,7 +141,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM buckets a JOIN buckets b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round({_PAIR_DOT_NORMED}, 6) >= 0.3
-"""
+""")
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,7 +291,7 @@ def _sql_ivf_pq_residual() -> str:
     )
 
 
-SQL_IVF_PQ_RESIDUAL = _sql_ivf_pq_residual()
+SQL_IVF_PQ_RESIDUAL = _materialize_ctes(_sql_ivf_pq_residual())
 
 
 def q_pq_residual_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,7 +411,7 @@ def _sql_pq_topk() -> str:
     )
 
 
-SQL_PQ_TOPK = _sql_pq_topk()
+SQL_PQ_TOPK = _materialize_ctes(_sql_pq_topk())
 
 
 def q_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,7 +480,7 @@ def _sql_ivf_pq_topk() -> str:
     )
 
 
-SQL_IVF_PQ_TOPK = _sql_ivf_pq_topk()
+SQL_IVF_PQ_TOPK = _materialize_ctes(_sql_ivf_pq_topk())
 
 
 _ROUTED_DIRS: dict = {}
@@ -766,7 +766,7 @@ LIMIT 20
 """
 
 
-SQL_PQ_RERANK = _sql_pq_rerank()
+SQL_PQ_RERANK = _materialize_ctes(_sql_pq_rerank())
 
 
 def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:

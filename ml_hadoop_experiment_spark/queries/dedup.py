@@ -545,11 +545,11 @@ def _sql_simhash_pairs() -> str:
     fp = simhash_sql("text", 32)
     blocks = simhash_blocks_sql(32, 3)
     return f"""
-WITH fps AS (SELECT doc_id AS id, {fp} AS fp FROM documents),
-blocks AS (
+WITH fps AS MATERIALIZED (SELECT doc_id AS id, {fp} AS fp FROM documents),
+blocks AS MATERIALIZED (
   {blocks}
 ),
-cands AS (
+cands AS MATERIALIZED (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
   FROM blocks a JOIN blocks b
     ON a.part = b.part AND a.block = b.block AND a.id < b.id
@@ -585,11 +585,11 @@ def _sql_simhash_incr() -> str:
     fp = simhash_sql("text", 32)
     blocks = simhash_blocks_sql(32, 3)
     return f"""
-WITH fps AS (SELECT doc_id AS id, {fp} AS fp FROM documents),
-blocks AS (
+WITH fps AS MATERIALIZED (SELECT doc_id AS id, {fp} AS fp FROM documents),
+blocks AS MATERIALIZED (
   {blocks}
 ),
-cands AS (
+cands AS MATERIALIZED (
   SELECT DISTINCT n.id AS id_new, c.id AS id_corpus, n.fp AS fp_a, c.fp AS fp_b
   FROM blocks n JOIN blocks c
     ON n.part = c.part AND n.block = c.block
@@ -694,19 +694,19 @@ def _sql_dup_clusters() -> str:
     blocks = simhash_blocks_sql(32, 3)
     return f"""
 WITH RECURSIVE
-fps AS (SELECT doc_id AS id, {fp} AS fp FROM documents),
-blocks AS (
+fps AS MATERIALIZED (SELECT doc_id AS id, {fp} AS fp FROM documents),
+blocks AS MATERIALIZED (
   {blocks}
 ),
-cands AS (
+cands AS MATERIALIZED (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
   FROM blocks a JOIN blocks b
     ON a.part = b.part AND a.block = b.block AND a.id < b.id
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 3
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL
   SELECT id_b, id_a FROM pairs
@@ -1132,13 +1132,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_semantic_dedup() -> str:
     return f"""
 WITH RECURSIVE
-buckets AS (
+buckets AS MATERIALIZED (
   SELECT vec_id,
          {lsh_bucket_sql('embedding', 4, 64)} AS bucket,
          list_transform(embedding, x -> CAST(x AS DOUBLE) / {_ROW_NORM}) AS vnorm
   FROM embeddings
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM buckets a JOIN buckets b
     ON a.bucket = b.bucket AND a.vec_id < b.vec_id

@@ -50,7 +50,7 @@ from ml_hadoop_experiment_spark.operators.similarity import (
     lsh_bucket_sql,
     lsh_bucketed,
 )
-from ml_hadoop_experiment_spark.queries._shared import _t  # noqa: E501
+from ml_hadoop_experiment_spark.queries._shared import _materialize_ctes, _t  # noqa: E501
 
 
 
@@ -440,7 +440,7 @@ FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 2
 """
 
 
-SQL_IMAGE_NEAR_DUP = _sql_image_near_dup()
+SQL_IMAGE_NEAR_DUP = _materialize_ctes(_sql_image_near_dup())
 
 
 def q_image_near_dup_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,4 +720,4 @@ FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 2
 """
 
 
-SQL_IMAGE_NEAR_DUP_JPEG = _sql_image_near_dup_jpeg()
+SQL_IMAGE_NEAR_DUP_JPEG = _materialize_ctes(_sql_image_near_dup_jpeg())

@@ -50,7 +50,7 @@ from ml_hadoop_experiment_spark.operators.similarity import (
     lsh_bucket_sql,
     lsh_bucketed,
 )
-from ml_hadoop_experiment_spark.queries._shared import _t  # noqa: E501
+from ml_hadoop_experiment_spark.queries._shared import _materialize_ctes, _t  # noqa: E501
 
 
 
@@ -240,7 +240,7 @@ def _sql_unigram_encode() -> str:
     )
 
 
-SQL_UNIGRAM_ENCODE = _sql_unigram_encode()
+SQL_UNIGRAM_ENCODE = _materialize_ctes(_sql_unigram_encode())
 
 
 # --------------------------------------------------------------------------
@@ -281,7 +281,7 @@ def _sql_wordpiece_learn() -> str:
     return wordpiece_learn_sql("documents", "text", _WORDPIECE_MERGES)
 
 
-SQL_WORDPIECE_LEARN = _sql_wordpiece_learn()
+SQL_WORDPIECE_LEARN = _materialize_ctes(_sql_wordpiece_learn())
 
 
 def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,4 +320,4 @@ def _sql_wordpiece_encode() -> str:
     )
 
 
-SQL_WORDPIECE_ENCODE = _sql_wordpiece_encode()
+SQL_WORDPIECE_ENCODE = _materialize_ctes(_sql_wordpiece_encode())
