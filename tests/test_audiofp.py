@@ -58,6 +58,7 @@ class TestFingerprint:
 
 
 class TestNearDup:
+    @pytest.mark.nightly
     def test_perturbed_copy_within_radius_unrelated_not(self, spark):
         rng = np.random.RandomState(11)
         base = rng.randint(-2000, 2000, 256).astype(np.int64)
