@@ -624,7 +624,16 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wall clock: 2.11 -> 0.78 s warm, rows identical (A/B receipt in
     OPTIMIZATION_r13.md; the `profile_numeric` operator keeps the
     one-scan form for callers that want a single pass at the cost of
-    the Expand)."""
+    the Expand).
+
+    The trade this form makes (r14 note, per the r13 verdict): the
+    table is SCANNED FOUR TIMES (once per subtree) instead of once —
+    cheap here where the scan is a 25 MB cached parquet and the Expand
+    was the bottleneck, but at 100 TB scan cost dominates and 4 passes
+    lose to 1. The declared exact profile is the oracle yardstick
+    form; `profile_approx` (one pass, HLL distincts, no Expand, no
+    re-scan) remains the documented 100 TB path and is benched
+    separately."""
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_extendedprice", "l_quantity", "l_discount"]
     decimals = "decimal(25,6)"
